@@ -1,0 +1,194 @@
+package graft.analysis
+
+/** One analyzed token: lowercased term, token position (0-based, preserving
+  * gaps left by removed stopwords), and character offsets into the source.
+  */
+final case class Token(term: String, position: Int, startOffset: Int, endOffset: Int)
+
+/** Word-break tokenizer implementing the StandardAnalyzer contract for our
+  * domain: UAX#29-style word boundaries, per-codepoint lowercasing, optional
+  * stopword removal with position-increment preservation, and a 255-char max
+  * token length with longer runs chopped.
+  *
+  * Contract references (semantics only; this is a fresh implementation):
+  *  - `/root/reference/lucene/core/src/java/org/apache/lucene/analysis/standard/StandardTokenizer.java:38-199`
+  *    (UAX#29 word break, maxTokenLength chop, position increments)
+  *  - `/root/reference/lucene/core/src/java/org/apache/lucene/analysis/LowerCaseFilter.java:36-43`
+  *    (codepoint `Character.toLowerCase`, not `String.toLowerCase`)
+  *  - `/root/reference/lucene/core/src/java/org/apache/lucene/analysis/StopFilter.java:95-98` +
+  *    `FilteringTokenFilter.java` (skipped tokens still advance positions)
+  *  - default StandardAnalyzer stopword set is EMPTY
+  *    (`StandardAnalyzer.java:51-53`); the English set lives in
+  *    `lucene/analysis/common/.../en/EnglishAnalyzer.java:46-50`
+  *
+  * Word-break subset implemented (covers ASCII + common Unicode classes —
+  * golden fixtures in `AnalysisSpec` pin the behavior):
+  *  - maximal runs of letters/digits form words (letter<->digit join, WB9/10)
+  *  - single medial `'`/`’`/`.` between letters, and `.`/`'`/`,` between
+  *    digits, keep the run together (MidLetter/MidNum/MidNumLet, WB6/7/11/12)
+  *  - `_` (ExtendNumLet) joins adjacent runs (WB13a/b)
+  *  - CJK ideographs + Hiragana emit one token per codepoint
+  *  - everything else breaks
+  */
+final class StandardAnalyzer(
+    val stopwords: Set[String] = Set.empty,
+    val maxTokenLength: Int = 255
+) extends Serializable {
+
+  import StandardAnalyzer._
+
+  /** Full token stream with positions + offsets. */
+  def tokens(text: String): Vector[Token] = {
+    val out = Vector.newBuilder[Token]
+    var position = -1
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      val cc = Character.charCount(cp)
+      if (isIdeographic(cp)) {
+        position += 1
+        val term = lowerCp(cp)
+        if (!stopwords.contains(term)) out += Token(term, position, i, i + cc)
+        i += cc
+      } else if (isWordStart(cp)) {
+        // scan a word run
+        val start = i
+        var j = i
+        while (j < n && {
+          val c = text.codePointAt(j)
+          if (isAlnum(c) || isExtend(c)) true
+          else if (isMedial(c) && j > start) {
+            // medial joins only when flanked by alnum of compatible class
+            val prev = text.codePointBefore(j)
+            val nxt = j + Character.charCount(c)
+            if (nxt < n) {
+              val nc = text.codePointAt(nxt)
+              val letterCtx = Character.isLetter(prev) && Character.isLetter(nc) &&
+                (isMidLetter(c) || isMidNumLet(c))
+              val numCtx = Character.isDigit(prev) && Character.isDigit(nc) &&
+                (isMidNum(c) || isMidNumLet(c))
+              letterCtx || numCtx
+            } else false
+          } else false
+        }) j += Character.charCount(text.codePointAt(j))
+        // a run of pure joiners (e.g. "___") is not a word — no token, no
+        // position increment
+        var hasAlnum = false
+        var k = start
+        while (k < j && !hasAlnum) {
+          if (isAlnum(text.codePointAt(k))) hasAlnum = true
+          k += Character.charCount(text.codePointAt(k))
+        }
+        if (hasAlnum) {
+          // emit the run, chopped at maxTokenLength codepoints
+          position = emitRun(text, start, j, out, position)
+        }
+        i = j
+      } else {
+        i += cc
+      }
+    }
+    out.result()
+  }
+
+  /** Emits the run chopped at [[maxTokenLength]] codepoints; returns the
+    * updated position counter.
+    */
+  private def emitRun(
+      text: String,
+      start: Int,
+      end: Int,
+      out: scala.collection.mutable.Builder[Token, Vector[Token]],
+      position0: Int
+  ): Int = {
+    var position = position0
+    var s = start
+    while (s < end) {
+      var cpCount = 0
+      var e = s
+      while (e < end && cpCount < maxTokenLength) {
+        e += Character.charCount(text.codePointAt(e))
+        cpCount += 1
+      }
+      val term = lower(text.substring(s, e))
+      position += 1
+      if (!stopwords.contains(term)) out += Token(term, position, s, e)
+      s = e
+    }
+    position
+  }
+
+  /** Per-doc aggregation used by the index build: term -> freq, plus the
+    * norm length (token count after stop filtering — the reference counts one
+    * per emitted token, `index/IndexingChain.java:1275-1281`).
+    */
+  def termFreqs(text: String): (java.util.HashMap[String, Int], Int) = {
+    val m = new java.util.HashMap[String, Int]()
+    var length = 0
+    tokens(text).foreach { t =>
+      length += 1
+      m.merge(t.term, 1, (a, b) => a + b)
+    }
+    (m, length)
+  }
+}
+
+object StandardAnalyzer {
+
+  /** The reference's English stopword set
+    * (`lucene/analysis/common/src/java/org/apache/lucene/analysis/en/EnglishAnalyzer.java:46-50`).
+    */
+  val EnglishStopwords: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if", "in",
+    "into", "is", "it", "no", "not", "of", "on", "or", "such", "that", "the",
+    "their", "then", "there", "these", "they", "this", "to", "was", "will", "with"
+  )
+
+  /** Default analyzer matches the reference default: no stopwords. */
+  val Default = new StandardAnalyzer()
+
+  /** English-filtered analyzer used by the index pipeline when configured. */
+  val English = new StandardAnalyzer(EnglishStopwords)
+
+  private[analysis] def isAlnum(cp: Int): Boolean =
+    Character.isLetter(cp) && !isIdeographic(cp) || Character.isDigit(cp)
+
+  private[analysis] def isWordStart(cp: Int): Boolean = isAlnum(cp) || isExtend(cp)
+
+  private[analysis] def isExtend(cp: Int): Boolean = cp == '_'
+
+  private[analysis] def isMidLetter(cp: Int): Boolean = cp == ':' || cp == 0xB7
+
+  private[analysis] def isMidNum(cp: Int): Boolean = cp == ',' || cp == ';'
+
+  private[analysis] def isMidNumLet(cp: Int): Boolean =
+    cp == '\'' || cp == 0x2019 || cp == '.'
+
+  private[analysis] def isMedial(cp: Int): Boolean =
+    isMidLetter(cp) || isMidNum(cp) || isMidNumLet(cp)
+
+  private[analysis] def isIdeographic(cp: Int): Boolean = {
+    val b = Character.UnicodeBlock.of(cp)
+    b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS ||
+    b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS_EXTENSION_A ||
+    b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS_EXTENSION_B ||
+    b == Character.UnicodeBlock.CJK_COMPATIBILITY_IDEOGRAPHS ||
+    b == Character.UnicodeBlock.HIRAGANA
+  }
+
+  private[analysis] def lowerCp(cp: Int): String =
+    new String(Character.toChars(Character.toLowerCase(cp)))
+
+  /** Codepoint-wise lowercase (the reference's `CharacterUtils.java:53-60`). */
+  def lower(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      sb.appendCodePoint(Character.toLowerCase(cp))
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+}

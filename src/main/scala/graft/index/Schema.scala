@@ -1,0 +1,79 @@
+package graft.index
+
+/** Row schemas of the inverted-index tables. A *segment* is an immutable set
+  * of three Parquet tables (`docs/`, `postings/`, `terms/`) plus a JSON
+  * manifest — the Spark re-expression of the reference's segment files
+  * (`/root/reference/lucene/core/src/java/org/apache/lucene/index/SegmentInfos.java`,
+  * `IndexWriter.java:109-133`).
+  */
+object Schema {
+
+  /** Per-document entry (the docID map + norms table).
+    *
+    * `docId` is the global rank of `url` in sorted order — dense,
+    * deterministic, re-runnable (no `monotonically_increasing_id`).
+    * `norm` is the unsigned SmallFloat-encoded token count
+    * (ref `search/similarities/Similarity.java:152-162`).
+    */
+  final case class DocEntry(docId: Long, url: String, length: Int, norm: Int)
+
+  /** Intermediate: one doc's analyzed term-frequency vector, computed in a
+    * single tokenize pass and exploded into posting rows — terms/freqs are
+    * parallel arrays.
+    */
+  final case class DocTokens(
+      docId: Long,
+      url: String,
+      length: Int,
+      norm: Int,
+      terms: Array[String],
+      freqs: Array[Int]
+  )
+
+  /** One 128-doc posting block for (term, bucket).
+    *
+    * `bucket = docId >>> bucketShift` is the explicit skew salt: a head
+    * term's postings split across buckets, so range partitioning by
+    * (term, bucket) spreads them over the cluster (north-rule "explicit
+    * salting of head-term skew"). Blocks never span buckets.
+    *
+    * Within-block docIDs are delta-encoded against `firstDocId` and
+    * FOR-packed; freqs are PFor-packed (semantics of
+    * `codecs/lucene103/Lucene103PostingsWriter.java:256-433`); per-doc norm
+    * bytes are FOR-packed inline — unlike the reference's separate norms file,
+    * scoring at 10^12-doc scale must not shuffle-join a norms table per query,
+    * so norms ride with the postings. Because the
+    * delta base is `firstDocId` (stored as a plain column), merging segments
+    * remaps docIDs by column arithmetic alone — no block re-encode.
+    *
+    * `impacts` = competitive (freq, norm) frontier of the block
+    * (ref `codecs/CompetitiveImpactAccumulator.java:65-124`) — the block-max
+    * metadata WAND prunes on. `maxFreq`/`minNorm` duplicate the frontier's
+    * cheap upper bound for metadata-only pruning without decoding `impacts`.
+    */
+  final case class PostingBlock(
+      term: String,
+      bucket: Long,
+      firstDocId: Long,
+      lastDocId: Long,
+      numDocs: Int,
+      docsPacked: Array[Byte],
+      freqsPacked: Array[Byte],
+      normsPacked: Array[Byte],
+      impacts: Array[Byte],
+      freqSum: Long,
+      maxFreq: Int,
+      minNorm: Int
+  )
+
+  /** Term-dictionary row (the block-tree/.tim re-expression: range-partitioned
+    * sorted Parquet; Parquet row-group min/max stats on `term` are the .tip
+    * trie equivalent — a point/range lookup prunes to one row group).
+    */
+  final case class TermStat(term: String, docFreq: Long, totalTermFreq: Long)
+
+  /** Collection statistics for BM25
+    * (ref `search/similarities/BM25Similarity.java:101-108`).
+    */
+  final case class CollectionStats(docCount: Long, sumTotalTermFreq: Long)
+}

@@ -1,0 +1,80 @@
+package graft.search
+
+import graft.codec.SmallFloat
+import graft.index.Schema.CollectionStats
+
+/** BM25 scoring, reproducing the reference's float semantics exactly so that
+  * top-k docIDs and scores are rank-identical
+  * (`/root/reference/lucene/core/src/java/org/apache/lucene/search/similarities/BM25Similarity.java`):
+  *
+  *  - idf = (float) ln(1 + (N - n + 0.5) / (n + 0.5))             (:101-103)
+  *  - avgdl = (float)(sumTotalTermFreq / (double) docCount)       (:106-108)
+  *  - cache[i] = 1f / (k1 * ((1 - b) + b * LENGTH_TABLE[i]/avgdl)) (:180-184)
+  *  - score = weight - weight / (1f + freq * cache[norm])          (:220-233)
+  *  - multi-term idf sums per-term float idf into a double          (:160-169)
+  *
+  * All hot-path ops are JVM float ops — bit-identical to the reference on the
+  * same JVM float semantics.
+  */
+object Bm25 {
+  val DefaultK1 = 1.2f
+  val DefaultB = 0.75f
+
+  def idf(docFreq: Long, docCount: Long): Float =
+    math.log(1 + (docCount - docFreq + 0.5d) / (docFreq + 0.5d)).toFloat
+
+  def avgFieldLength(stats: CollectionStats): Float =
+    (stats.sumTotalTermFreq / stats.docCount.toDouble).toFloat
+
+  /** Double-precision variant with the same formula shape — used by the
+    * SQL-oracle-checked query entries so a DuckDB double-math brute-force
+    * produces bit-comparable scores (after 6-dp rounding). Quantized norms
+    * still apply.
+    */
+  def idfD(docFreq: Long, docCount: Long): Double =
+    math.log(1 + (docCount - docFreq + 0.5d) / (docFreq + 0.5d))
+
+  def avgFieldLengthD(stats: CollectionStats): Double =
+    stats.sumTotalTermFreq / stats.docCount.toDouble
+}
+
+/** Scorer abstraction over precision modes; `score(freq, normByte)` and an
+  * upper bound used for block-max pruning. Upper bounds must never
+  * underestimate the actual score.
+  */
+sealed trait SimScorer extends Serializable {
+  def weightD: Double // per-term weight upper bound helper
+  def score(freq: Int, norm: Int): Double
+}
+
+/** Float-exact BM25 per-term scorer (rank-identity mode). */
+final class Bm25FloatScorer(k1: Float, b: Float, val weight: Float, avgdl: Float)
+    extends SimScorer {
+  private val cache: Array[Float] = Array.tabulate(256) { i =>
+    1f / (k1 * ((1 - b) + b * SmallFloat.lengthTable(i) / avgdl))
+  }
+  def score(freq: Int, norm: Int): Double = {
+    val normInverse = cache(norm & 0xff)
+    (weight - weight / (1f + freq * normInverse)).toDouble
+  }
+  def weightD: Double = weight.toDouble
+}
+
+/** Double BM25 per-term scorer (oracle-SQL-comparable mode). */
+final class Bm25DoubleScorer(k1: Double, b: Double, val weight: Double, avgdl: Double)
+    extends SimScorer {
+  private val cache: Array[Double] = Array.tabulate(256) { i =>
+    1d / (k1 * ((1 - b) + b * SmallFloat.lengthTable(i) / avgdl))
+  }
+  def score(freq: Int, norm: Int): Double = {
+    val normInverse = cache(norm & 0xff)
+    weight - weight / (1d + freq * normInverse)
+  }
+  def weightD: Double = weight
+}
+
+/** Constant-score per-term scorer (golden WAND fixtures + FILTER clauses). */
+final class ConstScorer(val value: Double) extends SimScorer {
+  def score(freq: Int, norm: Int): Double = value
+  def weightD: Double = value
+}

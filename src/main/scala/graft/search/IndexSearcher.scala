@@ -1,0 +1,314 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.StandardAnalyzer
+import graft.index.{Manifest, SegmentManifest}
+import graft.index.Schema.{CollectionStats, TermStat}
+
+/** Scoring precision mode: float-exact reproduces the reference's
+  * `BM25Similarity` float semantics (rank-identity); double mode mirrors a
+  * double-math SQL brute force (used by the DuckDB oracle entries).
+  */
+sealed trait Precision extends Serializable
+object Precision {
+  case object FloatExact extends Precision
+  case object DoubleOracle extends Precision
+}
+
+final case class ScoredDoc(docId: Long, score: Double)
+
+/** Block row shape shipped to the scoring executors. */
+final case class QBlock(
+    term: String,
+    seg: Int,
+    bucket: Long,
+    firstDocId: Long,
+    lastDocId: Long,
+    numDocs: Int,
+    docsPacked: Array[Byte],
+    freqsPacked: Array[Byte],
+    normsPacked: Array[Byte],
+    impacts: Array[Byte]
+)
+
+/** Distributed BM25 top-k search over one or more index segments.
+  *
+  * Execution shape (the re-expression of
+  * `/root/reference/lucene/core/src/java/org/apache/lucene/search/IndexSearcher.java:747-858`
+  * — leaf slices scored in parallel, then reduced):
+  *
+  *  1. term stats: Parquet scan of the sorted `terms` tables with an IN
+  *     pushdown (row-group pruning via min/max on `term` = the .tip trie
+  *     walk); tiny collect to the driver.
+  *  2. posting blocks for the query's terms only: Parquet scan with the same
+  *     pushdown — the moral equivalent of the .tip→.tim→.doc pointer chase.
+  *  3. per-(segment, bucket) groups score independently with block-max WAND
+  *     ([[Wand]]); each emits its local top-k.
+  *  4. global `ORDER BY score DESC, docId ASC LIMIT k`
+  *     (Catalyst `TakeOrderedAndProject`) with the reference tie-break.
+  *
+  * BM25 statistics are global across segments (docFreq/docCount summed over
+  * the whole index), so scores are independent of segmentation.
+  */
+final class IndexSearcher(
+    spark: SparkSession,
+    val segments: Seq[SegmentManifest],
+    val analyzer: StandardAnalyzer = StandardAnalyzer.Default,
+    val precision: Precision = Precision.FloatExact,
+    k1: Float = Bm25.DefaultK1,
+    b: Float = Bm25.DefaultB
+) extends Serializable {
+
+  import spark.implicits._
+
+  /** docBase per segment (cumulative maxDocId+1). */
+  val bases: Array[Long] =
+    segments.map(_.maxDocId + 1).scanLeft(0L)(_ + _).init.toArray
+
+  val stats: CollectionStats = CollectionStats(
+    docCount = segments.map(_.docCount).sum,
+    sumTotalTermFreq = segments.map(_.sumTotalTermFreq).sum
+  )
+
+  def parse(s: String): Query = Query.parse(s, t => {
+    val toks = analyzer.tokens(t)
+    if (toks.isEmpty) t else toks.head.term
+  })
+
+  // ------------------------------------------------------------- stats
+
+  /** Global term stats for the given terms (sorted-Parquet point lookups). */
+  def termStats(terms: Seq[String]): Map[String, TermStat] = {
+    if (terms.isEmpty) return Map.empty
+    segments
+      .map(s => spark.read.parquet(s"${s.dir}/terms"))
+      .reduce(_ unionByName _)
+      .where($"term".isin(terms: _*))
+      .groupBy($"term")
+      .agg(sum($"docFreq").as("docFreq"), sum($"totalTermFreq").as("totalTermFreq"))
+      .as[TermStat]
+      .collect()
+      .map(t => t.term -> t)
+      .toMap
+  }
+
+  private def scorerFor(term: String, ts: Map[String, TermStat]): SimScorer =
+    ts.get(term) match {
+      case None => new ConstScorer(0.0)
+      case Some(t) =>
+        precision match {
+          case Precision.FloatExact =>
+            val idf = Bm25.idf(t.docFreq, stats.docCount)
+            new Bm25FloatScorer(k1, b, idf, Bm25.avgFieldLength(stats))
+          case Precision.DoubleOracle =>
+            val idf = Bm25.idfD(t.docFreq, stats.docCount)
+            new Bm25DoubleScorer(k1.toDouble, b.toDouble, idf, Bm25.avgFieldLengthD(stats))
+        }
+    }
+
+  // ------------------------------------------------------------ blocks
+
+  /** Load posting blocks for `terms` across all segments, tagged with the
+    * segment ordinal. Filter pushdown on the sorted `term` column prunes row
+    * groups.
+    */
+  def blocksFor(terms: Seq[String]): Dataset[QBlock] = {
+    require(terms.nonEmpty, "no terms")
+    segments.zipWithIndex
+      .map { case (s, i) =>
+        spark.read
+          .parquet(s"${s.dir}/postings")
+          .where($"term".isin(terms: _*))
+          .select(
+            $"term", lit(i).as("seg"), $"bucket", $"firstDocId", $"lastDocId",
+            $"numDocs", $"docsPacked", $"freqsPacked", $"normsPacked", $"impacts"
+          )
+      }
+      .reduce(_ unionByName _)
+      .as[QBlock]
+  }
+
+  // ------------------------------------------------------------ search
+
+  /** Top-k by BM25, rank-identical tie-break (score desc, docId asc). */
+  def topK(query: Query, k: Int, pruning: Boolean = true): Dataset[ScoredDoc] = {
+    val qTerms = query.terms.toSeq.sorted
+    val ts = termStats(qTerms)
+    val scorers: Map[String, SimScorer] = qTerms.map(t => t -> scorerFor(t, ts)).toMap
+    val basesL = bases
+    val q = query
+    val candidates = blocksFor(qTerms)
+      .groupByKey(bk => (bk.seg, bk.bucket))
+      .flatMapGroups { (key: (Int, Long), it: Iterator[QBlock]) =>
+        val seg = key._1
+        val byTerm: Map[String, Array[BlockView]] = it.toArray
+          .groupBy(_.term)
+          .map { case (t, arr) =>
+            t -> arr.sortBy(_.firstDocId).map(bv =>
+              BlockView(bv.firstDocId, bv.lastDocId, bv.numDocs,
+                bv.docsPacked, bv.freqsPacked, bv.normsPacked, bv.impacts))
+          }
+        val collector = new TopKCollector(k)
+        Executor.search(q, byTerm, scorers, collector, pruning)
+        val base = basesL(seg)
+        collector.results.iterator.map { case (d, s) => ScoredDoc(d + base, s) }
+      }
+    candidates.orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+
+  /** All matching docIds (no scoring) — the FILTER/semi-join path feeding
+    * facets, grouping, and joins.
+    */
+  def matching(query: Query): Dataset[Long] = {
+    val qTerms = query.terms.toSeq.sorted
+    val scorers: Map[String, SimScorer] = qTerms.map(t => t -> new ConstScorer(1.0)).toMap
+    val basesL = bases
+    val q = query
+    blocksFor(qTerms)
+      .groupByKey(bk => (bk.seg, bk.bucket))
+      .flatMapGroups { (key: (Int, Long), it: Iterator[QBlock]) =>
+        val seg = key._1
+        val byTerm = it.toArray.groupBy(_.term).map { case (t, arr) =>
+          t -> arr.sortBy(_.firstDocId).map(bv =>
+            BlockView(bv.firstDocId, bv.lastDocId, bv.numDocs,
+              bv.docsPacked, bv.freqsPacked, bv.normsPacked, bv.impacts))
+        }
+        val base = basesL(seg)
+        Executor.matchIds(q, byTerm).map(_ + base)
+      }.toDF("docId").as[Long]
+  }
+
+  /** Hit count. Single term: O(1) from the term dictionary (ref
+    * `search/Weight.java#count` shortcut); otherwise counts matches.
+    */
+  def count(query: Query): Long = query match {
+    case TermQuery(t) => termStats(Seq(t)).get(t).map(_.docFreq).getOrElse(0L)
+    case _            => matching(query).count()
+  }
+
+  /** Fetch stored docs (url etc.) for a scored page — the stored-fields
+    * retrieval path: the docs Parquet table *is* the row store (ref
+    * `codecs/lucene90/Lucene90StoredFieldsFormat.java` → W17 mapping).
+    */
+  def docsTable: DataFrame =
+    segments.zipWithIndex
+      .map { case (s, i) =>
+        spark.read.parquet(s"${s.dir}/docs")
+          .withColumn("docId", $"docId" + lit(bases(i)))
+      }
+      .reduce(_ unionByName _)
+
+  def searchDocs(query: Query, k: Int): DataFrame =
+    topK(query, k).join(docsTable, "docId")
+      .orderBy($"score".desc, $"docId".asc)
+}
+
+object IndexSearcher {
+
+  /** Open all committed segments under an index root (each subdir with a
+    * manifest), ordered by directory name.
+    */
+  def open(
+      spark: SparkSession,
+      indexDir: String,
+      analyzer: StandardAnalyzer = StandardAnalyzer.Default,
+      precision: Precision = Precision.FloatExact
+  ): IndexSearcher = {
+    val root = new java.io.File(indexDir)
+    val segs = root.listFiles()
+      .filter(f => f.isDirectory && Manifest.read(f.getPath).isDefined)
+      .sortBy(_.getName)
+      .flatMap(f => Manifest.read(f.getPath))
+      .toSeq
+    require(segs.nonEmpty, s"no committed segments under $indexDir")
+    new IndexSearcher(spark, segs, analyzer, precision)
+  }
+}
+
+/** Builds the scorer tree for a query over one (segment, bucket) group and
+  * runs the matching strategy — the analogue of
+  * `search/BooleanScorerSupplier.java:187-247` picking WAND vs conjunction by
+  * clause shape.
+  */
+object Executor {
+
+  /** Build a DocScorer for `query`; None = provably no matches in group. */
+  def build(
+      query: Query,
+      blocks: Map[String, Array[BlockView]],
+      scorers: Map[String, SimScorer]
+  ): Option[DocScorer] = query match {
+    case TermQuery(t) =>
+      blocks.get(t).map(bs => new TermScorer(bs, scorers(t)))
+    case bq: BoolQuery =>
+      val must = bq.must.map(build(_, blocks, scorers))
+      val filters = bq.filter.map(build(_, blocks, scorers))
+      if (must.exists(_.isEmpty) || filters.exists(_.isEmpty)) return None
+      val should = bq.should.flatMap(build(_, blocks, scorers))
+      val excl = orScorer(bq.mustNot.flatMap(build(_, blocks, scorers)))
+      val req: Option[DocScorer] =
+        if (must.nonEmpty || filters.nonEmpty)
+          Some(new ConjunctionScorer(must.flatten.toArray, filters.flatten.toArray))
+        else None
+      val opt = orScorer(should)
+      val core: Option[DocScorer] = (req, opt) match {
+        case (Some(r), Some(o)) => Some(new ReqOptScorer(r, o))
+        case (Some(r), None)    => Some(r)
+        case (None, Some(o))    => Some(o)
+        case (None, None)       => None
+      }
+      (core, excl) match {
+        case (Some(c), Some(e)) => Some(new ReqExclScorer(c, e))
+        case (c, _)             => c
+      }
+  }
+
+  private def orScorer(children: Seq[DocScorer]): Option[DocScorer] =
+    children match {
+      case Seq()  => None
+      case Seq(c) => Some(c)
+      case cs     => Some(new DisjunctionSumScorer(cs.toArray))
+    }
+
+  /** Pure top-level disjunction (optionally with MUST_NOT) → WAND; anything
+    * with required clauses → conjunction-driven drain.
+    */
+  def search(
+      query: Query,
+      blocks: Map[String, Array[BlockView]],
+      scorers: Map[String, SimScorer],
+      collector: TopKCollector,
+      pruning: Boolean
+  ): Unit = query match {
+    case TermQuery(t) =>
+      blocks.get(t).foreach { bs =>
+        Wand.run(Array(new TermScorer(bs, scorers(t))), None, collector, pruning)
+      }
+    case bq: BoolQuery if bq.must.isEmpty && bq.filter.isEmpty =>
+      val should = bq.should.flatMap(build(_, blocks, scorers))
+      val excl = orScorer(bq.mustNot.flatMap(build(_, blocks, scorers)))
+      if (should.nonEmpty) Wand.run(should.toArray, excl, collector, pruning)
+    case _ =>
+      build(query, blocks, scorers).foreach(Wand.drain(_, collector))
+  }
+
+  /** Matching docIds without scoring. */
+  def matchIds(
+      query: Query,
+      blocks: Map[String, Array[BlockView]]
+  ): Iterator[Long] = {
+    val const: Map[String, SimScorer] =
+      query.terms.iterator.map(t => t -> (new ConstScorer(1.0): SimScorer)).toMap
+    build(query, blocks, const) match {
+      case None => Iterator.empty
+      case Some(s) =>
+        new Iterator[Long] {
+          private var d = s.nextDoc()
+          def hasNext: Boolean = d != DocScorer.NoMoreDocs
+          def next(): Long = { val r = d; d = s.nextDoc(); r }
+        }
+    }
+  }
+}

@@ -1,0 +1,300 @@
+package graft.search
+
+import graft.codec.{BlockCodec, Impacts}
+
+/** A scorer over one (segment, bucket) slice: a pull-based doc-at-a-time
+  * iterator with score + block-max upper-bound surface — the re-expression of
+  * the reference's `Scorer`/`DocIdSetIterator`/`ImpactsEnum` contract
+  * (`/root/reference/lucene/core/src/java/org/apache/lucene/search/DocIdSetIterator.java`,
+  * `codecs/lucene103/Lucene103PostingsReader.java:291-1000`).
+  */
+trait DocScorer {
+  def docId: Long
+  def nextDoc(): Long
+  def advance(target: Long): Long
+  def score: Double
+
+  /** Static score upper bound over the whole slice. */
+  def maxScore: Double
+
+  /** Position block cursors at `target` without decoding (the level-0 skip —
+    * ref `search/ImpactsDISI.java:67-122` `advanceShallow`).
+    */
+  def advanceShallow(target: Long): Unit
+
+  /** Upper bound for docs in the shallow block(s) covering the last
+    * `advanceShallow` target.
+    */
+  def blockMaxScore: Double
+
+  /** Last docID of the current shallow block — skip target for block-max
+    * pruning.
+    */
+  def blockBoundary: Long
+  def cost: Long
+}
+
+object DocScorer {
+  val NoMoreDocs: Long = Long.MaxValue
+}
+
+/** One posting block's stored form handed to the executor (already filtered
+  * to the query's terms and this bucket).
+  */
+final case class BlockView(
+    firstDocId: Long,
+    lastDocId: Long,
+    numDocs: Int,
+    docsPacked: Array[Byte],
+    freqsPacked: Array[Byte],
+    normsPacked: Array[Byte],
+    impacts: Array[Byte]
+)
+
+/** Posting-list iterator over one term's blocks (sorted by firstDocId) with
+  * lazy block decode: `advance` skips whole blocks on metadata alone and only
+  * decodes the block that may contain the target (ref
+  * `Lucene103PostingsReader.java:928` `advance` + skip data).
+  */
+final class TermScorer(blocks: Array[BlockView], scorer: SimScorer) extends DocScorer {
+  import DocScorer.NoMoreDocs
+
+  private var blockIdx = -1 // decoded block
+  private var docs: Array[Long] = null
+  private var freqs: Array[Long] = null
+  private var norms: Array[Long] = null
+  private var pos = 0
+  private var cur: Long = -1L
+  private var shallowIdx = 0 // first block whose lastDocId >= shallow target
+  private val blockMax = new Array[Double](blocks.length) // lazy, NaN = unset
+  java.util.Arrays.fill(blockMax, Double.NaN)
+
+  override val cost: Long = { var s = 0L; blocks.foreach(s += _.numDocs); s }
+
+  override lazy val maxScore: Double = {
+    var m = 0.0
+    var i = 0
+    while (i < blocks.length) { val s = maxScoreOf(i); if (s > m) m = s; i += 1 }
+    m
+  }
+
+  private def maxScoreOf(i: Int): Double = {
+    if (blockMax(i).isNaN) {
+      blockMax(i) = Impacts.maxScore(Impacts.decode(blocks(i).impacts), scorer.score)
+    }
+    blockMax(i)
+  }
+
+  private def decode(i: Int): Unit = {
+    val b = blocks(i)
+    docs = BlockCodec.deltaDecode(BlockCodec.forDecode(b.docsPacked), b.firstDocId)
+    freqs = BlockCodec.pforDecode(b.freqsPacked)
+    norms = BlockCodec.forDecode(b.normsPacked)
+    blockIdx = i
+    pos = 0
+  }
+
+  def docId: Long = cur
+
+  def nextDoc(): Long = {
+    if (cur == NoMoreDocs) return NoMoreDocs
+    if (blockIdx < 0) {
+      if (blocks.isEmpty) { cur = NoMoreDocs; return cur }
+      decode(0)
+      cur = docs(0)
+      return cur
+    }
+    pos += 1
+    if (pos < docs.length) { cur = docs(pos); cur }
+    else if (blockIdx + 1 < blocks.length) { decode(blockIdx + 1); cur = docs(0); cur }
+    else { cur = NoMoreDocs; cur }
+  }
+
+  def advance(target: Long): Long = {
+    if (cur >= target) return cur
+    // find first block with lastDocId >= target (metadata-only skip)
+    var i = math.max(blockIdx, 0)
+    while (i < blocks.length && blocks(i).lastDocId < target) i += 1
+    if (i >= blocks.length) { cur = NoMoreDocs; return cur }
+    if (i != blockIdx) decode(i)
+    // binary search within the decoded block
+    var lo = if (i == blockIdx) pos else 0
+    var hi = docs.length - 1
+    if (docs(hi) < target) { cur = NoMoreDocs; return cur } // unreachable by metadata
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (docs(mid) < target) lo = mid + 1 else hi = mid
+    }
+    pos = lo
+    cur = docs(pos)
+    cur
+  }
+
+  def advanceShallow(target: Long): Unit = {
+    while (shallowIdx < blocks.length && blocks(shallowIdx).lastDocId < target)
+      shallowIdx += 1
+  }
+
+  def blockMaxScore: Double =
+    if (shallowIdx >= blocks.length) 0.0 else maxScoreOf(shallowIdx)
+
+  def blockBoundary: Long =
+    if (shallowIdx >= blocks.length) DocScorer.NoMoreDocs
+    else blocks(shallowIdx).lastDocId
+
+  def freq: Int = freqs(pos).toInt
+  def norm: Int = norms(pos).toInt
+  def score: Double = scorer.score(freq, norm)
+}
+
+/** Leapfrog intersection (AND) — smallest-cost leads (ref
+  * `search/ConjunctionDISI.java`). Score = sum of scoring children;
+  * `nonScoring` children must match but contribute nothing (FILTER — ref
+  * `search/BooleanScorerSupplier.java:457-511`).
+  */
+final class ConjunctionScorer(
+    scoring: Array[DocScorer],
+    nonScoring: Array[DocScorer]
+) extends DocScorer {
+  import DocScorer.NoMoreDocs
+  private val all: Array[DocScorer] = (scoring ++ nonScoring).sortBy(_.cost)
+  private var cur: Long = -1L
+
+  override val cost: Long = if (all.isEmpty) 0L else all.map(_.cost).min
+  override lazy val maxScore: Double = scoring.map(_.maxScore).sum
+
+  def docId: Long = cur
+
+  private def doNext(target0: Long): Long = {
+    var target = target0
+    var done = false
+    while (!done) {
+      done = true
+      var i = 0
+      while (i < all.length) {
+        val d = if (all(i).docId < target) all(i).advance(target) else all(i).docId
+        if (d == NoMoreDocs) { cur = NoMoreDocs; return cur }
+        if (d > target) { target = d; done = false }
+        i += 1
+      }
+    }
+    cur = target
+    cur
+  }
+
+  def nextDoc(): Long =
+    if (cur == NoMoreDocs) NoMoreDocs else doNext(cur + 1)
+
+  def advance(target: Long): Long =
+    if (cur >= target) cur else doNext(target)
+
+  def score: Double = {
+    var s = 0.0
+    var i = 0
+    while (i < scoring.length) { s += scoring(i).score; i += 1 }
+    s
+  }
+
+  def advanceShallow(target: Long): Unit = {
+    var i = 0
+    while (i < scoring.length) { scoring(i).advanceShallow(target); i += 1 }
+  }
+  def blockMaxScore: Double = scoring.map(_.blockMaxScore).sum
+  def blockBoundary: Long =
+    if (scoring.isEmpty) DocScorer.NoMoreDocs else scoring.map(_.blockBoundary).min
+}
+
+/** Sum-of-matches disjunction (OR) without pruning — used as an inner node
+  * (ref `search/DisjunctionSumScorer.java`). Top-level disjunctions go through
+  * [[Wand]] instead.
+  */
+final class DisjunctionSumScorer(children: Array[DocScorer]) extends DocScorer {
+  import DocScorer.NoMoreDocs
+  private var cur: Long = -1L
+
+  override val cost: Long = children.map(_.cost).sum
+  override lazy val maxScore: Double = children.map(_.maxScore).sum
+
+  def docId: Long = cur
+
+  def nextDoc(): Long = advance(cur + 1)
+
+  def advance(target: Long): Long = {
+    if (cur == NoMoreDocs) return NoMoreDocs
+    var min = NoMoreDocs
+    var i = 0
+    while (i < children.length) {
+      val d = if (children(i).docId < target) children(i).advance(target)
+              else children(i).docId
+      if (d < min) min = d
+      i += 1
+    }
+    cur = min
+    cur
+  }
+
+  def score: Double = {
+    var s = 0.0
+    var i = 0
+    while (i < children.length) {
+      if (children(i).docId == cur) s += children(i).score
+      i += 1
+    }
+    s
+  }
+
+  def advanceShallow(target: Long): Unit = children.foreach(_.advanceShallow(target))
+  def blockMaxScore: Double = children.map(_.blockMaxScore).sum
+  def blockBoundary: Long = children.map(_.blockBoundary).min
+}
+
+/** Required/excluded (MUST_NOT) — iterate `req`, drop docs `excl` matches
+  * (ref `search/ReqExclScorer.java`).
+  */
+final class ReqExclScorer(req: DocScorer, excl: DocScorer) extends DocScorer {
+  import DocScorer.NoMoreDocs
+
+  override val cost: Long = req.cost
+  override lazy val maxScore: Double = req.maxScore
+
+  def docId: Long = req.docId
+
+  private def toNonExcluded(d0: Long): Long = {
+    var d = d0
+    while (d != NoMoreDocs) {
+      val e = if (excl.docId < d) excl.advance(d) else excl.docId
+      if (e != d) return d
+      d = req.nextDoc()
+    }
+    NoMoreDocs
+  }
+
+  def nextDoc(): Long = toNonExcluded(req.nextDoc())
+  def advance(target: Long): Long = toNonExcluded(req.advance(target))
+  def score: Double = req.score
+  def advanceShallow(target: Long): Unit = req.advanceShallow(target)
+  def blockMaxScore: Double = req.blockMaxScore
+  def blockBoundary: Long = req.blockBoundary
+}
+
+/** Required + optional (MUST with SHOULD riders): iterates `req`; `opt`
+  * scores are added when aligned (ref `search/ReqOptSumScorer.java`).
+  */
+final class ReqOptScorer(req: DocScorer, opt: DocScorer) extends DocScorer {
+  override val cost: Long = req.cost
+  override lazy val maxScore: Double = req.maxScore + opt.maxScore
+
+  def docId: Long = req.docId
+  def nextDoc(): Long = req.nextDoc()
+  def advance(target: Long): Long = req.advance(target)
+
+  def score: Double = {
+    val d = req.docId
+    val o = if (opt.docId < d) opt.advance(d) else opt.docId
+    if (o == d) req.score + opt.score else req.score
+  }
+
+  def advanceShallow(target: Long): Unit = { req.advanceShallow(target); opt.advanceShallow(target) }
+  def blockMaxScore: Double = req.blockMaxScore + opt.blockMaxScore
+  def blockBoundary: Long = req.blockBoundary
+}

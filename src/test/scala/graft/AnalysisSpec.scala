@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analysis.{StandardAnalyzer, Token}
+
+/** Golden analysis fixtures (FIXTURES.md F2) pinning the StandardAnalyzer
+  * contract: UAX#29-style breaks, codepoint lowercase, stopword position
+  * preservation, 255-char chop.
+  */
+class AnalysisSpec extends AnyFunSuite {
+
+  private val an = StandardAnalyzer.Default
+  private val en = StandardAnalyzer.English
+
+  private def terms(a: StandardAnalyzer, s: String): Seq[String] = a.tokens(s).map(_.term)
+  private def posTerms(a: StandardAnalyzer, s: String): Seq[(String, Int)] =
+    a.tokens(s).map(t => (t.term, t.position))
+
+  test("basic word breaks + lowercase") {
+    assert(terms(an, "The Quick  Brown-Fox jumped!") ==
+      Seq("the", "quick", "brown", "fox", "jumped"))
+  }
+
+  test("letters and digits join (WB9/WB10)") {
+    assert(terms(an, "mp3 v2 abc123def x") == Seq("mp3", "v2", "abc123def", "x"))
+  }
+
+  test("apostrophe between letters stays (MidNumLet)") {
+    assert(terms(an, "don't O'Neill can't") == Seq("don't", "o'neill", "can't"))
+  }
+
+  test("decimal point between digits stays, bare dots break") {
+    assert(terms(an, "pi is 3.14 ... ok.") == Seq("pi", "is", "3.14", "ok"))
+  }
+
+  test("commas between digits stay, between letters break") {
+    assert(terms(an, "1,000 a,b") == Seq("1,000", "a", "b"))
+  }
+
+  test("trailing/leading medials break") {
+    assert(terms(an, "end. 'start' mid'") == Seq("end", "start", "mid"))
+  }
+
+  test("underscore joins (ExtendNumLet WB13)") {
+    assert(terms(an, "snake_case _lead trail_ ___") ==
+      Seq("snake_case", "_lead", "trail_"))
+  }
+
+  test("codepoint lowercase handles non-ASCII") {
+    assert(terms(an, "Łódź ÉCOLE Straße") == Seq("łódź", "école", "straße"))
+  }
+
+  test("ideographs emit one token per codepoint") {
+    assert(terms(an, "中文abc日") == Seq("中", "文", "abc", "日"))
+  }
+
+  test("positions: no stopwords → consecutive") {
+    assert(posTerms(an, "one two three") == Seq(("one", 0), ("two", 1), ("three", 2)))
+  }
+
+  test("positions: removed stopwords leave gaps (FilteringTokenFilter)") {
+    // "the" and "of" are in the English set
+    assert(posTerms(en, "the end of days") == Seq(("end", 1), ("days", 3)))
+  }
+
+  test("default analyzer keeps stopwords (StandardAnalyzer default set is empty)") {
+    assert(terms(an, "the end of days") == Seq("the", "end", "of", "days"))
+  }
+
+  test("255-codepoint chop with position accounting") {
+    val long = "a" * 600
+    val toks = an.tokens(long)
+    assert(toks.map(_.term.length) == Seq(255, 255, 90))
+    assert(toks.map(_.position) == Seq(0, 1, 2))
+  }
+
+  test("termFreqs counts and norm length after stop filtering") {
+    val (freqs, len) = en.termFreqs("the cat and the hat cat")
+    assert(len == 3) // cat hat cat
+    assert(freqs.get("cat") == 2)
+    assert(freqs.get("hat") == 1)
+    assert(!freqs.containsKey("the"))
+  }
+
+  test("offsets point into the source") {
+    val toks = an.tokens("ab Cd")
+    assert(toks == Vector(Token("ab", 0, 0, 2), Token("cd", 1, 3, 5)))
+  }
+}
