@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.corpus.Corpus
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.search.{IndexSearcher, Query}
+
+/** CLI demo — the library's runnable surface, mirroring the reference's
+  * demo pair (`/root/reference/lucene/demo/src/java/org/apache/lucene/demo/IndexFiles.java`,
+  * `SearchFiles.java`): index a synthetic web corpus, then answer queries.
+  *
+  * Usage:
+  *   runMain graft.Demo index <dir> <nDocs>
+  *   runMain graft.Demo search <dir> <query...>
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    args.toList match {
+      case "index" :: dir :: n :: Nil =>
+        val pages = Corpus.pages(spark, n.toLong).map(p => (p.url, p.text))
+        val cfg = IndexConfig(bucketShift = 12, numPostingPartitions = cpus.toInt * 2)
+        val m = IndexBuilder.buildSegment(pages, s"$dir/seg0", cfg)
+        println(s"[demo] indexed ${m.docCount} docs, ${m.termCount} terms, " +
+          f"${m.blockCount} blocks in ${m.buildWallSec}%.1fs " +
+          f"(${m.docCount / m.buildWallSec}%.0f docs/sec)")
+      case "search" :: dir :: rest if rest.nonEmpty =>
+        val searcher = IndexSearcher.open(spark, dir)
+        val qs = rest.mkString(" ")
+        val q = searcher.parse(qs)
+        println(s"[demo] query: $qs -> $q")
+        val t0 = System.nanoTime()
+        val hits = searcher.searchDocs(q, 10).collect()
+        val ms = (System.nanoTime() - t0) / 1e6
+        println(f"[demo] ${hits.length} hits in $ms%.0f ms (count=${searcher.count(q)})")
+        hits.foreach { r =>
+          println(f"  doc=${r.getAs[Long]("docId")}%6d score=${r.getAs[Double]("score")}%.4f ${r.getAs[String]("url")}")
+        }
+      case _ =>
+        System.err.println("usage: Demo index <dir> <nDocs> | Demo search <dir> <query...>")
+        sys.exit(2)
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,210 @@
+package graft.index
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.codec.{BlockCodec, Impacts}
+import graft.index.Schema._
+
+/** Hierarchical segment merge (the re-expression of
+  * `/root/reference/lucene/core/src/java/org/apache/lucene/index/SegmentMerger.java:113-226`
+  * + `DocIDMerger.java:32-95`).
+  *
+  * DocID remap is *column arithmetic only*: each input segment's docIDs shift
+  * by a docBase that is **aligned to the bucket span**, so existing posting
+  * blocks never straddle a bucket boundary after the shift and their packed
+  * payloads stay valid byte-for-byte (within-block deltas are relative to
+  * `firstDocId`). The only per-byte work is compacting fragmented tail blocks
+  * (several < 128-doc blocks of one (term, bucket)) — full blocks pass
+  * through undecoded. At 100 TB this is the difference between shuffling
+  * metadata and re-encoding the whole index.
+  */
+object SegmentMerger {
+
+  /** Bucket-aligned docBases for the given segments. */
+  def alignedBases(manifests: Seq[SegmentManifest], bucketShift: Int): Array[Long] = {
+    val span = 1L << bucketShift
+    val bases = new Array[Long](manifests.size)
+    var next = 0L
+    manifests.zipWithIndex.foreach { case (m, i) =>
+      bases(i) = next
+      val end = next + m.maxDocId + 1
+      next = ((end + span - 1) / span) * span // round up to bucket boundary
+    }
+    bases
+  }
+
+  def merge(
+      spark: SparkSession,
+      segDirs: Seq[String],
+      outDir: String,
+      cfg: IndexConfig = IndexConfig()
+  ): SegmentManifest = {
+    Manifest.read(outDir) match {
+      case Some(m) => m // resume: merge already committed
+      case None =>
+        import spark.implicits._
+        val t0 = System.nanoTime()
+        val manifests = segDirs.map(d =>
+          Manifest.read(d).getOrElse(sys.error(s"no manifest at $d")))
+        require(manifests.forall(_.bucketShift == cfg.bucketShift),
+          "bucketShift mismatch between segments and merge config")
+        val bases = alignedBases(manifests, cfg.bucketShift)
+
+        // docs: union + remap + rewrite sorted by docId
+        val docs = manifests.zip(bases).map { case (m, base) =>
+          spark.read.parquet(s"${m.dir}/docs").withColumn("docId", $"docId" + lit(base))
+        }.reduce(_ unionByName _)
+        docs
+          .repartitionByRange(cfg.numDocPartitions, $"docId")
+          .sortWithinPartitions($"docId")
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
+
+        // postings: remap columns, re-bucket (exact because bases are
+        // bucket-aligned), then compact fragmented tails per (term, bucket)
+        val shift = cfg.bucketShift
+        val blocks = manifests.zip(bases).map { case (m, base) =>
+          spark.read.parquet(s"${m.dir}/postings")
+            .withColumn("firstDocId", $"firstDocId" + lit(base))
+            .withColumn("lastDocId", $"lastDocId" + lit(base))
+            .withColumn("bucket", shiftright($"firstDocId", shift))
+        }.reduce(_ unionByName _)
+
+        val merged = blocks
+          .select($"term", $"bucket", $"firstDocId", $"lastDocId", $"numDocs",
+            $"docsPacked", $"freqsPacked", $"normsPacked", $"impacts",
+            $"freqSum", $"maxFreq", $"minNorm")
+          .repartitionByRange(cfg.numPostingPartitions, $"term", $"bucket")
+          .sortWithinPartitions($"term", $"bucket", $"firstDocId")
+          .as[PostingBlock]
+          .mapPartitions(compact(_))
+
+        merged.write.mode(SaveMode.Overwrite).parquet(s"$outDir/postings")
+
+        val mergedBlocks = spark.read.parquet(s"$outDir/postings").as[PostingBlock]
+        IndexBuilder.buildTermStats(mergedBlocks)
+          .repartitionByRange(math.max(1, cfg.numPostingPartitions / 4), $"term")
+          .sortWithinPartitions($"term")
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/terms")
+
+        val manifest = SegmentManifest(
+          segmentId = java.util.UUID.nameUUIDFromBytes(outDir.getBytes).toString,
+          dir = outDir,
+          docCount = manifests.map(_.docCount).sum,
+          maxDocId = bases.last + manifests.last.maxDocId,
+          sumTotalTermFreq = manifests.map(_.sumTotalTermFreq).sum,
+          termCount = spark.read.parquet(s"$outDir/terms").count(),
+          blockCount = mergedBlocks.count(),
+          bucketShift = cfg.bucketShift,
+          buildWallSec = (System.nanoTime() - t0) / 1e9,
+          lineage = manifests.flatMap(_.lineage)
+        )
+        Manifest.commit(outDir, manifest)
+        manifest
+    }
+  }
+
+  /** Stream blocks sorted by (term, bucket, firstDocId); adjacent partial
+    * blocks (numDocs < 128) of the same (term, bucket) are decoded, fused and
+    * re-encoded; full blocks pass through untouched.
+    */
+  private def compact(it: Iterator[PostingBlock]): Iterator[PostingBlock] =
+    new Iterator[PostingBlock] {
+      private val B = BlockCodec.BlockSize
+      private var pending: PostingBlock = null
+      private var out: PostingBlock = null
+      private val buf = scala.collection.mutable.ArrayBuffer[PostingBlock]()
+
+      private def fuse(parts: Seq[PostingBlock]): Iterator[PostingBlock] = {
+        if (parts.size == 1) return parts.iterator
+        val ids = scala.collection.mutable.ArrayBuffer[Long]()
+        val fs = scala.collection.mutable.ArrayBuffer[Long]()
+        val ns = scala.collection.mutable.ArrayBuffer[Long]()
+        parts.foreach { p =>
+          ids ++= BlockCodec.deltaDecode(BlockCodec.forDecode(p.docsPacked), p.firstDocId)
+          fs ++= BlockCodec.pforDecode(p.freqsPacked)
+          ns ++= BlockCodec.forDecode(p.normsPacked)
+        }
+        ids.toArray.grouped(B).zip(fs.toArray.grouped(B).zip(ns.toArray.grouped(B))).map {
+          case (gi, (gf, gn)) =>
+            val pairs = gi.indices.map(i => (gf(i).toInt, gn(i).toInt))
+            PostingBlock(
+              term = parts.head.term,
+              bucket = parts.head.bucket,
+              firstDocId = gi.head,
+              lastDocId = gi.last,
+              numDocs = gi.length,
+              docsPacked = BlockCodec.forEncode(BlockCodec.deltaEncode(gi, gi.head)),
+              freqsPacked = BlockCodec.pforEncode(gf),
+              normsPacked = BlockCodec.forEncode(gn),
+              impacts = Impacts.encode(Impacts.skyline(pairs)),
+              freqSum = gf.sum,
+              maxFreq = gf.max.toInt,
+              minNorm = gn.min.toInt
+            )
+        }
+      }
+
+      private def drainBuf(): Iterator[PostingBlock] = {
+        if (buf.isEmpty) Iterator.empty
+        else {
+          // fuse runs of partial blocks, pass through full ones
+          val result = scala.collection.mutable.ArrayBuffer[PostingBlock]()
+          val run = scala.collection.mutable.ArrayBuffer[PostingBlock]()
+          buf.foreach { b =>
+            if (b.numDocs >= B) {
+              if (run.nonEmpty) { result ++= fuse(run.toSeq); run.clear() }
+              result += b
+            } else run += b
+          }
+          if (run.nonEmpty) result ++= fuse(run.toSeq)
+          buf.clear()
+          result.iterator
+        }
+      }
+
+      private var drained: Iterator[PostingBlock] = Iterator.empty
+
+      override def hasNext: Boolean = {
+        while (!drained.hasNext && (pending != null || it.hasNext)) {
+          val b = if (pending != null) { val p = pending; pending = null; p } else it.next()
+          if (buf.nonEmpty &&
+              (buf.head.term != b.term || buf.head.bucket != b.bucket)) {
+            pending = b
+            drained = drainBuf()
+          } else buf += b
+        }
+        if (!drained.hasNext && buf.nonEmpty) drained = drainBuf()
+        drained.hasNext
+      }
+
+      override def next(): PostingBlock = {
+        if (!hasNext) throw new NoSuchElementException
+        drained.next()
+      }
+    }
+}
+
+/** Driver-side tiered merge planning over the segment manifest — a simplified
+  * port of the reference's policy shape
+  * (`/root/reference/lucene/core/src/java/org/apache/lucene/index/TieredMergePolicy.java:317-423`:
+  * size-sorted segments, merge `segsPerTier` of roughly one tier, skip
+  * over-sized segments).
+  */
+object TieredMergePolicy {
+  val SegsPerTier = 8
+  val MaxMergeAtOnce = 8
+
+  /** Returns groups of segment dirs to merge (may be empty). */
+  def findMerges(manifests: Seq[SegmentManifest], maxMergedBlocks: Long = Long.MaxValue): Seq[Seq[String]] = {
+    val eligible = manifests
+      .filter(_.blockCount <= maxMergedBlocks / 2)
+      .sortBy(_.blockCount)
+    if (eligible.size < 2) return Seq.empty
+    // greedy: group the smallest segments, up to MaxMergeAtOnce per merge,
+    // only when at least SegsPerTier/2 segments of similar size exist or the
+    // total segment count exceeds SegsPerTier
+    if (manifests.size <= SegsPerTier) Seq.empty
+    else Seq(eligible.take(MaxMergeAtOnce).map(_.dir))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.analysis.StandardAnalyzer
+import graft.codec.SmallFloat
+import graft.corpus.Page
+import graft.search._
+
+/** Driver-side brute-force BM25 scorer over a small corpus — the duel oracle
+  * (pattern from the reference's `TestWANDScorer.java:729+` randomized duels).
+  * Same float formula chain, exhaustive evaluation, no index.
+  */
+final class BruteForceOracle(pages: Seq[Page], analyzer: StandardAnalyzer) {
+
+  /** docId = rank of url in sorted order (the engine's assignment spec). */
+  val sorted: Vector[Page] = pages.sortBy(_.url).toVector
+  val docTf: Vector[(java.util.HashMap[String, Int], Int)] =
+    sorted.map(p => analyzer.termFreqs(p.text))
+  val docCount: Long = sorted.size.toLong
+  val sumTtf: Long = docTf.map(_._2.toLong).sum
+  val avgdl: Float = (sumTtf / docCount.toDouble).toFloat
+
+  def docFreq(term: String): Long = docTf.count(_._1.containsKey(term)).toLong
+
+  private val scorerCache = scala.collection.mutable.HashMap[String, Bm25FloatScorer]()
+  private def scorer(term: String): Bm25FloatScorer =
+    scorerCache.getOrElseUpdate(term, {
+      val df = docFreq(term)
+      new Bm25FloatScorer(1.2f, 0.75f, Bm25.idf(df, docCount), avgdl)
+    })
+
+  /** None = no match; Some(score). */
+  def eval(q: Query, doc: Int): Option[Double] = {
+    val (tf, len) = docTf(doc)
+    val norm = java.lang.Byte.toUnsignedInt(SmallFloat.intToByte4(len))
+    def go(q: Query): Option[Double] = q match {
+      case TermQuery(t) =>
+        if (tf.containsKey(t) && docFreq(t) > 0)
+          Some(scorer(t).score(tf.get(t), norm))
+        else None
+      case bq: BoolQuery =>
+        val must = bq.must.map(go)
+        val filt = bq.filter.map(go)
+        if (must.exists(_.isEmpty) || filt.exists(_.isEmpty)) return None
+        if (bq.mustNot.exists(go(_).isDefined)) return None
+        val shouldScores = bq.should.flatMap(go)
+        if (bq.must.isEmpty && bq.filter.isEmpty && shouldScores.isEmpty) return None
+        Some(must.flatten.sum + shouldScores.sum)
+    }
+    go(q)
+  }
+
+  def matching(q: Query): Seq[Long] =
+    sorted.indices.flatMap(d => eval(q, d).map(_ => d.toLong))
+
+  def topK(q: Query, k: Int): Seq[(Long, Double)] =
+    sorted.indices
+      .flatMap(d => eval(q, d).map(s => (d.toLong, s)))
+      .sortBy { case (d, s) => (-s, d) }
+      .take(k)
+}

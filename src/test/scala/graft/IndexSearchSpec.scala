@@ -1,0 +1,165 @@
+package graft
+
+import graft.analysis.StandardAnalyzer
+import graft.corpus.Corpus
+import graft.index.{IndexBuilder, IndexConfig, Manifest, SegmentMerger}
+import graft.index.Schema.PostingBlock
+import graft.codec.BlockCodec
+import graft.search._
+
+/** End-to-end index-build + search duels against the brute-force oracle
+  * (rank-identity hard gate), multi-segment equivalence, merge, resume, and
+  * CheckIndex-style invariants.
+  */
+class IndexSearchSpec extends SparkTestBase {
+
+  private val NDocs = 1500
+  private val cfg = IndexConfig(bucketShift = 9, numPostingPartitions = 8, numDocPartitions = 4)
+  private lazy val pagesLocal = (0L until NDocs.toLong).map(Corpus.page(_))
+  private lazy val oracle = new BruteForceOracle(pagesLocal, StandardAnalyzer.Default)
+
+  private lazy val segDir: String = {
+    import spark.implicits._
+    val dir = tmpDir("seg")
+    val ds = spark.createDataset(pagesLocal.map(p => (p.url, p.text)))
+    IndexBuilder.buildSegment(ds, dir, cfg)
+    dir
+  }
+
+  private lazy val searcher: IndexSearcher =
+    new IndexSearcher(spark, Seq(Manifest.read(segDir).get))
+
+  private val queryStrings = Seq(
+    "the",                        // head stopword-like term
+    "court",                      // mid head word
+    "court AND law",
+    "court OR law",
+    "the AND of AND court",
+    "(court OR law) AND state",
+    "court OR law OR state OR time",
+    "court NOT law",
+    "data AND web",
+    "bebe",                       // tail synthetic term
+    "bebe OR court",
+    "zzzznothere",                // absent term
+    "the OR of"                   // two head terms — heavy postings
+  )
+
+  test("stats match oracle") {
+    val m = Manifest.read(segDir).get
+    assert(m.docCount == oracle.docCount)
+    assert(m.sumTotalTermFreq == oracle.sumTtf)
+    assert(m.lineage.nonEmpty)
+    assert(m.lineage.map(_.rows).sum == oracle.docCount)
+  }
+
+  test("term stats match oracle docFreqs") {
+    val terms = Seq("the", "court", "law", "bebe")
+    val ts = searcher.termStats(terms)
+    terms.foreach { t =>
+      assert(ts.get(t).map(_.docFreq).getOrElse(0L) == oracle.docFreq(t), s"term $t")
+    }
+  }
+
+  test("duel: pruned top-k == exhaustive top-k == oracle (rank identity)") {
+    for (qs <- queryStrings) {
+      val q = Query.parse(qs)
+      val expected = oracle.topK(q, 10)
+      val pruned = searcher.topK(q, 10, pruning = true).collect()
+        .map(s => (s.docId, s.score)).toSeq
+      val exhaustive = searcher.topK(q, 10, pruning = false).collect()
+        .map(s => (s.docId, s.score)).toSeq
+      assert(pruned == exhaustive, s"pruning changed results for: $qs")
+      assert(pruned == expected, s"engine != oracle for: $qs")
+    }
+  }
+
+  test("matching set and counts match oracle") {
+    for (qs <- Seq("court AND law", "court NOT law", "(court OR law) AND state")) {
+      val q = Query.parse(qs)
+      assert(searcher.matching(q).collect().sorted.toSeq == oracle.matching(q),
+        s"match set for: $qs")
+    }
+    assert(searcher.count(TermQuery("court")) == oracle.docFreq("court"))
+  }
+
+  test("searchDocs joins stored fields") {
+    val rows = searcher.searchDocs(Query.parse("court AND law"), 5).collect()
+    assert(rows.nonEmpty)
+    val urls = oracle.sorted.map(_.url)
+    rows.foreach { r =>
+      val docId = r.getAs[Long]("docId")
+      assert(r.getAs[String]("url") == urls(docId.toInt))
+    }
+  }
+
+  test("resume: second buildSegment call is a no-op returning the manifest") {
+    import spark.implicits._
+    val m1 = Manifest.read(segDir).get
+    val ds = spark.createDataset(pagesLocal.map(p => (p.url, p.text)))
+    val m2 = IndexBuilder.buildSegment(ds, segDir, cfg)
+    assert(m1.segmentId == m2.segmentId && m1.blockCount == m2.blockCount)
+  }
+
+  test("multi-segment search == single-segment (url, score) ranking") {
+    import spark.implicits._
+    val dirA = tmpDir("segA"); val dirB = tmpDir("segB")
+    val (pa, pb) = pagesLocal.sortBy(_.url).splitAt(NDocs / 3)
+    IndexBuilder.buildSegment(spark.createDataset(pa.map(p => (p.url, p.text))), dirA, cfg)
+    IndexBuilder.buildSegment(spark.createDataset(pb.map(p => (p.url, p.text))), dirB, cfg)
+    val multi = new IndexSearcher(spark,
+      Seq(Manifest.read(dirA).get, Manifest.read(dirB).get))
+    for (qs <- Seq("court AND law", "court OR law OR state", "the")) {
+      val q = Query.parse(qs)
+      val single = searcher.searchDocs(q, 10).select("url", "score").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val m = multi.searchDocs(q, 10).select("url", "score").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(m == single, s"multi-segment ranking differs for: $qs")
+    }
+    // merge the two segments and search again
+    val dirM = tmpDir("segM")
+    SegmentMerger.merge(spark, Seq(dirA, dirB), dirM, cfg)
+    val merged = new IndexSearcher(spark, Seq(Manifest.read(dirM).get))
+    for (qs <- Seq("court AND law", "court OR law OR state", "the", "bebe OR court")) {
+      val q = Query.parse(qs)
+      val single = searcher.searchDocs(q, 10).select("url", "score").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val m = merged.searchDocs(q, 10).select("url", "score").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(m == single, s"merged ranking differs for: $qs")
+    }
+    // merged collection stats intact
+    val mm = Manifest.read(dirM).get
+    assert(mm.docCount == oracle.docCount)
+    assert(mm.sumTotalTermFreq == oracle.sumTtf)
+  }
+
+  test("CheckIndex invariants: block order, doc order, stats consistency") {
+    import spark.implicits._
+    val blocks = spark.read.parquet(s"$segDir/postings").as[PostingBlock].collect()
+    // per (term, bucket): blocks sorted, disjoint, within-bucket; docs ascending
+    blocks.groupBy(b => (b.term, b.bucket)).foreach { case ((t, bkt), bs) =>
+      val sortedB = bs.sortBy(_.firstDocId)
+      sortedB.foreach { b =>
+        assert(b.firstDocId >>> cfg.bucketShift == bkt, s"block outside bucket: $t")
+        assert(b.lastDocId >>> cfg.bucketShift == bkt, s"block spans bucket: $t")
+        val ids = BlockCodec.deltaDecode(BlockCodec.forDecode(b.docsPacked), b.firstDocId)
+        assert(ids.length == b.numDocs)
+        assert(ids.head == b.firstDocId && ids.last == b.lastDocId)
+        assert(ids.sliding(2).forall { case Array(x, y) => x < y; case _ => true })
+        val fs = BlockCodec.pforDecode(b.freqsPacked)
+        assert(fs.forall(_ >= 1), "freq must be >= 1")
+        assert(fs.sum == b.freqSum)
+      }
+      sortedB.sliding(2).foreach {
+        case Array(x, y) => assert(x.lastDocId < y.firstDocId, s"overlapping blocks: $t")
+        case _ =>
+      }
+    }
+    // term stats equal oracle df/ttf for sampled terms
+    val ts = searcher.termStats(Seq("the", "court", "bebe"))
+    assert(ts("court").totalTermFreq ==
+      oracle.docTf.map(_._1.getOrDefault("court", 0).toLong).sum)
+  }
+}
