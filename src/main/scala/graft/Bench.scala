@@ -1,24 +1,73 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: timed index build over the sf documents table +
+  * timed headline queries (engine fulltext, dedup, ANN, text pipeline).
+  * Prints ONE JSON line; the driver archives it as BENCH_r{N}.json.
+  * The scaling-efficiency evidence (same job at local[8] vs local[32]) lives
+  * in [[ScalingBench]] → BENCH/BASELINE.md.
+  */
 object Bench {
+
+  def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // 1. index build (includes tokenize + posting blocks + term dict + commit)
+    val (_, buildSec) = timed(SparkEntry.searcherFor(spark, sfDir))
+    results += "ft_build" -> buildSec
+
+    // 2. headline query entries (steady-state: one warm-up, then timed)
+    val headline = Seq(
+      "ft_term_topk", "ft_and_topk", "ft_or_topk", "ft_nested_topk",
+      "ft_group_top2", "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+      "ann_topk", "ann_lsh_topk", "text_quality", "text_termstats",
+      "mm_meta", "rel_agg", "rel_window_top2"
+    )
+    val qs = SparkEntry.queries
+    headline.foreach { name =>
+      val fn = qs(name)
+      try {
+        fn(spark, sfDir).count() // warm-up (plans + code gen + caches)
+        val (_, sec) = timed(fn(spark, sfDir).count())
+        results += name -> sec
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          results += name -> -1.0
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // 3. repeated-query p50 (the BM25 top-10 latency metric)
+    val lat = (1 to 11).map { _ =>
+      val (_, sec) = timed(qs("ft_or_topk")(spark, sfDir).count())
+      sec
+    }.sorted
+    results += "ft_or_p50" -> lat(lat.length / 2)
+
+    val qJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

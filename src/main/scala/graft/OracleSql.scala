@@ -1,0 +1,88 @@
+package graft
+
+import graft.codec.SmallFloat
+
+/** DuckDB oracle-SQL builders for the fulltext query entries. The SQL
+  * replicates the engine's double-precision BM25 semantics exactly:
+  *
+  *  - tokenization: the `documents` corpus is single-space-separated
+  *    lowercase `[a-z]+` words, on which `string_split(text, ' ')` is
+  *    byte-identical to the StandardAnalyzer token stream (asserted in
+  *    `PipelineSpec`)
+  *  - norm quantization: the SmallFloat byte4 length table is inlined as a
+  *    VALUES list and applied with `max(v) WHERE v <= dl` (= intToByte4
+  *    rounding-down), matching `graft.codec.SmallFloat`
+  *  - scoring: idf = ln(1 + (N - n + 0.5)/(n + 0.5)); norminv =
+  *    1/(1.2*(0.25 + 0.75*qdl/avgdl)); score = idf - idf/(1 + freq*norminv)
+  *    — the same expression shape as [[graft.search.Bm25DoubleScorer]];
+  *    6-dp rounding absorbs last-ulp libm differences
+  */
+object OracleSql {
+
+  /** Distinct decoded byte4 lengths (ascending) — the quantization lattice. */
+  lazy val byte4Values: Seq[Long] = SmallFloat.lengthTable.map(_.toLong).distinct.sorted.toSeq
+
+  private def byte4ValuesList: String = byte4Values.map(v => s"($v)").mkString(",")
+
+  private def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
+
+  /** Shared CTE prefix: tokens, per-doc (raw, quantized) lengths, collection
+    * stats, per-(doc, term) freqs and BM25 scores for `terms`.
+    */
+  def bm25Ctes(terms: Seq[String]): String = {
+    val termList = terms.map(sqlStr).mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+       |), dlen AS (
+       |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+       |), qlen AS (
+       |  SELECT doc_id, dl,
+       |    (SELECT max(v) FROM (VALUES $byte4ValuesList) b4(v) WHERE v <= dl) AS qdl
+       |  FROM dlen
+       |), stats AS (
+       |  SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS sttf,
+       |         sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+       |  FROM dlen
+       |), tf AS (
+       |  SELECT doc_id, term, count(*)::DOUBLE AS freq FROM tok
+       |  WHERE term IN ($termList) GROUP BY doc_id, term
+       |), idf AS (
+       |  SELECT term, ln(1 + ((SELECT n FROM stats) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+       |  FROM tf GROUP BY term
+       |), sc AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    idf.idf - idf.idf / (1 + tf.freq *
+       |      (1.0 / (1.2 * (0.25 + 0.75 * qlen.qdl / (SELECT avgdl FROM stats))))) AS s
+       |  FROM tf JOIN idf USING (term) JOIN qlen ON qlen.doc_id = tf.doc_id
+       |)""".stripMargin
+  }
+
+  def hasTerm(t: String): String =
+    s"doc_id IN (SELECT doc_id FROM tok WHERE term = ${sqlStr(t)})"
+
+  /** Top-k BM25: score = sum over matched `scoreTerms`; `pred` restricts the
+    * matching docs (SQL over `scored`, may reference `tok`).
+    */
+  def bm25TopK(scoreTerms: Seq[String], pred: String, k: Int): String =
+    s"""${bm25Ctes(scoreTerms)}, scored AS (
+       |  SELECT doc_id, sum(s) AS score, count(*) AS nmatch FROM sc GROUP BY doc_id
+       |)
+       |SELECT doc_id, round(score, 6) AS score FROM scored
+       |WHERE $pred
+       |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT $k""".stripMargin
+
+  /** Full scored ranking (no limit) used by grouping/pagination oracles. */
+  def bm25Scored(scoreTerms: Seq[String], pred: String): String =
+    s"""${bm25Ctes(scoreTerms)}, scored AS (
+       |  SELECT doc_id, sum(s) AS score, count(*) AS nmatch FROM sc GROUP BY doc_id
+       |), ranked AS (
+       |  SELECT doc_id, round(score, 6) AS score FROM scored WHERE $pred
+       |)""".stripMargin
+
+  /** Matching doc_ids (no scores). */
+  def matchIds(terms: Seq[String], pred: String): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+       |), docs AS (SELECT DISTINCT doc_id FROM documents)
+       |SELECT doc_id FROM docs WHERE $pred ORDER BY doc_id""".stripMargin
+}

@@ -1,13 +1,448 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{IndexBuilder, IndexConfig, Manifest}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+import graft.search._
+import graft.streaming.Streaming
+
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY.md §2), each with a DuckDB-equivalent `oracleSql` where the
+  * semantics are SQL-expressible. Fulltext entries run the REAL engine path
+  * (tokenize → posting blocks → term dict → block-max WAND) in
+  * double-precision oracle mode; the float-exact rank-identity path is gated
+  * by `sbt -batch test` (IndexSearchSpec duels).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val K1 = 1.2d
+  private val B = 0.75d
+
+  // ------------------------------------------------------- index cache
+
+  private val searchers = TrieMap[String, IndexSearcher]()
+
+  /** Build (once per sfDir) an index over the `documents` table. urls are
+    * zero-padded doc_ids so docID rank order == doc_id order.
+    */
+  def searcherFor(spark: SparkSession, sfDir: String): IndexSearcher =
+    searchers.getOrElseUpdate(sfDir, {
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createDirectories(java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft-idx",
+          java.lang.Integer.toHexString(sfDir.hashCode)))
+        .toString
+      val pages = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(format_string("doc%012d", $"doc_id").as("url"), $"text")
+        .as[(String, String)]
+      val cfg = IndexConfig(bucketShift = 8, numPostingPartitions = 8, numDocPartitions = 4)
+      IndexBuilder.buildSegment(pages, s"$dir/seg0", cfg)
+      new IndexSearcher(spark, Seq(Manifest.read(s"$dir/seg0").get),
+        precision = Precision.DoubleOracle, k1 = K1, b = B)
+    })
+
+  private def docIdOf(url: org.apache.spark.sql.Column) =
+    substring(url, 4, 12).cast("bigint").as("doc_id")
+
+  /** Engine top-k → (doc_id, score) with 6-dp rounding; selection order is
+    * (rounded score desc, doc_id asc) on BOTH sides so rounding ties cut
+    * identically.
+    */
+  private def ftTopK(spark: SparkSession, sfDir: String, queryStr: String, k: Int): DataFrame = {
+    val s = searcherFor(spark, sfDir)
+    import spark.implicits._
+    val q = s.parse(queryStr)
+    s.topK(q, k + 50)
+      .join(s.docsTable.select($"docId", $"url"), "docId")
+      .select(docIdOf($"url"), round($"score", 6).as("score"))
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(k)
+  }
+
+  private def ftMatch(spark: SparkSession, sfDir: String, q: Query): DataFrame = {
+    val s = searcherFor(spark, sfDir)
+    import spark.implicits._
+    s.matching(q).toDF("docId")
+      .join(s.docsTable.select($"docId", $"url"), "docId")
+      .select(docIdOf($"url"))
+      .orderBy($"doc_id")
+  }
+
+  private def docsDf(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  // ------------------------------------------------------- flagship
+
+  /** Flagship: end-to-end index + BM25 WAND top-10 on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    ftTopK(spark, "/root/testdata/sf0.001", "data OR query OR stream", 10)
+
+  // ------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- fulltext: the engine path (W1-W11 build + Q1-Q12 search)
+    "ft_term_topk" -> ((s, d) => ftTopK(s, d, "spark", 10)),
+    "ft_and_topk" -> ((s, d) => ftTopK(s, d, "data AND query", 10)),
+    "ft_or_topk" -> ((s, d) => ftTopK(s, d, "data OR query OR stream", 10)),
+    "ft_nested_topk" -> ((s, d) => ftTopK(s, d, "(data OR query) AND table", 10)),
+    "ft_filter_topk" -> ((s, d) => {
+      val se = searcherFor(s, d)
+      import s.implicits._
+      val q = BoolQuery(Seq(
+        TermQuery("data") -> Occur.Should, TermQuery("query") -> Occur.Should,
+        TermQuery("table") -> Occur.Filter))
+      se.topK(q, 60)
+        .join(se.docsTable.select($"docId", $"url"), "docId")
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc).limit(10)
+    }),
+    "ft_not_match" -> ((s, d) =>
+      ftMatch(s, d, Query.parse("data NOT stream"))),
+    "ft_prefix_match" -> ((s, d) => {
+      val se = searcherFor(s, d)
+      import s.implicits._
+      val terms = se.expandPrefix("qu")
+      if (terms.isEmpty) Seq.empty[Long].toDF("doc_id")
+      else ftMatch(s, d, BoolQuery(terms.map(t => TermQuery(t) -> (Occur.Should: Occur))))
+    }),
+    "ft_inset_match" -> ((s, d) =>
+      ftMatch(s, d, Query.or("spark", "merge", "vector"))),
+    "ft_counts" -> ((s, d) => {
+      val se = searcherFor(s, d)
+      import s.implicits._
+      Seq(
+        ("q_spark", se.count(TermQuery("spark"))),
+        ("q_and", se.count(Query.parse("data AND query"))),
+        ("q_not", se.count(Query.parse("data NOT stream")))
+      ).toDF("qid", "cnt").orderBy($"qid")
+    }),
+    "ft_termstats" -> ((s, d) => {
+      val se = searcherFor(s, d)
+      import s.implicits._
+      se.segments.map(m => s.read.parquet(s"${m.dir}/terms"))
+        .reduce(_ unionByName _)
+        .groupBy($"term")
+        .agg(sum($"docFreq").as("doc_freq"), sum($"totalTermFreq").as("total_term_freq"))
+        .orderBy($"doc_freq".desc, $"term".asc)
+        .limit(20)
+    }),
+    "ft_norms" -> ((s, d) => {
+      val se = searcherFor(s, d)
+      import s.implicits._
+      // decode the stored norm byte back to the quantized length via the
+      // SmallFloat table folded into the plan as an array literal
+      val table = array(graft.codec.SmallFloat.lengthTable.map(v => lit(v.toLong)): _*)
+      se.docsTable
+        .select(docIdOf($"url"), $"length".cast("bigint").as("dl"),
+          element_at(table, $"norm" + 1).as("qdl"))
+        .orderBy($"doc_id")
+    }),
+    "ft_searchafter" -> ((s, d) => {
+      import s.implicits._
+      val full = ftTopK(s, d, "data OR query OR stream", 30)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy($"score".desc, $"doc_id".asc)
+      full.withColumn("rn", row_number().over(w))
+        .where($"rn" > 10 && $"rn" <= 20)
+        .select($"doc_id", $"score")
+    }),
+    "ft_facet_source" -> ((s, d) => {
+      import s.implicits._
+      val m = ftMatch(s, d, Query.parse("data OR query"))
+      m.join(docsDf(s, d), "doc_id")
+        .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"source")
+    }),
+    "ft_group_top2" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val se = searcherFor(s, d)
+      val q = se.parse("data OR query")
+      val scored = se.scoreMatches(q)
+        .join(se.docsTable.select($"docId", $"url"), "docId")
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+      val withSrc = scored.join(docsDf(s, d).select($"doc_id", $"source"), "doc_id")
+      val w = Window.partitionBy($"source").orderBy($"score".desc, $"doc_id".asc)
+      withSrc.withColumn("rank", row_number().over(w))
+        .where($"rank" <= 2)
+        .select($"source", $"rank", $"doc_id", $"score")
+        .orderBy($"source", $"rank")
+    }),
+
+    // ---- dedup family
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(docsDf(s, d), "doc_id", "text")
+        .orderBy(col("fingerprint"))),
+    "dedup_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(docsDf(s, d), "doc_id", "text", w = 2, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+    "dedup_minhash_lsh" -> ((s, d) => // no SQL oracle: seeded-hash approximation
+      Dedup.minHashLshPairs(docsDf(s, d), "doc_id", "text", w = 2,
+        bands = 8, rowsPerBand = 4, minSigSim = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+    "dedup_simhash" -> ((s, d) => // no SQL oracle: engine-native signature
+      Dedup.simHash(docsDf(s, d), "doc_id", "text").orderBy(col("doc_id"))),
+    "dedup_embed" -> ((s, d) =>
+      Dedup.embeddingPairs(
+        s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 0.3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- similarity search
+    "ann_topk" -> ((s, d) => {
+      import s.implicits._
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val qv = emb.where($"vec_id" === 0).select($"embedding")
+        .as[Array[Float]].head()
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 10, excludeId = Some(0L))
+    }),
+    "ann_lsh_topk" -> ((s, d) => // no SQL oracle: LSH bucketing approximation
+      Similarity.lshTopK(s.read.parquet(s"$d/embeddings.parquet"),
+        "vec_id", "embedding", dim = 64, k = 5)
+        .select(col("id"), col("nbr"), col("sim"), col("rank"))
+        .orderBy(col("id"), col("rank"))),
+
+    // ---- text analysis
+    "text_tokens" -> ((s, d) =>
+      TextOps.tokenCounts(docsDf(s, d), "doc_id", "text").orderBy(col("doc_id"))),
+    "text_quality" -> ((s, d) =>
+      TextOps.quality(docsDf(s, d), "doc_id", "text").orderBy(col("doc_id"))),
+    "text_langid" -> ((s, d) =>
+      TextOps.langId(docsDf(s, d), "doc_id", "text").orderBy(col("doc_id"))),
+    "text_fingerprint" -> ((s, d) =>
+      TextOps.fingerprintMd5(docsDf(s, d), "doc_id", "text").orderBy(col("doc_id"))),
+    "text_termstats" -> ((s, d) =>
+      TextOps.termStats(docsDf(s, d), "doc_id", "text")
+        .orderBy(col("doc_freq").desc, col("term").asc).limit(25)),
+
+    // ---- multimodal plumbing (stubbed decode, real schema/batching)
+    "mm_meta" -> ((s, d) =>
+      Multimodal.extractMeta(s,
+        Multimodal.withBinary(docsDf(s, d), "text", "payload"), "doc_id", "payload")
+        .orderBy(col("id")).toDF()),
+
+    // ---- streaming
+    "stream_percolate" -> ((s, d) => {
+      val stored = Seq(
+        "alert_sd" -> Query.parse("spark AND data"),
+        "alert_vm" -> Query.parse("vector OR merge"),
+        "alert_cb" -> Query.parse("customer NOT batch"))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+      Streaming.percolateParquetStream(s, s"$d/documents.parquet",
+        "doc_id", "text", stored, ckpt)
+        .orderBy(col("query_id"), col("doc"))
+    }),
+    "stream_window_agg" -> ((s, d) => {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+      Streaming.windowedEventCounts(s, s"$d/events.parquet", "1 hour", "0 seconds", ckpt)
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // ---- relational parity (facets/grouping/join modules, SURVEY.md §2.3)
+    "rel_agg" -> ((s, d) => {
+      import s.implicits._
+      s.read.parquet(s"$d/lineitem.parquet")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").as("sum_qty"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+    "rel_join_topk" -> ((s, d) => {
+      import s.implicits._
+      val o = s.read.parquet(s"$d/orders.parquet")
+      val c = s.read.parquet(s"$d/customer.parquet")
+      o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"c_name", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(10)
+    }),
+    "rel_window_top2" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      s.read.parquet(s"$d/orders.parquet")
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" <= 2 && $"o_custkey" < 50)
+        .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_custkey", $"rn")
+    }),
+    "rel_semijoin" -> ((s, d) => {
+      import s.implicits._
+      val c = s.read.parquet(s"$d/customer.parquet")
+      val o = s.read.parquet(s"$d/orders.parquet")
+      c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey").orderBy($"c_custkey")
+    })
+  )
+
+  // ------------------------------------------------------- oracles
+
+  import OracleSql._
+
+  def oracleSql: Map[String, String] = Map(
+    "ft_term_topk" -> bm25TopK(Seq("spark"), "TRUE", 10),
+    "ft_and_topk" -> bm25TopK(Seq("data", "query"), "nmatch = 2", 10),
+    "ft_or_topk" -> bm25TopK(Seq("data", "query", "stream"), "TRUE", 10),
+    "ft_nested_topk" -> bm25TopK(Seq("data", "query", "table"),
+      s"${hasTerm("table")} AND (${hasTerm("data")} OR ${hasTerm("query")})", 10),
+    "ft_filter_topk" -> bm25TopK(Seq("data", "query"),
+      hasTerm("table"), 10),
+    "ft_not_match" -> matchIds(Seq("data", "stream"),
+      s"${hasTerm("data")} AND NOT ${hasTerm("stream")}"),
+    "ft_prefix_match" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'qu%' ORDER BY doc_id""".stripMargin,
+    "ft_inset_match" -> matchIds(Seq("spark", "merge", "vector"),
+      s"${hasTerm("spark")} OR ${hasTerm("merge")} OR ${hasTerm("vector")}"),
+    "ft_counts" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |d AS (SELECT DISTINCT doc_id FROM documents)
+         |SELECT 'q_and' AS qid, (SELECT count(*) FROM d WHERE ${hasTerm("data")} AND ${hasTerm("query")}) AS cnt
+         |UNION ALL
+         |SELECT 'q_not', (SELECT count(*) FROM d WHERE ${hasTerm("data")} AND NOT ${hasTerm("stream")})
+         |UNION ALL
+         |SELECT 'q_spark', (SELECT count(*) FROM d WHERE ${hasTerm("spark")})
+         |ORDER BY qid""".stripMargin,
+    "ft_termstats" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_term_freq
+        |FROM tok GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 20""".stripMargin,
+    "ft_norms" -> "", // replaced below after map build (placeholder)
+    "ft_searchafter" ->
+      (bm25Scored(Seq("data", "query", "stream"), "TRUE") +
+        """
+          |SELECT doc_id, score FROM (
+          |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+          |  FROM ranked
+          |) WHERE rn > 10 AND rn <= 20""".stripMargin),
+    "ft_facet_source" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |m AS (SELECT DISTINCT doc_id FROM documents
+         |      WHERE ${hasTerm("data")} OR ${hasTerm("query")})
+         |SELECT d.source, count(*) AS n_docs FROM m JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "ft_group_top2" ->
+      (bm25Scored(Seq("data", "query"), "TRUE") +
+        """
+          |SELECT source, rank, doc_id, score FROM (
+          |  SELECT d.source, r.doc_id, r.score,
+          |         row_number() OVER (PARTITION BY d.source ORDER BY r.score DESC, r.doc_id ASC) AS rank
+          |  FROM ranked r JOIN documents d USING (doc_id)
+          |) WHERE rank <= 2 ORDER BY source, rank""".stripMargin),
+    "dedup_exact" ->
+      """SELECT md5(text) AS fingerprint, min(doc_id) AS canonical_id, count(*) AS group_size
+        |FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY fingerprint""".stripMargin,
+    "dedup_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents
+        |), big AS (
+        |  SELECT doc_id AS id,
+        |         term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS s
+        |  FROM t
+        |), sh AS (SELECT DISTINCT id, s FROM big WHERE s IS NOT NULL),
+        |n AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        |       round(inter::DOUBLE / (na.n + nb.n - inter), 4) AS jaccard
+        |FROM pairs JOIN n na ON na.id = id_a JOIN n nb ON nb.id = id_b
+        |WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 4) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embed" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "ann_topk" ->
+      """SELECT b.vec_id,
+        |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+        |FROM embeddings a JOIN embeddings b ON b.vec_id <> 0
+        |WHERE a.vec_id = 0
+        |ORDER BY sim DESC, b.vec_id ASC LIMIT 10""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |       len(list_distinct(string_split(text, ' '))) AS n_unique
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" -> "", // replaced below
+    "text_langid" -> "",  // replaced below
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id",
+    "text_termstats" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_term_freq
+        |FROM tok GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 25""".stripMargin,
+    "mm_meta" ->
+      """SELECT doc_id AS id, length(text)::BIGINT AS n_bytes,
+        |       (length(text) % 640)::INT AS width,
+        |       ((length(text) * 7) % 480)::INT AS height,
+        |       (length(text) % 16)::INT AS frames
+        |FROM documents ORDER BY id""".stripMargin,
+    "stream_percolate" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |d AS (SELECT DISTINCT doc_id FROM documents)
+         |SELECT 'alert_cb' AS query_id, doc_id AS doc FROM d
+         |WHERE ${hasTerm("customer")} AND NOT ${hasTerm("batch")}
+         |UNION ALL
+         |SELECT 'alert_sd', doc_id FROM d WHERE ${hasTerm("spark")} AND ${hasTerm("data")}
+         |UNION ALL
+         |SELECT 'alert_vm', doc_id FROM d WHERE ${hasTerm("vector")} OR ${hasTerm("merge")}
+         |ORDER BY query_id, doc""".stripMargin,
+    "stream_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "rel_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "rel_join_topk" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "rel_window_top2" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders
+        |) WHERE rn <= 2 AND o_custkey < 50 ORDER BY o_custkey, rn""".stripMargin,
+    "rel_semijoin" ->
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY c_custkey""".stripMargin
+  ) ++ Map(
+    "ft_norms" -> {
+      val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
+         |SELECT doc_id, dl,
+         |  (SELECT max(v) FROM (VALUES $vals) b4(v) WHERE v <= dl) AS qdl
+         |FROM dlen ORDER BY doc_id""".stripMargin
+    },
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  round(length(text)::DOUBLE / len(toks), 4) AS chars_per_token,
+        |  round(len(list_filter(toks, x -> list_contains(['a','an','and','are','as','at','be','but','by','for','if','in','into','is','it','no','not','of','on','or','such','that','the','their','then','there','these','they','this','to','was','will','with'], x)))::DOUBLE / len(toks), 4) AS stop_ratio,
+        |  round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS type_token_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |r AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> list_contains(['a','an','and','are','as','at','be','but','by','for','if','in','into','is','it','no','not','of','on','or','such','that','the','their','then','there','these','they','this','to','was','will','with'], x)))::DOUBLE / len(toks) AS ratio
+        |  FROM t)
+        |SELECT doc_id, CASE WHEN ratio >= 0.02 THEN 'en' ELSE 'und' END AS lang_pred,
+        |       round(ratio, 4) AS stop_ratio
+        |FROM r ORDER BY doc_id""".stripMargin
+  )
 }

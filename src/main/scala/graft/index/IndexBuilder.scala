@@ -62,6 +62,7 @@ object IndexBuilder {
     import spark.implicits._
     val parts = cfg.numDocPartitions
     pages
+      .toDF("_1", "_2").as[(String, String)] // normalize column names
       .repartitionByRange(parts, $"_1")
       .sortWithinPartitions($"_1")
       .rdd

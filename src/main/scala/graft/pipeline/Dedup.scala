@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora. Four families:
+  *
+  *  - exact (hash-groupBy): one shuffle on the fingerprint
+  *  - n-gram Jaccard (exact pairwise over shared shingles): shuffle on
+  *    shingle, then on pair — exact but O(candidate pairs); used to validate
+  *    the approximate families
+  *  - MinHash + LSH banding: the 100 TB path — candidate pairs only for docs
+  *    sharing an LSH band bucket, so cost tracks true near-dup density
+  *  - SimHash: 64-bit signature, hamming-adjacent buckets
+  *
+  * All deterministic (seeded hash mixing, no Math.random), all pure
+  * DataFrame ops.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: (fingerprint, canonical id, group size) for
+    * groups larger than 1. Equal texts collide on md5; group-by is one
+    * shuffle with partial agg.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("fingerprint"), col(idCol))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
+      .where(col("group_size") > 1)
+
+  /** Word w-shingles of a doc as a distinct array column. */
+  def shingles(text: Column, w: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      filter(
+        transform(toks, (_, i) => when(i <= size(toks) - w,
+          concat_ws(" ", slice(toks, i + lit(1), lit(w)))).otherwise(lit(null))),
+        x => x.isNotNull
+      )
+    )
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= threshold).
+    * Pairs are generated only for docs sharing at least one shingle
+    * (shuffle on shingle), so disjoint docs never meet.
+    */
+  def jaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, threshold: Double = 0.5
+  ): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), w).as("sh"))
+      .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val a = sh.as("a"); val b = sh.as("b")
+    a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: `numHashes` permutations h_i(s) =
+    * xxhash64(shingleHash, seed_i); signature = per-permutation min over the
+    * doc's shingles. One narrow pass; the doc's shingle set never leaves its
+    * partition. (xxhash64 is the deterministic mixer — native, codegen'd,
+    * and overflow-free under ANSI mode.)
+    */
+  def minHashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, numHashes: Int = 32, seed: Long = 42L
+  ): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      transform(shingles(col(textCol), w), s => xxhash64(s)).as("hs"))
+    val sigCols = (0 until numHashes).map { i =>
+      array_min(transform(col("hs"), h => xxhash64(h, lit(seed + i))))
+    }
+    base.select(col("id"), array(sigCols: _*).as("signature"))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,
+    * bucket-join docs that agree on any full band, verify candidates with
+    * exact signature similarity. Shuffles only on (band, bucketHash).
+    */
+  def minHashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      minSigSim: Double = 0.5, seed: Long = 42L
+  ): DataFrame = {
+    val sigs = minHashSignatures(df, idCol, textCol, w, bands * rowsPerBand, seed)
+    val banded = sigs.select(col("id"), col("signature"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col("signature"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))), b)
+        )).as(Seq("band", "bucket")))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.signature").as("sa"), col("b.signature").as("sb"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), p => p))
+          .cast("double") / size(col("sa")), 4).as("sig_sim"))
+      .where(col("sig_sim") >= minSigSim)
+  }
+
+  /** SimHash: 64-bit signature = sign of per-bit weighted sums of token
+    * hashes (weight = term frequency implicitly via duplicates). Computed as
+    * 64 column expressions folded over the token-hash array — narrow,
+    * deterministic.
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hs = transform(split(col(textCol), " "), t => xxhash64(t))
+    // bit b of the signature: 1 if sum over tokens of (bit set ? +1 : -1) > 0
+    val bits = (0 until 64).map { bIdx =>
+      val vote = aggregate(hs, lit(0),
+        (acc, h) => acc + when(shiftrightunsigned(h, bIdx).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      when(vote > 0, shiftleft(lit(1L), bIdx)).otherwise(lit(0L))
+    }
+    df.select(col(idCol), bits.reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** Embedding-cosine near-dup pairs (exact, brute force): all pairs with
+    * cosine >= threshold. The all-pairs join is the validation path; the LSH
+    * variant in [[Similarity]] is the scale path.
+    */
+  def embeddingPairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double
+  ): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val a = v.as("a"); val b = v.as("b")
+    a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(Similarity.cosine(col("a.v"), col("b.v")), 4).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.StandardAnalyzer
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language-ID heuristics, fingerprinting. All are
+  * narrow, codegen'd column expressions (`functions._`, no UDFs) so they scan
+  * at full Parquet speed and scale linearly — no shuffles except where an
+  * aggregation is the point.
+  */
+object TextOps {
+
+  /** Whitespace tokenization as a codegen'd column op. For corpora that are
+    * already normalized (single-space-separated lowercase words) this is
+    * exactly the StandardAnalyzer's output; the full analyzer path
+    * ([[graft.analysis.StandardAnalyzer]]) is used by the index build.
+    */
+  def tokensCol(text: Column): Column = split(text, " ")
+
+  /** Per-doc token counts: total + distinct. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(tokensCol(col(textCol))).as("n_tokens"),
+      size(array_distinct(tokensCol(col(textCol)))).as("n_unique")
+    )
+
+  /** Corpus term statistics (docFreq, totalTermFreq) — the term-dictionary
+    * view over raw text; partial aggregation keeps head terms skew-safe.
+    */
+  def termStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokensCol(col(textCol))).as("term"))
+      .groupBy(col("term"))
+      .agg(
+        countDistinct(col(idCol)).as("doc_freq"),
+        count(lit(1)).as("total_term_freq")
+      )
+
+  private val enStop = StandardAnalyzer.EnglishStopwords.toSeq.sorted
+
+  /** Quality signals: mean token length, stopword ratio, type-token ratio.
+    * Doubles are computed with the same expression shape as the SQL oracle.
+    */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    val n = size(toks).cast("double")
+    val stopArr = array(enStop.map(lit): _*)
+    df.select(
+      col(idCol),
+      round(length(col(textCol)).cast("double") / n, 4).as("chars_per_token"),
+      round(size(filter(toks, t => array_contains(stopArr, t))).cast("double") / n, 4)
+        .as("stop_ratio"),
+      round(size(array_distinct(toks)).cast("double") / n, 4).as("type_token_ratio")
+    )
+  }
+
+  /** N-gram-free language-ID heuristic: share of tokens that are English
+    * stopwords (deterministic + SQL-expressible so the oracle can replicate;
+    * a real n-gram profile model plugs into the same column slot).
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String, threshold: Double = 0.02): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    val stopArr = array(enStop.map(lit): _*)
+    val ratio = size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
+      size(toks).cast("double")
+    df.select(
+      col(idCol),
+      when(ratio >= threshold, lit("en")).otherwise(lit("und")).as("lang_pred"),
+      round(ratio, 4).as("stop_ratio")
+    )
+  }
+
+  /** Content fingerprint (md5) — exact-dup key; codegen'd. */
+  def fingerprintMd5(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(col(textCol)).as("fingerprint"))
+
+  /** 61-bit polynomial rolling hash over codepoints (deterministic,
+    * engine-native; used where a cheap orderable fingerprint is wanted
+    * without md5's cost). Column expression, no UDF: fold over the
+    * codepoint array.
+    */
+  def rollingHash(text: Column): Column = {
+    val p = lit(1125899906842597L) // 2^50-ish prime
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(7L),
+      (acc, c) => pmod(acc * lit(31L) + c, p)
+    )
+  }
+
+  def fingerprintRolling(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), rollingHash(col(textCol)).as("rhash"))
+}

@@ -57,8 +57,8 @@ final class IndexSearcher(
     val segments: Seq[SegmentManifest],
     val analyzer: StandardAnalyzer = StandardAnalyzer.Default,
     val precision: Precision = Precision.FloatExact,
-    k1: Float = Bm25.DefaultK1,
-    b: Float = Bm25.DefaultB
+    k1: Double = 1.2d, // 1.2f when narrowed — widening 1.2f would NOT be 1.2d
+    b: Double = 0.75d
 ) extends Serializable {
 
   import spark.implicits._
@@ -94,6 +94,29 @@ final class IndexSearcher(
       .toMap
   }
 
+  /** Multi-term expansion against the sorted term dictionary (the automaton
+    * intersection of `search/PrefixQuery`/`TermRangeQuery`/`AutomatonQuery`
+    * re-expressed as a pushed-down dictionary scan). Matches feed a
+    * disjunction (`ScoringRewrite`) capped at `max` terms.
+    */
+  def expandTerms(pred: org.apache.spark.sql.Column, max: Int = 1024): Seq[String] =
+    segments
+      .map(s => spark.read.parquet(s"${s.dir}/terms"))
+      .reduce(_ unionByName _)
+      .where(pred)
+      .select($"term").distinct()
+      .orderBy($"term").limit(max)
+      .as[String].collect().toSeq
+
+  def expandPrefix(prefix: String, max: Int = 1024): Seq[String] =
+    expandTerms($"term".startsWith(prefix), max)
+
+  def expandRange(lo: String, hi: String, max: Int = 1024): Seq[String] =
+    expandTerms($"term" >= lo && $"term" < hi, max)
+
+  def expandRegex(re: String, max: Int = 1024): Seq[String] =
+    expandTerms($"term".rlike(re), max)
+
   private def scorerFor(term: String, ts: Map[String, TermStat]): SimScorer =
     ts.get(term) match {
       case None => new ConstScorer(0.0)
@@ -101,10 +124,10 @@ final class IndexSearcher(
         precision match {
           case Precision.FloatExact =>
             val idf = Bm25.idf(t.docFreq, stats.docCount)
-            new Bm25FloatScorer(k1, b, idf, Bm25.avgFieldLength(stats))
+            new Bm25FloatScorer(k1.toFloat, b.toFloat, idf, Bm25.avgFieldLength(stats))
           case Precision.DoubleOracle =>
             val idf = Bm25.idfD(t.docFreq, stats.docCount)
-            new Bm25DoubleScorer(k1.toDouble, b.toDouble, idf, Bm25.avgFieldLengthD(stats))
+            new Bm25DoubleScorer(k1, b, idf, Bm25.avgFieldLengthD(stats))
         }
     }
 
@@ -156,6 +179,39 @@ final class IndexSearcher(
         collector.results.iterator.map { case (d, s) => ScoredDoc(d + base, s) }
       }
     candidates.orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+
+  /** Score every matching doc (no top-k cut) — feeds grouping/facet/rescore
+    * paths that need the full scored match set.
+    */
+  def scoreMatches(query: Query): Dataset[ScoredDoc] = {
+    val qTerms = query.terms.toSeq.sorted
+    val ts = termStats(qTerms)
+    val scorers: Map[String, SimScorer] = qTerms.map(t => t -> scorerFor(t, ts)).toMap
+    val basesL = bases
+    val q = query
+    blocksFor(qTerms)
+      .groupByKey(bk => (bk.seg, bk.bucket))
+      .flatMapGroups { (key: (Int, Long), it: Iterator[QBlock]) =>
+        val seg = key._1
+        val byTerm = it.toArray.groupBy(_.term).map { case (t, arr) =>
+          t -> arr.sortBy(_.firstDocId).map(bv =>
+            BlockView(bv.firstDocId, bv.lastDocId, bv.numDocs,
+              bv.docsPacked, bv.freqsPacked, bv.normsPacked, bv.impacts))
+        }
+        val base = basesL(seg)
+        Executor.build(q, byTerm, scorers) match {
+          case None => Iterator.empty
+          case Some(sc) =>
+            new Iterator[ScoredDoc] {
+              private var d = sc.nextDoc()
+              def hasNext: Boolean = d != DocScorer.NoMoreDocs
+              def next(): ScoredDoc = {
+                val r = ScoredDoc(d + base, sc.score); d = sc.nextDoc(); r
+              }
+            }
+        }
+      }
   }
 
   /** All matching docIds (no scoring) — the FILTER/semi-join path feeding
