@@ -47,8 +47,17 @@ object Demo {
         hits.foreach { r =>
           println(f"  doc=${r.getAs[Long]("docId")}%6d score=${r.getAs[Double]("score")}%.4f ${r.getAs[String]("url")}")
         }
+      case "explain" :: dir :: rest if rest.nonEmpty =>
+        val searcher = IndexSearcher.open(spark, dir)
+        val q = searcher.parse(rest.mkString(" "))
+        println("=== topK plan ===")
+        searcher.topK(q, 10).explain("formatted")
+        println("=== stats lookup plan ===")
+        import org.apache.spark.sql.functions.{col => c}
+        spark.read.parquet(s"$dir/seg0/terms")
+          .where(c("term").isin(q.terms.toSeq: _*)).explain("formatted")
       case _ =>
-        System.err.println("usage: Demo index <dir> <nDocs> | Demo search <dir> <query...>")
+        System.err.println("usage: Demo index <dir> <nDocs> | Demo search <dir> <query...> | Demo explain <dir> <query...>")
         sys.exit(2)
     }
     spark.stop()

@@ -101,6 +101,33 @@ object SparkEntry {
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc).limit(10)
     }),
+    "ft_synonym_topk" -> ((s, d) => {
+      val se = searcherFor(s, d)
+      import s.implicits._
+      se.topK(SynonymQuery(Seq("data", "stream")), 60)
+        .join(se.docsTable.select($"docId", $"url"), "docId")
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc).limit(10)
+    }),
+    "ft_fuzzy_match" -> ((s, d) => {
+      val se = searcherFor(s, d)
+      import s.implicits._
+      val terms = se.expandFuzzy("quer", maxEdits = 2)
+      if (terms.isEmpty) Seq.empty[Long].toDF("doc_id")
+      else ftMatch(s, d, BoolQuery(terms.map(t => TermQuery(t) -> (Occur.Should: Occur))))
+    }),
+    "ft_rescore" -> ((s, d) => {
+      val se = searcherFor(s, d)
+      import s.implicits._
+      val q1 = se.parse("data OR query")
+      val q2 = se.parse("table OR stream")
+      val cand = se.topK(q1, 80)
+        .orderBy(round($"score", 6).desc, $"docId".asc).limit(30).as[ScoredDoc]
+      se.rescore(cand, q2, 1.0, 2.0)
+        .join(se.docsTable.select($"docId", $"url"), "docId")
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc).limit(10)
+    }),
     "ft_not_match" -> ((s, d) =>
       ftMatch(s, d, Query.parse("data NOT stream"))),
     "ft_prefix_match" -> ((s, d) => {
@@ -293,6 +320,37 @@ object SparkEntry {
       s"${hasTerm("table")} AND (${hasTerm("data")} OR ${hasTerm("query")})", 10),
     "ft_filter_topk" -> bm25TopK(Seq("data", "query"),
       hasTerm("table"), 10),
+    "ft_synonym_topk" ->
+      s"""${bm25Ctes(Seq("data", "stream"))}, syn AS (
+         |  SELECT doc_id, sum(freq) AS freq FROM tf GROUP BY doc_id
+         |), syndf AS (
+         |  SELECT max(df) AS df FROM (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         |), synidf AS (
+         |  SELECT ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5)) AS idf FROM syndf
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT syn.doc_id,
+         |    (SELECT idf FROM synidf) - (SELECT idf FROM synidf) / (1 + syn.freq *
+         |      (1.0 / (1.2 * (0.25 + 0.75 * qlen.qdl / (SELECT avgdl FROM stats))))) AS score
+         |  FROM syn JOIN qlen ON qlen.doc_id = syn.doc_id
+         |)
+         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "ft_fuzzy_match" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT DISTINCT doc_id FROM tok WHERE levenshtein(term, 'quer') <= 2
+        |ORDER BY doc_id""".stripMargin,
+    "ft_rescore" ->
+      (bm25Ctes(Seq("data", "query", "stream", "table")) +
+        """, s1 AS (
+          |  SELECT doc_id, sum(s) AS score1 FROM sc WHERE term IN ('data', 'query') GROUP BY doc_id
+          |), cand AS (
+          |  SELECT doc_id, score1 FROM s1 ORDER BY round(score1, 6) DESC, doc_id ASC LIMIT 30
+          |), s2 AS (
+          |  SELECT doc_id, sum(s) AS score2 FROM sc WHERE term IN ('table', 'stream') GROUP BY doc_id
+          |)
+          |SELECT doc_id, round(score1 * 1.0 + coalesce(score2, 0.0) * 2.0, 6) AS score
+          |FROM cand LEFT JOIN s2 USING (doc_id)
+          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin),
     "ft_not_match" -> matchIds(Seq("data", "stream"),
       s"${hasTerm("data")} AND NOT ${hasTerm("stream")}"),
     "ft_prefix_match" ->

@@ -119,6 +119,65 @@ final class StandardAnalyzer(
     position
   }
 
+  /** Streaming tokenizer for the index hot path: invokes `f(term)` per
+    * emitted token with no Token/Vector allocation. Same token stream as
+    * [[tokens]] (equivalence pinned by AnalysisSpec).
+    */
+  def foreachTerm(text: String)(f: String => Unit): Unit = {
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      val cc = Character.charCount(cp)
+      if (isIdeographic(cp)) {
+        val term = lowerCp(cp)
+        if (!stopwords.contains(term)) f(term)
+        i += cc
+      } else if (isWordStart(cp)) {
+        val start = i
+        var j = i
+        while (j < n && {
+          val c = text.codePointAt(j)
+          if (isAlnum(c) || isExtend(c)) true
+          else if (isMedial(c) && j > start) {
+            val prev = text.codePointBefore(j)
+            val nxt = j + Character.charCount(c)
+            if (nxt < n) {
+              val nc = text.codePointAt(nxt)
+              (Character.isLetter(prev) && Character.isLetter(nc) &&
+                (isMidLetter(c) || isMidNumLet(c))) ||
+              (Character.isDigit(prev) && Character.isDigit(nc) &&
+                (isMidNum(c) || isMidNumLet(c)))
+            } else false
+          } else false
+        }) j += Character.charCount(text.codePointAt(j))
+        var hasAlnum = false
+        var k = start
+        while (k < j && !hasAlnum) {
+          if (isAlnum(text.codePointAt(k))) hasAlnum = true
+          k += Character.charCount(text.codePointAt(k))
+        }
+        if (hasAlnum) {
+          var s = start
+          while (s < j) {
+            var cpCount = 0
+            var e = s
+            while (e < j && cpCount < maxTokenLength) {
+              e += Character.charCount(text.codePointAt(e))
+              cpCount += 1
+            }
+            val term = lower(text.substring(s, e))
+            if (!stopwords.contains(term)) f(term)
+            s = e
+          }
+        }
+        i = j
+      } else {
+        i += cc
+      }
+    }
+  }
+
   /** Per-doc aggregation used by the index build: term -> freq, plus the
     * norm length (token count after stop filtering — the reference counts one
     * per emitted token, `index/IndexingChain.java:1275-1281`).
@@ -126,9 +185,9 @@ final class StandardAnalyzer(
   def termFreqs(text: String): (java.util.HashMap[String, Int], Int) = {
     val m = new java.util.HashMap[String, Int]()
     var length = 0
-    tokens(text).foreach { t =>
+    foreachTerm(text) { term =>
       length += 1
-      m.merge(t.term, 1, (a, b) => a + b)
+      m.merge(term, 1, (a, b) => a + b)
     }
     (m, length)
   }

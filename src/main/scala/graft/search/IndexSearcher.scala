@@ -117,6 +117,32 @@ final class IndexSearcher(
   def expandRegex(re: String, max: Int = 1024): Seq[String] =
     expandTerms($"term".rlike(re), max)
 
+  /** Scorers for every key a query needs: per-term BM25 scorers plus blended
+    * pseudo-term scorers for synonym nodes (docFreq = max over members,
+    * ref `search/SynonymQuery.java` stats blending).
+    */
+  private def scorerMap(query: Query, ts: Map[String, TermStat]): Map[String, SimScorer] = {
+    def walk(q: Query): Map[String, SimScorer] = q match {
+      case TermQuery(t) => Map(t -> scorerFor(t, ts))
+      case sq: SynonymQuery =>
+        val dfs = sq.synonyms.flatMap(ts.get).map(_.docFreq)
+        val df = if (dfs.isEmpty) 0L else dfs.max
+        val sim: SimScorer =
+          if (df == 0) new ConstScorer(0.0)
+          else precision match {
+            case Precision.FloatExact =>
+              new Bm25FloatScorer(k1.toFloat, b.toFloat,
+                Bm25.idf(df, stats.docCount), Bm25.avgFieldLength(stats))
+            case Precision.DoubleOracle =>
+              new Bm25DoubleScorer(k1, b,
+                Bm25.idfD(df, stats.docCount), Bm25.avgFieldLengthD(stats))
+          }
+        Map(sq.key -> sim)
+      case bq: BoolQuery => bq.clauses.iterator.map(_._1).flatMap(walk).toMap
+    }
+    walk(query)
+  }
+
   private def scorerFor(term: String, ts: Map[String, TermStat]): SimScorer =
     ts.get(term) match {
       case None => new ConstScorer(0.0)
@@ -159,7 +185,7 @@ final class IndexSearcher(
   def topK(query: Query, k: Int, pruning: Boolean = true): Dataset[ScoredDoc] = {
     val qTerms = query.terms.toSeq.sorted
     val ts = termStats(qTerms)
-    val scorers: Map[String, SimScorer] = qTerms.map(t => t -> scorerFor(t, ts)).toMap
+    val scorers: Map[String, SimScorer] = scorerMap(query, ts)
     val basesL = bases
     val q = query
     val candidates = blocksFor(qTerms)
@@ -187,7 +213,7 @@ final class IndexSearcher(
   def scoreMatches(query: Query): Dataset[ScoredDoc] = {
     val qTerms = query.terms.toSeq.sorted
     val ts = termStats(qTerms)
-    val scorers: Map[String, SimScorer] = qTerms.map(t => t -> scorerFor(t, ts)).toMap
+    val scorers: Map[String, SimScorer] = scorerMap(query, ts)
     val basesL = bases
     val q = query
     blocksFor(qTerms)
@@ -213,6 +239,21 @@ final class IndexSearcher(
         }
       }
   }
+
+  /** Second-pass rescoring (ref `search/QueryRescorer.java`): re-rank a
+    * first-pass result with `w1*first + w2*second(query)` — the second query
+    * is only evaluated against the candidate set semantics-wise, but is
+    * computed as a scored match join (left: candidates keep their score when
+    * the rescore query misses).
+    */
+  def rescore(first: Dataset[ScoredDoc], second: Query, w1: Double, w2: Double): DataFrame =
+    first.toDF("docId", "score1")
+      .join(scoreMatches(second).toDF("docId", "score2"), Seq("docId"), "left")
+      .select($"docId",
+        ($"score1" * lit(w1) + coalesce($"score2", lit(0.0)) * lit(w2)).as("score"))
+
+  def expandFuzzy(term: String, maxEdits: Int = 2, max: Int = 1024): Seq[String] =
+    expandTerms(levenshtein(lit(term), $"term") <= maxEdits, max)
 
   /** All matching docIds (no scoring) — the FILTER/semi-join path feeding
     * facets, grouping, and joins.
@@ -298,6 +339,10 @@ object Executor {
   ): Option[DocScorer] = query match {
     case TermQuery(t) =>
       blocks.get(t).map(bs => new TermScorer(bs, scorers(t)))
+    case sq: SynonymQuery =>
+      val sim = scorers(sq.key)
+      val children = sq.synonyms.flatMap(blocks.get).map(bs => new TermScorer(bs, sim)).toArray
+      if (children.isEmpty) None else Some(new SynonymScorer(children, sim))
     case bq: BoolQuery =>
       val must = bq.must.map(build(_, blocks, scorers))
       val filters = bq.filter.map(build(_, blocks, scorers))
@@ -342,6 +387,8 @@ object Executor {
       blocks.get(t).foreach { bs =>
         Wand.run(Array(new TermScorer(bs, scorers(t))), None, collector, pruning)
       }
+    case sq: SynonymQuery =>
+      build(sq, blocks, scorers).foreach(s => Wand.run(Array(s), None, collector, pruning))
     case bq: BoolQuery if bq.must.isEmpty && bq.filter.isEmpty =>
       val should = bq.should.flatMap(build(_, blocks, scorers))
       val excl = orScorer(bq.mustNot.flatMap(build(_, blocks, scorers)))
@@ -350,13 +397,20 @@ object Executor {
       build(query, blocks, scorers).foreach(Wand.drain(_, collector))
   }
 
+  /** All scorer-map keys a query needs (terms + synonym pseudo-terms). */
+  def scorerKeys(q: Query): Set[String] = q match {
+    case TermQuery(t)      => Set(t)
+    case sq: SynonymQuery  => sq.synonyms.toSet + sq.key
+    case bq: BoolQuery     => bq.clauses.iterator.flatMap(c => scorerKeys(c._1)).toSet
+  }
+
   /** Matching docIds without scoring. */
   def matchIds(
       query: Query,
       blocks: Map[String, Array[BlockView]]
   ): Iterator[Long] = {
     val const: Map[String, SimScorer] =
-      query.terms.iterator.map(t => t -> (new ConstScorer(1.0): SimScorer)).toMap
+      scorerKeys(query).iterator.map(t => t -> (new ConstScorer(1.0): SimScorer)).toMap
     build(query, blocks, const) match {
       case None => Iterator.empty
       case Some(s) =>

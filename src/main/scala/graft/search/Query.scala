@@ -24,6 +24,16 @@ final case class TermQuery(term: String) extends Query {
   def terms: Set[String] = Set(term)
 }
 
+/** Multiple surface forms scored as one pseudo-term: summed per-doc tf, max
+  * docFreq (ref `/root/reference/lucene/core/src/java/org/apache/lucene/search/SynonymQuery.java:54`
+  * — "scores as if you had indexed all variants as one term").
+  */
+final case class SynonymQuery(synonyms: Seq[String]) extends Query {
+  require(synonyms.nonEmpty)
+  def terms: Set[String] = synonyms.toSet
+  def key: String = synonyms.sorted.mkString("syn:", "|", "")
+}
+
 final case class BoolQuery(clauses: Seq[(Query, Occur)]) extends Query {
   def terms: Set[String] = clauses.iterator.flatMap(_._1.terms).toSet
   def must: Seq[Query] = clauses.collect { case (q, Occur.Must) => q }

@@ -145,6 +145,70 @@ final class TermScorer(blocks: Array[BlockView], scorer: SimScorer) extends DocS
   def freq: Int = freqs(pos).toInt
   def norm: Int = norms(pos).toInt
   def score: Double = scorer.score(freq, norm)
+
+  /** Impact-frontier accessors for composite (synonym) bounds: frontier is
+    * sorted freq-asc/norm-asc, so max freq is last and min norm is first.
+    */
+  private def frontier(i: Int): Array[Impacts.Impact] = Impacts.decode(blocks(i).impacts)
+  def globalMaxFreq: Int =
+    if (blocks.isEmpty) 0 else blocks.indices.map(i => frontier(i).last.freq).max
+  def globalMinNorm: Int =
+    if (blocks.isEmpty) 255 else blocks.indices.map(i => frontier(i).head.norm).min
+  def shallowMaxFreq: Int =
+    if (shallowIdx >= blocks.length) 0 else frontier(shallowIdx).last.freq
+  def shallowMinNorm: Int =
+    if (shallowIdx >= blocks.length) 255 else frontier(shallowIdx).head.norm
+}
+
+/** Multiple terms scored as one pseudo-term: per-doc freq = SUM of member
+  * freqs, one shared SimScorer built from blended stats (ref
+  * `search/SynonymQuery.java` — docFreq = max over members, totalTermFreq =
+  * sum). Upper bounds use (sum of member max freqs, min member norm) —
+  * valid since BM25 is monotone in freq and antitone in norm.
+  */
+final class SynonymScorer(children: Array[TermScorer], sim: SimScorer) extends DocScorer {
+  import DocScorer.NoMoreDocs
+  private var cur: Long = -1L
+
+  override val cost: Long = children.map(_.cost).sum
+  override lazy val maxScore: Double =
+    if (children.isEmpty) 0.0
+    else sim.score(children.map(_.globalMaxFreq.toLong).sum.min(Int.MaxValue).toInt,
+      children.map(_.globalMinNorm).min)
+
+  def docId: Long = cur
+  def nextDoc(): Long = advance(cur + 1)
+
+  def advance(target: Long): Long = {
+    if (cur == NoMoreDocs) return NoMoreDocs
+    var min = NoMoreDocs
+    var i = 0
+    while (i < children.length) {
+      val d = if (children(i).docId < target) children(i).advance(target)
+              else children(i).docId
+      if (d < min) min = d
+      i += 1
+    }
+    cur = min
+    cur
+  }
+
+  def score: Double = {
+    var f = 0L
+    var norm = 0
+    var i = 0
+    while (i < children.length) {
+      if (children(i).docId == cur) { f += children(i).freq; norm = children(i).norm }
+      i += 1
+    }
+    sim.score(f.min(Int.MaxValue).toInt, norm)
+  }
+
+  def advanceShallow(target: Long): Unit = children.foreach(_.advanceShallow(target))
+  def blockMaxScore: Double =
+    sim.score(children.map(_.shallowMaxFreq.toLong).sum.min(Int.MaxValue).toInt,
+      children.map(_.shallowMinNorm).min)
+  def blockBoundary: Long = children.map(_.blockBoundary).min
 }
 
 /** Leapfrog intersection (AND) — smallest-cost leads (ref

@@ -82,6 +82,19 @@ class AnalysisSpec extends AnyFunSuite {
     assert(!freqs.containsKey("the"))
   }
 
+  test("foreachTerm streams the same terms as tokens (hot-path equivalence)") {
+    val samples = Seq(
+      "The Quick  Brown-Fox jumped!", "don't O'Neill can't", "pi is 3.14 ... ok.",
+      "1,000 a,b", "snake_case _lead trail_ ___", "中文abc日", "the end of days",
+      "a" * 600, "", "  ", "x"
+    )
+    for (a <- Seq(an, en); s <- samples) {
+      val streamed = scala.collection.mutable.ArrayBuffer[String]()
+      a.foreachTerm(s)(streamed += _)
+      assert(streamed.toSeq == a.tokens(s).map(_.term), s"input: ${s.take(30)}")
+    }
+  }
+
   test("offsets point into the source") {
     val toks = an.tokens("ab Cd")
     assert(toks == Vector(Token("ab", 0, 0, 2), Token("cd", 1, 3, 5)))

@@ -28,6 +28,11 @@ final class BruteForceOracle(pages: Seq[Page], analyzer: StandardAnalyzer) {
       new Bm25FloatScorer(1.2f, 0.75f, Bm25.idf(df, docCount), avgdl)
     })
 
+  private def synScorer(sq: SynonymQuery): Bm25FloatScorer = {
+    val df = sq.synonyms.map(docFreq).max
+    new Bm25FloatScorer(1.2f, 0.75f, Bm25.idf(df, docCount), avgdl)
+  }
+
   /** None = no match; Some(score). */
   def eval(q: Query, doc: Int): Option[Double] = {
     val (tf, len) = docTf(doc)
@@ -37,6 +42,9 @@ final class BruteForceOracle(pages: Seq[Page], analyzer: StandardAnalyzer) {
         if (tf.containsKey(t) && docFreq(t) > 0)
           Some(scorer(t).score(tf.get(t), norm))
         else None
+      case sq: SynonymQuery =>
+        val f = sq.synonyms.map(t => tf.getOrDefault(t, 0)).sum
+        if (f == 0) None else Some(synScorer(sq).score(f, norm))
       case bq: BoolQuery =>
         val must = bq.must.map(go)
         val filt = bq.filter.map(go)

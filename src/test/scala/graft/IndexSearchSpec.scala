@@ -74,6 +74,42 @@ class IndexSearchSpec extends SparkTestBase {
     }
   }
 
+  test("synonym query duel: engine == oracle, pruned == exhaustive") {
+    for (syns <- Seq(Seq("court", "law"), Seq("the", "data"), Seq("bebe", "state"))) {
+      val q = SynonymQuery(syns)
+      val expected = oracle.topK(q, 10)
+      val pruned = searcher.topK(q, 10, pruning = true).collect()
+        .map(s => (s.docId, s.score)).toSeq
+      val exhaustive = searcher.topK(q, 10, pruning = false).collect()
+        .map(s => (s.docId, s.score)).toSeq
+      assert(pruned == exhaustive, s"pruning changed synonym results: $syns")
+      assert(pruned == expected, s"synonym engine != oracle: $syns")
+    }
+  }
+
+  test("fuzzy/prefix/range expansion against the term dictionary") {
+    val fz = searcher.expandFuzzy("cout", maxEdits = 1)
+    assert(fz.contains("court"))
+    val pre = searcher.expandPrefix("cou")
+    assert(pre.contains("court") && pre.forall(_.startsWith("cou")))
+    val rng = searcher.expandRange("court", "couru")
+    assert(rng == Seq("court"))
+  }
+
+  test("rescore combines first and second pass scores") {
+    import spark.implicits._
+    val q1 = Query.parse("court OR law")
+    val q2 = Query.parse("state OR time")
+    val cand = searcher.topK(q1, 20)
+    val rescored = searcher.rescore(cand, q2, 1.0, 2.0).collect()
+      .map(r => r.getAs[Long]("docId") -> r.getAs[Double]("score")).toMap
+    val first = cand.collect().map(s => s.docId -> s.score).toMap
+    first.foreach { case (d, s1) =>
+      val s2 = oracle.eval(q2, d.toInt).getOrElse(0.0)
+      assert(math.abs(rescored(d) - (s1 + 2.0 * s2)) < 1e-9, s"doc $d")
+    }
+  }
+
   test("matching set and counts match oracle") {
     for (qs <- Seq("court AND law", "court NOT law", "(court OR law) AND state")) {
       val q = Query.parse(qs)

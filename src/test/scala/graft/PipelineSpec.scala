@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.StandardAnalyzer
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+import graft.search.Query
+import graft.streaming.Streaming
+
+/** Pipeline-operator tests: dedup families against exact Jaccard, LSH ANN
+  * recall against brute force, multimodal stub plumbing, percolation vs a
+  * driver-side predicate, and the analyzer/split equivalence that underpins
+  * the SQL oracles.
+  */
+class PipelineSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  test("documents corpus: StandardAnalyzer == whitespace split (oracle premise)") {
+    val texts = docs.select("text").collect().map(_.getString(0))
+    val an = StandardAnalyzer.Default
+    texts.foreach { t =>
+      assert(an.tokens(t).map(_.term) == t.split(" ").toSeq, s"mismatch on: ${t.take(60)}")
+    }
+  }
+
+  test("exact dedup finds no false groups; md5 fingerprints are distinct per text") {
+    val fps = TextOps.fingerprintMd5(docs, "doc_id", "text").collect()
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byFp = fps.groupBy(_.getString(1))
+    byFp.foreach { case (_, rows) =>
+      val distinctTexts = rows.map(r => texts(r.getLong(0))).distinct
+      assert(distinctTexts.size == 1)
+    }
+  }
+
+  test("minhash-LSH recovers all high-jaccard pairs (recall vs exact)") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", w = 2, threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text", w = 2,
+        bands = 8, rowsPerBand = 4, minSigSim = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(exact.subsetOf(lsh), s"LSH missed pairs: ${exact -- lsh}")
+  }
+
+  test("simhash: near-dup pairs have smaller hamming distance than random pairs") {
+    val sims = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nearDups = Dedup.jaccardPairs(docs, "doc_id", "text", w = 2, threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nearDups.nonEmpty)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val dupDist = nearDups.map { case (a, b) => ham(sims(a), sims(b)) }
+    val ids = sims.keys.toArray.sorted
+    val rndDist = (0 until 200).map { i =>
+      ham(sims(ids(i % ids.length)), sims(ids((i * 37 + 11) % ids.length)))
+    }.filter(_ > 0)
+    assert(dupDist.map(_.toDouble).sum / dupDist.length <
+      rndDist.map(_.toDouble).sum / rndDist.length / 2,
+      "near-dups should be much closer in hamming space")
+  }
+
+  test("LSH ANN: top-1 neighbor from brute force is recovered for most queries") {
+    import spark.implicits._
+    val exact = Similarity.allPairsTopK(emb, "vec_id", "embedding", 1)
+      .select($"id", $"nbr").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // these embeddings are near-random (max pairwise cos ~0.51), so true
+    // top-1 neighbors sit at ~60-70 deg — few planes + many tables needed;
+    // clustered real-world embeddings tolerate far more planes
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", dim = 64, k = 5,
+        nPlanes = 4, tables = 16)
+      .select($"id", $"nbr").collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    val hits = exact.count { case (id, nbr) => lsh.get(id).exists(_.contains(nbr)) }
+    val recall = hits.toDouble / exact.size
+    assert(recall > 0.6, s"LSH top-1-in-top-5 recall too low: $recall")
+  }
+
+  test("multimodal: binary plumbing + stub decode matches formula") {
+    val meta = Multimodal.extractMeta(spark,
+      Multimodal.withBinary(docs, "text", "payload"), "doc_id", "payload").collect()
+    val lens = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).length).toMap
+    meta.foreach { m =>
+      val n = lens(m.id)
+      assert(m.n_bytes == n && m.width == n % 640 && m.height == (n * 7) % 480 &&
+        m.frames == n % 16)
+    }
+  }
+
+  test("percolate (static) == per-doc predicate evaluation") {
+    val stored = Seq(
+      "q1" -> Query.parse("spark AND data"),
+      "q2" -> Query.parse("vector OR merge"),
+      "q3" -> Query.parse("customer NOT batch"))
+    val got = Streaming.percolate(docs, "doc_id", "text", stored)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSet))
+    val expected = (for {
+      (id, toks) <- texts
+      (qid, q) <- stored
+      if evalQ(q, toks)
+    } yield (qid, id)).toSet
+    assert(got == expected)
+  }
+
+  private def evalQ(q: Query, toks: Set[String]): Boolean = q match {
+    case graft.search.TermQuery(t) => toks.contains(t)
+    case bq: graft.search.BoolQuery =>
+      bq.must.forall(evalQ(_, toks)) && bq.filter.forall(evalQ(_, toks)) &&
+        (bq.should.isEmpty || bq.should.exists(evalQ(_, toks))) &&
+        !bq.mustNot.exists(evalQ(_, toks))
+  }
+
+  test("quality + langid emit sane ranges") {
+    val q = TextOps.quality(docs, "doc_id", "text").collect()
+    q.foreach { r =>
+      assert(r.getDouble(1) > 0 && r.getDouble(2) >= 0 && r.getDouble(2) <= 1 &&
+        r.getDouble(3) > 0 && r.getDouble(3) <= 1)
+    }
+    val l = TextOps.langId(docs, "doc_id", "text").collect()
+    assert(l.map(_.getString(1)).toSet.subsetOf(Set("en", "und")))
+  }
+}
