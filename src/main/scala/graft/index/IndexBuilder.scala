@@ -48,6 +48,12 @@ final case class IndexConfig(
   */
 object IndexBuilder {
 
+  private val SortCacheName = "graft-docid-sort"
+
+  private def dropSortCache(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .filter(_.name == SortCacheName).foreach(_.unpersist(blocking = false))
+
   /** Assign dense deterministic docIDs: global rank of `url` in sorted order.
     * Two narrow passes after one range shuffle (`zipWithIndex` computes
     * per-partition offsets with a lightweight count job) — the only safe,
@@ -61,11 +67,16 @@ object IndexBuilder {
     val spark = pages.sparkSession
     import spark.implicits._
     val parts = cfg.numDocPartitions
-    pages
+    val sorted = pages
       .toDF("_1", "_2").as[(String, String)] // normalize column names
       .repartitionByRange(parts, $"_1")
       .sortWithinPartitions($"_1")
       .rdd
+    // zipWithIndex runs a per-partition count job then the real pass; cache
+    // the sorted run so the shuffle+sort isn't paid twice
+    sorted.setName(SortCacheName)
+    sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sorted
       .zipWithIndex()
       .map { case ((url, text), id) => (id, url, text) }
       .toDS()
@@ -239,6 +250,7 @@ object IndexBuilder {
           val docsOut = docTokens
             .select($"docId", $"url", $"length", $"norm").as[DocEntry]
           docsOut.write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
+          dropSortCache(spark) // docTokens is materialized; sorted run done
 
           val blocks = buildPostings(docTokens, cfg)
             .persist(StorageLevel.MEMORY_AND_DISK)
@@ -251,24 +263,22 @@ object IndexBuilder {
             .sortWithinPartitions($"term")
             .write.mode(SaveMode.Overwrite).parquet(s"$dir/terms")
 
-          val (docCount, sumTtf, maxDocId) = docTokens
-            .agg(count(lit(1)), sum($"length"), max($"docId"))
-            .as[(Long, Option[Long], Option[Long])]
-            .head() match {
-              case (c, s, m) => (c, s.getOrElse(0L), m.getOrElse(-1L))
-            }
+          // ONE pass over the cached docTokens yields the per-partition
+          // lineage + metrics (north rule: resumable builds with lineage)
+          // AND the collection stats (docCount, sumTotalTermFreq, maxDocId)
+          val lineage = docTokens
+            .groupBy(spark_partition_id().as("partition"))
+            .agg(count(lit(1)).as("rows"), sum($"length").as("tokens"),
+              max($"docId").as("maxId"))
+            .as[(Int, Long, Long, Long)]
+            .collect()
+            .sortBy(_._1)
+          val docCount = lineage.map(_._2).sum
+          val sumTtf = lineage.map(_._3).sum
+          val maxDocId = if (lineage.isEmpty) -1L else lineage.map(_._4).max
           val blockCount = blocks.count()
           val termCount = spark.read.parquet(s"$dir/terms").count()
           blocks.unpersist()
-          // per-partition lineage + metrics (north rule: resumable builds
-          // with per-partition lineage)
-          val lineage = docTokens
-            .groupBy(spark_partition_id().as("partition"))
-            .agg(count(lit(1)).as("rows"), sum($"length").as("tokens"))
-            .as[(Int, Long, Long)]
-            .collect()
-            .map { case (p, r, t) => PartitionLineage(p, r, t) }
-            .toSeq
           val manifest = SegmentManifest(
             segmentId = java.util.UUID.nameUUIDFromBytes(dir.getBytes).toString,
             dir = dir,
@@ -279,7 +289,7 @@ object IndexBuilder {
             blockCount = blockCount,
             bucketShift = cfg.bucketShift,
             buildWallSec = (System.nanoTime() - t0) / 1e9,
-            lineage = lineage
+            lineage = lineage.map { case (p, r, t, _) => PartitionLineage(p, r, t) }.toSeq
           )
           Manifest.commit(dir, manifest)
           manifest
