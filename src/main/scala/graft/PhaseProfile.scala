@@ -32,15 +32,14 @@ object PhaseProfile {
       r
     }
 
-    val pages = spark.read.parquet(corpusDir).select($"url", $"text").as[(String, String)]
-    val docs = phase("assignDocIds (count+sort)") {
-      val d = IndexBuilder.assignDocIds(pages, cfg)
-      d.persist(StorageLevel.MEMORY_AND_DISK)
-      d.count()
-      d
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(corpusDir))) {
+      val n = args.lift(2).map(_.toLong).getOrElse(150000L)
+      graft.corpus.Corpus.pages(spark, n).map(p => (p.url, p.text))
+        .toDF("url", "text").repartition(64).write.parquet(corpusDir)
     }
-    val docTokens = phase("tokenize (materialize)") {
-      val dt = IndexBuilder.tokenizeDocs(docs, cfg)
+    val pages = spark.read.parquet(corpusDir).select($"url", $"text").as[(String, String)]
+    val docTokens = phase("assign+tokenize (fused)") {
+      val dt = IndexBuilder.assignAndTokenize(pages, cfg)
       dt.persist(StorageLevel.MEMORY_AND_DISK)
       dt.count()
       dt

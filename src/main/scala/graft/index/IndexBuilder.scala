@@ -48,38 +48,93 @@ final case class IndexConfig(
   */
 object IndexBuilder {
 
-  private val SortCacheName = "graft-docid-sort"
-
-  private def dropSortCache(spark: SparkSession): Unit =
-    spark.sparkContext.getPersistentRDDs.values
-      .filter(_.name == SortCacheName).foreach(_.unpersist(blocking = false))
-
-  /** Assign dense deterministic docIDs: global rank of `url` in sorted order.
-    * Two narrow passes after one range shuffle (`zipWithIndex` computes
-    * per-partition offsets with a lightweight count job) — the only safe,
-    * re-runnable assignment at 10^12 docs (`monotonically_increasing_id` is
-    * partitioning-dependent; a global window would single-partition).
+  /** Assign dense deterministic docIDs (global rank of `url` in sorted order)
+    * and tokenize, in ONE pass over the sorted shuffle output.
+    *
+    * Two jobs share one shuffle stage (same RDD lineage → Spark reuses the
+    * shuffle map output): a count job that sizes each range partition without
+    * materializing any strings, then the real pass that assigns
+    * `docId = partitionOffset + rowRank` and analyzes each doc. This is the
+    * only safe, re-runnable assignment at 10^12 docs
+    * (`monotonically_increasing_id` is partitioning-dependent; a global
+    * window would single-partition). docIDs are independent of the sampled
+    * range boundaries — rank in url order is global.
     */
-  def assignDocIds(
+  def assignAndTokenize(
       pages: Dataset[(String, String)], // (url, text)
       cfg: IndexConfig
-  ): Dataset[(Long, String, String)] = { // (docId, url, text)
+  ): Dataset[DocTokens] = {
     val spark = pages.sparkSession
     import spark.implicits._
     val parts = cfg.numDocPartitions
-    val sorted = pages
-      .toDF("_1", "_2").as[(String, String)] // normalize column names
+    val stop = cfg.stopwords
+    val maxLen = cfg.maxTokenLength
+    // InternalRow RDD of the sorted plan: no per-row object allocation in
+    // the count job, and one shared shuffle stage across both jobs
+    val sortedRows = pages
+      .toDF("_1", "_2")
       .repartitionByRange(parts, $"_1")
       .sortWithinPartitions($"_1")
-      .rdd
-    // zipWithIndex runs a per-partition count job then the real pass; cache
-    // the sorted run so the shuffle+sort isn't paid twice
-    sorted.setName(SortCacheName)
-    sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sorted
-      .zipWithIndex()
-      .map { case ((url, text), id) => (id, url, text) }
-      .toDS()
+      .queryExecution.toRdd
+    val counts = sortedRows
+      .mapPartitionsWithIndex { (pid, it) =>
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator((pid, n))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val docTokens = sortedRows.mapPartitionsWithIndex { (pid, it) =>
+      val analyzer = new StandardAnalyzer(stop, maxLen)
+      var id = offsets(pid)
+      it.map { row =>
+        val url = row.getString(0)
+        val text = row.getString(1)
+        val (freqMap, length) = analyzer.termFreqs(text)
+        val n = freqMap.size
+        val terms = new Array[String](n)
+        val freqs = new Array[Int](n)
+        var i = 0
+        val iter = freqMap.entrySet().iterator()
+        while (iter.hasNext) {
+          val e = iter.next()
+          terms(i) = e.getKey
+          freqs(i) = e.getValue
+          i += 1
+        }
+        val docId = id
+        id += 1
+        DocTokens(docId, url, length,
+          java.lang.Byte.toUnsignedInt(SmallFloat.intToByte4(length)), terms, freqs)
+      }
+    }
+    spark.createDataset(docTokens)
+  }
+
+  /** Back-compat two-step shape used by specs: docId assignment alone. */
+  def assignDocIds(
+      pages: Dataset[(String, String)],
+      cfg: IndexConfig
+  ): Dataset[(Long, String, String)] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val parts = cfg.numDocPartitions
+    val sortedRows = pages
+      .toDF("_1", "_2")
+      .repartitionByRange(parts, $"_1")
+      .sortWithinPartitions($"_1")
+      .queryExecution.toRdd
+    val counts = sortedRows
+      .mapPartitionsWithIndex { (pid, it) =>
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator((pid, n))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val out = sortedRows.mapPartitionsWithIndex { (pid, it) =>
+      var id = offsets(pid)
+      it.map { row =>
+        val r = (id, row.getString(0), row.getString(1)); id += 1; r
+      }
+    }
+    spark.createDataset(out)
   }
 
   /** Tokenize each doc exactly once into term-frequency arrays + norm. */
@@ -130,27 +185,38 @@ object IndexBuilder {
         $"tf.freqs".as("freq"),
         $"norm"
       )
-    tokens
+    val sortedRows = tokens
       .repartitionByRange(cfg.numPostingPartitions, $"term", $"bucket")
       .sortWithinPartitions($"term", $"bucket", $"docId")
-      .as[(String, Long, Long, Int, Int)]
-      .mapPartitions(blockBuilder(_))
+      .queryExecution.toRdd
+    // InternalRow consumption: no per-row tuple/String allocation — the term
+    // string only materializes once per (term, bucket) run (GC matters: this
+    // iterator sees every (term, doc) pair in the corpus)
+    spark.createDataset(sortedRows.mapPartitions(blockBuilder(_)))
   }
 
-  /** Streaming 128-doc block builder over (term, bucket, docId, freq, norm)
-    * rows sorted by (term, bucket, docId). O(blockSize) state.
+  /** Streaming 128-doc block builder over InternalRows of
+    * (term, bucket, docId, freq, norm) sorted by (term, bucket, docId).
+    * O(blockSize) state.
     */
   private def blockBuilder(
-      rows: Iterator[(String, Long, Long, Int, Int)]
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow]
   ): Iterator[PostingBlock] = new Iterator[PostingBlock] {
     private val B = BlockCodec.BlockSize
     private val docIds = new Array[Long](B)
     private val freqs = new Array[Long](B)
     private val norms = new Array[Int](B)
     private var n = 0
-    private var curTerm: String = null
+    private var curTerm: String = null // term of the open block
+    private var curTermU8: org.apache.spark.unsafe.types.UTF8String = null
     private var curBucket = 0L
-    private var pendingRow: (String, Long, Long, Int, Int) = null
+    // row stashed when a (term, bucket, fullness) boundary forces a flush;
+    // pTermU8 == null means no pending row
+    private var pTermU8: org.apache.spark.unsafe.types.UTF8String = null
+    private var pBucket = 0L
+    private var pDocId = 0L
+    private var pFreq = 0
+    private var pNorm = 0
     private var nextBlock: PostingBlock = null
 
     private def flushBlock(): PostingBlock = {
@@ -190,19 +256,50 @@ object IndexBuilder {
       block
     }
 
+    /** Start a new block keyed (termU8, bucket). `termU8` must already be
+      * safe to retain (cloned).
+      */
+    private def open(
+        termU8: org.apache.spark.unsafe.types.UTF8String, bucket: Long
+    ): Unit = {
+      if (curTermU8 == null || !curTermU8.equals(termU8)) {
+        curTermU8 = termU8
+        curTerm = termU8.toString
+      }
+      curBucket = bucket
+    }
+
     private def advance(): Unit = {
-      while (nextBlock == null && (pendingRow != null || rows.hasNext)) {
-        val row = if (pendingRow != null) { val r = pendingRow; pendingRow = null; r }
-                  else rows.next()
-        val (term, bucket, docId, freq, norm) = row
-        if (curTerm == null) { curTerm = term; curBucket = bucket }
-        if (term != curTerm || bucket != curBucket || n == B) {
-          pendingRow = row
-          if (n > 0) nextBlock = flushBlock()
-          curTerm = term
-          curBucket = bucket
+      while (nextBlock == null && (pTermU8 != null || rows.hasNext)) {
+        if (pTermU8 != null) {
+          val t = pTermU8
+          pTermU8 = null
+          open(t, pBucket)
+          docIds(0) = pDocId; freqs(0) = pFreq.toLong; norms(0) = pNorm
+          n = 1
         } else {
-          docIds(n) = docId; freqs(n) = freq.toLong; norms(n) = norm; n += 1
+          val row = rows.next()
+          val termU8 = row.getUTF8String(0)
+          val bucket = row.getLong(1)
+          if (n > 0 && n < B && curBucket == bucket && curTermU8.equals(termU8)) {
+            docIds(n) = row.getLong(2)
+            freqs(n) = row.getInt(3).toLong
+            norms(n) = row.getInt(4)
+            n += 1
+          } else if (n == 0) { // first row of the partition
+            open(termU8.clone(), bucket) // clone: sorter reuses row buffers
+            docIds(0) = row.getLong(2)
+            freqs(0) = row.getInt(3).toLong
+            norms(0) = row.getInt(4)
+            n = 1
+          } else { // boundary: stash the row, emit the finished block
+            pTermU8 = termU8.clone()
+            pBucket = bucket
+            pDocId = row.getLong(2)
+            pFreq = row.getInt(3)
+            pNorm = row.getInt(4)
+            nextBlock = flushBlock()
+          }
         }
       }
       if (nextBlock == null && n > 0) nextBlock = flushBlock()
@@ -243,14 +340,12 @@ object IndexBuilder {
         val spark = pages.sparkSession
         import spark.implicits._
         val t0 = System.nanoTime()
-        val docs = assignDocIds(pages, cfg)
-        val docTokens = tokenizeDocs(docs, cfg)
+        val docTokens = assignAndTokenize(pages, cfg)
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
           val docsOut = docTokens
             .select($"docId", $"url", $"length", $"norm").as[DocEntry]
           docsOut.write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
-          dropSortCache(spark) // docTokens is materialized; sorted run done
 
           val blocks = buildPostings(docTokens, cfg)
             .persist(StorageLevel.MEMORY_AND_DISK)
