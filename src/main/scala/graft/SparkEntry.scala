@@ -76,6 +76,18 @@ object SparkEntry {
   private def docsDf(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** Stored text keyed by the searcher's docIds (url ↔ doc_id bridge). */
+  private def textByDocId(
+      s: SparkSession, d: String
+  ): org.apache.spark.sql.Dataset[(Long, String)] = {
+    val se = searcherFor(s, d)
+    import s.implicits._
+    se.docsTable.select($"docId", $"url")
+      .join(docsDf(s, d)
+        .select(format_string("doc%012d", $"doc_id").as("url"), $"text"), "url")
+      .select($"docId", $"text").as[(Long, String)]
+  }
+
   // ------------------------------------------------------- flagship
 
   /** Flagship: end-to-end index + BM25 WAND top-10 on sf0.001. */
@@ -139,6 +151,49 @@ object SparkEntry {
     }),
     "ft_inset_match" -> ((s, d) =>
       ftMatch(s, d, Query.or("spark", "merge", "vector"))),
+    "ft_range_match" -> ((s, d) => {
+      val se = searcherFor(s, d)
+      import s.implicits._
+      val terms = se.expandRange("qa", "ri", max = 4096)
+      if (terms.isEmpty) Seq.empty[Long].toDF("doc_id")
+      else ftMatch(s, d, BoolQuery(terms.map(t => TermQuery(t) -> (Occur.Should: Occur))))
+    }),
+    "ft_regex_match" -> ((s, d) => {
+      val se = searcherFor(s, d)
+      import s.implicits._
+      // anchored like the reference's RegexpQuery full-match automaton
+      val terms = se.expandRegex("^st[a-z]*m$", max = 4096)
+      if (terms.isEmpty) Seq.empty[Long].toDF("doc_id")
+      else ftMatch(s, d, BoolQuery(terms.map(t => TermQuery(t) -> (Occur.Should: Occur))))
+    }),
+    "ft_phrase_match" -> ((s, d) => {
+      val se = searcherFor(s, d)
+      import s.implicits._
+      se.phraseFreqs(Seq("data", "query"), textByDocId(s, d))
+        .toDF("docId", "phrase_freq")
+        .join(se.docsTable.select($"docId", $"url"), "docId")
+        .select(docIdOf($"url"), $"phrase_freq".cast("bigint").as("phrase_freq"))
+        .orderBy($"doc_id")
+    }),
+    "ft_phrase_topk" -> ((s, d) => {
+      val se = searcherFor(s, d)
+      import s.implicits._
+      se.phraseTopK(Seq("data", "query"), textByDocId(s, d), 60)
+        .join(se.docsTable.select($"docId", $"url"), "docId")
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc).limit(10)
+    }),
+    "ft_sort_topk" -> ((s, d) => {
+      val se = searcherFor(s, d)
+      import s.implicits._
+      // TopFieldCollector semantics: hits of a query ordered by a stored
+      // field (doc length) instead of relevance
+      ftMatch(s, d, Query.parse("data AND query"))
+        .join(se.docsTable
+          .select(docIdOf($"url"), $"length".cast("bigint").as("dl")), "doc_id")
+        .orderBy($"dl".desc, $"doc_id".asc)
+        .limit(15)
+    }),
     "ft_counts" -> ((s, d) => {
       val se = searcherFor(s, d)
       import s.implicits._
@@ -358,6 +413,51 @@ object SparkEntry {
         |SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'qu%' ORDER BY doc_id""".stripMargin,
     "ft_inset_match" -> matchIds(Seq("spark", "merge", "vector"),
       s"${hasTerm("spark")} OR ${hasTerm("merge")} OR ${hasTerm("vector")}"),
+    "ft_range_match" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT DISTINCT doc_id FROM tok WHERE term >= 'qa' AND term < 'ri'
+        |ORDER BY doc_id""".stripMargin,
+    "ft_regex_match" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT DISTINCT doc_id FROM tok WHERE regexp_full_match(term, 'st[a-z]*m')
+        |ORDER BY doc_id""".stripMargin,
+    "ft_phrase_match" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |                  generate_subscripts(string_split(text, ' '), 1) AS pos
+        |           FROM documents)
+        |SELECT a.doc_id, count(*) AS phrase_freq
+        |FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |WHERE a.term = 'data' AND b.term = 'query'
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+    "ft_phrase_topk" -> {
+      val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
+      s"""WITH tokp AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         |                     generate_subscripts(string_split(text, ' '), 1) AS pos
+         |              FROM documents),
+         |dlen AS (SELECT doc_id, count(*) AS dl FROM tokp GROUP BY doc_id),
+         |qlen AS (SELECT doc_id,
+         |  (SELECT max(v) FROM (VALUES $vals) b4(v) WHERE v <= dl) AS qdl FROM dlen),
+         |stats AS (SELECT count(*)::DOUBLE AS n,
+         |                 sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dlen),
+         |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokp
+         |       WHERE term IN ('data', 'query') GROUP BY term),
+         |widf AS (SELECT sum(ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))) AS w FROM df),
+         |pf AS (SELECT a.doc_id, count(*)::DOUBLE AS freq
+         |       FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |       WHERE a.term = 'data' AND b.term = 'query' GROUP BY a.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT pf.doc_id,
+         |    (SELECT w FROM widf) - (SELECT w FROM widf) / (1 + pf.freq *
+         |      (1.0 / (1.2 * (0.25 + 0.75 * qlen.qdl / (SELECT avgdl FROM stats))))) AS score
+         |  FROM pf JOIN qlen ON qlen.doc_id = pf.doc_id)
+         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+    "ft_sort_topk" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
+         |SELECT doc_id, dl FROM dlen
+         |WHERE ${hasTerm("data")} AND ${hasTerm("query")}
+         |ORDER BY dl DESC, doc_id ASC LIMIT 15""".stripMargin,
     "ft_counts" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
          |d AS (SELECT DISTINCT doc_id FROM documents)

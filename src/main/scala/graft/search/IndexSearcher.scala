@@ -277,6 +277,84 @@ final class IndexSearcher(
       }.toDF("docId").as[Long]
   }
 
+  /** Exact-phrase frequencies — two-phase matching, the re-expression of
+    * `search/PhraseQuery.java:71` + `search/ExactPhraseMatcher.java:39`:
+    * phase 1 approximates with the conjunction of all phrase terms over the
+    * positional-free index (cheap, prunes to docs containing every term);
+    * phase 2 verifies adjacency exactly by re-analyzing the stored text of
+    * the candidates (the stored-fields table is the row store, so this is a
+    * candidate-sized join + narrow flatMap, not a corpus scan).
+    *
+    * Position semantics match the reference: tokens carry analyzer positions
+    * (stopword gaps preserved), and a phrase hit requires positions
+    * `p, p+1, …, p+len-1`.
+    *
+    * @param textByDocId stored text keyed by this searcher's docIds
+    * @return (docId, phraseFreq) for docs with ≥1 phrase occurrence
+    */
+  def phraseFreqs(
+      terms: Seq[String],
+      textByDocId: Dataset[(Long, String)]
+  ): Dataset[(Long, Int)] = {
+    require(terms.nonEmpty, "empty phrase")
+    val cand = matching(
+      BoolQuery(terms.map(t => TermQuery(t) -> (Occur.Must: Occur))))
+    val an = analyzer
+    val phrase = terms.toArray
+    textByDocId.toDF("docId", "text")
+      .join(cand.toDF("docId"), "docId")
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = an.tokens(text)
+          val byPos = new java.util.HashMap[Int, String](toks.size * 2)
+          toks.foreach(t => byPos.put(t.position, t.term))
+          var freq = 0
+          toks.foreach { t =>
+            if (t.term == phrase(0)) {
+              var ok = true
+              var i = 1
+              while (ok && i < phrase.length) {
+                if (byPos.get(t.position + i) != phrase(i)) ok = false
+                i += 1
+              }
+              if (ok) freq += 1
+            }
+          }
+          if (freq > 0) Some((id, freq)) else None
+        }
+      }
+  }
+
+  /** BM25 top-k for an exact phrase: tf = phraseFreq, weight = Σ term idf
+    * (the reference sums per-term idfs for multi-term stats,
+    * `search/similarities/BM25Similarity.java:160-169`), norm as usual.
+    */
+  def phraseTopK(
+      terms: Seq[String],
+      textByDocId: Dataset[(Long, String)],
+      k: Int
+  ): Dataset[ScoredDoc] = {
+    val ts = termStats(terms)
+    val scorer: SimScorer =
+      if (terms.exists(t => !ts.contains(t))) new ConstScorer(0.0)
+      else precision match {
+        case Precision.FloatExact =>
+          // idf summed in a double over float per-term idfs (ref :160-169)
+          val idf = terms.map(t => Bm25.idf(ts(t).docFreq, stats.docCount).toDouble).sum
+          new Bm25FloatScorer(k1.toFloat, b.toFloat, idf.toFloat, Bm25.avgFieldLength(stats))
+        case Precision.DoubleOracle =>
+          val idf = terms.map(t => Bm25.idfD(ts(t).docFreq, stats.docCount)).sum
+          new Bm25DoubleScorer(k1, b, idf, Bm25.avgFieldLengthD(stats))
+      }
+    phraseFreqs(terms, textByDocId).toDF("docId", "freq")
+      .join(docsTable.select($"docId", $"norm"), "docId")
+      .as[(Long, Int, Int)]
+      .map { case (id, freq, norm) => ScoredDoc(id, scorer.score(freq, norm)) }
+      .orderBy($"score".desc, $"docId".asc)
+      .limit(k)
+  }
+
   /** Hit count. Single term: O(1) from the term dictionary (ref
     * `search/Weight.java#count` shortcut); otherwise counts matches.
     */

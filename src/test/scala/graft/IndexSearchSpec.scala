@@ -110,6 +110,39 @@ class IndexSearchSpec extends SparkTestBase {
     }
   }
 
+  test("phrase: two-phase match == brute-force positional scan") {
+    import spark.implicits._
+    val pagesDs = spark.createDataset(pagesLocal.map(p => (p.url, p.text)))
+      .toDF("url", "text")
+    val txt = searcher.docsTable.select($"docId", $"url")
+      .join(pagesDs, "url").select($"docId", $"text").as[(Long, String)]
+    val phrase = Seq("the", "of")
+    val got = searcher.phraseFreqs(phrase, txt).collect().toMap
+
+    val idOf = pagesLocal.map(_.url).sorted.zipWithIndex
+      .map { case (u, i) => u -> i.toLong }.toMap
+    val an = StandardAnalyzer.Default
+    val expected = pagesLocal.flatMap { p =>
+      val toks = an.tokens(p.text)
+      var f = 0
+      var i = 0
+      while (i < toks.size - 1) {
+        if (toks(i).term == phrase(0) && toks(i + 1).term == phrase(1) &&
+            toks(i + 1).position == toks(i).position + 1) f += 1
+        i += 1
+      }
+      if (f > 0) Some(idOf(p.url) -> f) else None
+    }.toMap
+    assert(expected.nonEmpty, "test phrase never occurs — pick another")
+    assert(got == expected)
+
+    // scored variant: ranked by (score desc, docId asc), docs ⊆ match set
+    val top = searcher.phraseTopK(phrase, txt, 10).collect()
+    assert(top.nonEmpty)
+    assert(top.sortBy(s => (-s.score, s.docId)).toSeq == top.toSeq)
+    assert(top.forall(s => expected.contains(s.docId)))
+  }
+
   test("matching set and counts match oracle") {
     for (qs <- Seq("court AND law", "court NOT law", "(court OR law) AND state")) {
       val q = Query.parse(qs)
