@@ -28,33 +28,92 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
       .where(col("group_size") > 1)
 
-  /** Word w-shingles of a doc as a distinct array column. */
+  /** Word w-shingles of a doc as a distinct array column. Each shingle is
+    * assembled from `w` O(1) `element_at` reads (a per-position `slice`
+    * would re-copy the token array for every offset — measured 10x slower
+    * in the interpreted higher-order-function path).
+    */
   def shingles(text: Column, w: Int): Column = {
     val toks = split(text, " ")
-    array_distinct(
-      filter(
-        transform(toks, (_, i) => when(i <= size(toks) - w,
-          concat_ws(" ", slice(toks, i + lit(1), lit(w)))).otherwise(lit(null))),
-        x => x.isNotNull
-      )
-    )
+    val nSh = size(toks) - (w - 1)
+    // sequence(1, n) descends when n < 1 — short docs get an empty array
+    when(nSh >= 1,
+      array_distinct(
+        transform(sequence(lit(1), nSh), i =>
+          concat_ws(" ", (0 until w).map(o => element_at(toks, i + lit(o))): _*))))
+      .otherwise(array().cast("array<string>"))
   }
 
-  /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= threshold).
-    * Pairs are generated only for docs sharing at least one shingle
-    * (shuffle on shingle), so disjoint docs never meet.
+  /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= threshold):
+    * count-based intersection — shared-shingle equi-join with a length
+    * filter (`t ≤ na/nb ≤ 1/t` is necessary for J ≥ t) folded into the join,
+    * then one partial-agg count per (a, b) pair. All narrow rows, one wide
+    * shuffle; the fastest exact strategy when shingle frequencies are
+    * moderate. For corpora with Zipf-head shingles (df² products explode)
+    * use [[jaccardPairsPrefix]], which prunes candidates by PPJoin prefix
+    * filtering before any per-pair work.
     */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       w: Int = 3, threshold: Double = 0.5
   ): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), w).as("sh"))
+    val t = threshold - 1e-4 // admit borderline pairs that round up to t
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // repartition the INPUT: a single-file source would otherwise compute
+    // shingles AND the whole broadcast-join product on ONE task
+    val sh = df.repartition(par)
+      .select(col(idCol).as("id"), shingles(col(textCol), w).as("sh"))
       .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
     val a = sh.as("a"); val b = sh.as("b")
-    a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+    a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+        col("b.n") >= col("a.n") * t && col("a.n") >= col("b.n") * t)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via prefix filtering (the PPJoin
+    * family): with every doc's shingle set sorted in one global order
+    * (docFreq asc, shingle asc — rarest first), any pair with J ≥ t must
+    * share an element within both docs' first `n - ceil(t*n) + 1` shingles —
+    * so only prefixes enter the candidate join, and only candidates pay
+    * exact verification (`array_intersect` on the full sets). The scale
+    * path for Zipf-skewed corpora: head shingles outside prefixes never
+    * join, so cost tracks near-dup density instead of Σ df².
+    */
+  def jaccardPairsPrefix(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, threshold: Double = 0.5
+  ): DataFrame = {
+    val t = threshold - 1e-4 // admit borderline pairs that round up to t
+    // global order = (shingle docFreq asc, shingle asc): prefixes then hold
+    // each doc's RAREST shingles, so candidate collisions track true
+    // near-dup density instead of Zipf-head shingle frequency
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val ex = df.repartition(par)
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), w)).as("s"))
+    val sdf = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val docs = ex.join(sdf, "s")
+      .groupBy(col("id"))
+      .agg(expr("transform(array_sort(collect_list(struct(df, s))), x -> x.s)").as("sh"))
+      .select(col("id"), col("sh"), size(col("sh")).as("n"))
+    val pref = docs.select(col("id"), col("n"),
+      explode(slice(col("sh"), lit(1),
+        greatest(lit(0), (col("n") - ceil(col("n") * t) + 1).cast("int")))).as("s"))
+      .repartition(par)
+    val a = pref.as("a"); val b = pref.as("b")
+    val cands = a.join(b,
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          col("b.n") >= col("a.n") * t && col("a.n") >= col("b.n") * t)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sa"), col("n").as("na")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sb"), col("n").as("nb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
@@ -70,8 +129,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       w: Int = 3, numHashes: Int = 32, seed: Long = 42L
   ): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
-      transform(shingles(col(textCol), w), s => xxhash64(s)).as("hs"))
+    val base = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        transform(shingles(col(textCol), w), s => xxhash64(s)).as("hs"))
     val sigCols = (0 until numHashes).map { i =>
       array_min(transform(col("hs"), h => xxhash64(h, lit(seed + i))))
     }
@@ -88,19 +148,24 @@ object Dedup {
       minSigSim: Double = 0.5, seed: Long = 42L
   ): DataFrame = {
     val sigs = minHashSignatures(df, idCol, textCol, w, bands * rowsPerBand, seed)
-    val banded = sigs.select(col("id"), col("signature"),
+    // candidate pairs travel as bare (id_a, id_b) — signatures (8×rows longs
+    // per doc) only re-attach after pair dedup, keeping the bucket-join
+    // shuffle narrow
+    val banded = sigs.select(col("id"),
         posexplode(transform(
           sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",",
             slice(col("signature"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))), b)
         )).as(Seq("band", "bucket")))
     val a = banded.as("a"); val b = banded.as("b")
-    a.join(b,
+    val cands = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.signature").as("sa"), col("b.signature").as("sb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    cands
+      .join(sigs.select(col("id").as("id_a"), col("signature").as("sa")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("signature").as("sb")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), p => p))
           .cast("double") / size(col("sa")), 4).as("sig_sim"))
@@ -112,7 +177,8 @@ object Dedup {
     * 64 column expressions folded over the token-hash array — narrow,
     * deterministic.
     */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHash(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val df = df0.repartition(df0.sparkSession.sparkContext.defaultParallelism)
     val hs = transform(split(col(textCol), " "), t => xxhash64(t))
     // bit b of the signature: 1 if sum over tokens of (bit set ? +1 : -1) > 0
     val bits = (0 until 64).map { bIdx =>
@@ -130,8 +196,9 @@ object Dedup {
   def embeddingPairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double
   ): DataFrame = {
-    val v = df.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val v = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
     val a = v.as("a"); val b = v.as("b")
     a.join(b, col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -35,7 +35,8 @@ object Similarity {
       query: Array[Float], k: Int, excludeId: Option[Long] = None
   ): DataFrame = {
     val q = array(query.map(v => lit(v.toDouble)): _*)
-    val base = df.select(col(idCol), round(cosine(asDouble(col(vecCol)), q), 4).as("sim"))
+    val base = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), round(cosine(asDouble(col(vecCol)), q), 4).as("sim"))
     val filtered = excludeId.map(e => base.where(col(idCol) =!= e)).getOrElse(base)
     filtered.orderBy(col("sim").desc, col(idCol).asc).limit(k)
   }
@@ -87,19 +88,26 @@ object Similarity {
       dim: Int, k: Int, nPlanes: Int = 8, tables: Int = 4, seed: Long = 42L
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val bucketed = v.select(col("id"), col("v"),
+    // repartition the input: a single-file source would otherwise compute
+    // all SRP projections on one task
+    val v = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // candidate pairs travel as bare ids through the bucket join; the
+    // dim-sized vectors only re-attach after pair dedup
+    val bucketed = v.select(col("id"),
       posexplode(array((0 until tables).map(t =>
         srpBucket(col("v"), dim, nPlanes, seed + t * 7919L)): _*)).as(Seq("table", "bucket")))
     val a = bucketed.as("a"); val b = bucketed.as("b")
     val cands = a.join(b,
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("id"), col("b.id").as("nbr"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+      .select(col("a.id").as("id"), col("b.id").as("nbr"))
       .dropDuplicates("id", "nbr")
+    val scored = cands
+      .join(v.select(col("id"), col("v").as("va")), "id")
+      .join(v.select(col("id").as("nbr"), col("v").as("vb")), "nbr")
       .select(col("id"), col("nbr"), round(cosine(col("va"), col("vb")), 4).as("sim"))
     val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("nbr").asc)
-    cands.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 }
