@@ -240,6 +240,46 @@ object SparkEntry {
         .groupBy($"source").agg(count(lit(1)).as("n_docs"))
         .orderBy($"source")
     }),
+    "ft_suggest" -> ((s, d) => {
+      // suggest module re-expression: prefix autocomplete ranked by docFreq
+      // (ref lucene/suggest FST lookups -> sorted-dictionary prefix scan)
+      val se = searcherFor(s, d)
+      import s.implicits._
+      se.segments.map(m => s.read.parquet(s"${m.dir}/terms"))
+        .reduce(_ unionByName _)
+        .where($"term".startsWith("st"))
+        .groupBy($"term").agg(sum($"docFreq").as("doc_freq"))
+        .orderBy($"doc_freq".desc, $"term".asc)
+        .limit(10)
+    }),
+    "ft_knn_classify" -> ((s, d) => {
+      // classification module re-expression (KNearestNeighborClassifier):
+      // BM25 top-k neighbors of the query text vote by their source label
+      val se = searcherFor(s, d)
+      import s.implicits._
+      val cand = se.topK(se.parse("data OR query OR stream"), 80)
+        .orderBy(round($"score", 6).desc, $"docId".asc).limit(25)
+      cand.join(se.docsTable.select($"docId", $"url"), "docId")
+        .select(docIdOf($"url"))
+        .join(docsDf(s, d).select($"doc_id", $"source"), "doc_id")
+        .groupBy($"source").agg(count(lit(1)).as("votes"))
+        .orderBy($"votes".desc, $"source".asc)
+    }),
+    "ft_drill_sideways" -> ((s, d) => {
+      // facets drill-sideways (ref lucene/facet DrillSideways): for each
+      // dimension, count facet values applying every OTHER dimension's
+      // drill-down filter but not its own
+      import s.implicits._
+      val m = ftMatch(s, d, Query.parse("data"))
+        .join(docsDf(s, d).select($"doc_id", $"source", $"lang"), "doc_id")
+      val bySource = m.where($"lang" === "en")
+        .groupBy($"source").agg(count(lit(1)).as("n"))
+        .select(lit("source").as("dim"), $"source".as("value"), $"n")
+      val byLang = m.where($"source" === "src3")
+        .groupBy($"lang").agg(count(lit(1)).as("n"))
+        .select(lit("lang").as("dim"), $"lang".as("value"), $"n")
+      bySource.unionByName(byLang).orderBy($"dim", $"value")
+    }),
     "ft_group_top2" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -479,6 +519,28 @@ object SparkEntry {
           |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
           |  FROM ranked
           |) WHERE rn > 10 AND rn <= 20""".stripMargin),
+    "ft_suggest" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok
+        |WHERE term LIKE 'st%' GROUP BY term
+        |ORDER BY doc_freq DESC, term ASC LIMIT 10""".stripMargin,
+    "ft_knn_classify" ->
+      (bm25Scored(Seq("data", "query", "stream"), "TRUE") +
+        """, knn AS (
+          |  SELECT doc_id FROM ranked ORDER BY score DESC, doc_id ASC LIMIT 25
+          |)
+          |SELECT d.source, count(*) AS votes
+          |FROM knn JOIN documents d USING (doc_id)
+          |GROUP BY d.source ORDER BY votes DESC, d.source ASC""".stripMargin),
+    "ft_drill_sideways" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |m AS (SELECT DISTINCT doc_id FROM documents WHERE ${hasTerm("data")}),
+         |j AS (SELECT m.doc_id, d.source, d.lang FROM m JOIN documents d USING (doc_id))
+         |SELECT 'lang' AS dim, lang AS value, count(*) AS n FROM j
+         |WHERE source = 'src3' GROUP BY lang
+         |UNION ALL
+         |SELECT 'source', source, count(*) FROM j WHERE lang = 'en' GROUP BY source
+         |ORDER BY dim, value""".stripMargin,
     "ft_facet_source" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
          |m AS (SELECT DISTINCT doc_id FROM documents
