@@ -35,6 +35,45 @@ object Demo {
         println(s"[demo] indexed ${m.docCount} docs, ${m.termCount} terms, " +
           f"${m.blockCount} blocks in ${m.buildWallSec}%.1fs " +
           f"(${m.docCount / m.buildWallSec}%.0f docs/sec)")
+      case "ingest" :: dir :: batches :: perBatch :: Nil =>
+        // incremental ingest: one committed segment per batch (NRT-style —
+        // each commit is searchable immediately via IndexSearcher.open),
+        // then the merge-scheduler loop (the driver-side re-expression of
+        // ConcurrentMergeScheduler) replans with TieredMergePolicy until
+        // the segment set fits the tier budget
+        import graft.index.{Manifest, SegmentMerger, TieredMergePolicy}
+        val nb = batches.toInt
+        val n = perBatch.toLong
+        val cfg = IndexConfig(bucketShift = 12, numPostingPartitions = cpus.toInt * 2)
+        for (b <- 0 until nb) {
+          val pages = Corpus.pages(spark, n, start = b * n).map(p => (p.url, p.text))
+          val m = IndexBuilder.buildSegment(pages, f"$dir/seg$b%05d", cfg)
+          println(s"[demo] batch $b committed: ${m.docCount} docs, ${m.blockCount} blocks")
+        }
+        def manifests() = new java.io.File(dir).listFiles()
+          .filter(_.isDirectory).sortBy(_.getName)
+          .flatMap(f => Manifest.read(f.getPath)).toSeq
+        var round = 0
+        var plan = TieredMergePolicy.findMerges(manifests())
+        while (plan.nonEmpty) {
+          val group = plan.head
+          val out = f"$dir/merge_$round%03d"
+          val m = SegmentMerger.merge(spark, group, out, cfg)
+          println(s"[demo] merge $round: ${group.size} segs -> ${m.docCount} docs, ${m.blockCount} blocks")
+          group.foreach { d => // drop merged inputs from the manifest set
+            val p = new java.io.File(d)
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) f.listFiles().foreach(rm)
+              f.delete(): Unit
+            }
+            rm(p)
+          }
+          round += 1
+          plan = TieredMergePolicy.findMerges(manifests())
+        }
+        val finalSegs = manifests()
+        println(s"[demo] ingest done: ${finalSegs.size} segments, " +
+          s"${finalSegs.map(_.docCount).sum} docs total")
       case "search" :: dir :: rest if rest.nonEmpty =>
         val searcher = IndexSearcher.open(spark, dir)
         val qs = rest.mkString(" ")

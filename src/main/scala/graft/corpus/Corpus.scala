@@ -141,9 +141,13 @@ object Corpus {
     )
   }
 
-  /** Distributed generation: narrow map over `spark.range` — no shuffle. */
-  def pages(spark: SparkSession, n: Long, seed: Long = DefaultSeed): Dataset[Page] = {
+  /** Distributed generation: narrow map over `spark.range` — no shuffle.
+    * `start` offsets the id range so incremental batches generate disjoint
+    * urls (append-only ingest).
+    */
+  def pages(spark: SparkSession, n: Long, seed: Long = DefaultSeed,
+            start: Long = 0L): Dataset[Page] = {
     import spark.implicits._
-    spark.range(n).mapPartitions(_.map(id => page(id, seed)))
+    spark.range(start, start + n).mapPartitions(_.map(id => page(id, seed)))
   }
 }

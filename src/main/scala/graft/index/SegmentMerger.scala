@@ -185,26 +185,69 @@ object SegmentMerger {
     }
 }
 
-/** Driver-side tiered merge planning over the segment manifest — a simplified
-  * port of the reference's policy shape
-  * (`/root/reference/lucene/core/src/java/org/apache/lucene/index/TieredMergePolicy.java:317-423`:
-  * size-sorted segments, merge `segsPerTier` of roughly one tier, skip
-  * over-sized segments).
+/** Driver-side tiered merge planning over the segment manifest — the policy
+  * shape of the reference
+  * (`/root/reference/lucene/core/src/java/org/apache/lucene/index/TieredMergePolicy.java:317-423`),
+  * with blockCount as the size currency:
+  *
+  *  1. budget: compute the allowed segment count by walking size tiers —
+  *     `segsPerTier` segments allowed per tier, each tier `maxMergeAtOnce`×
+  *     larger than the last, smallest tier floored (ref `:340-375`);
+  *  2. if over budget, score candidate windows over the size-sorted list:
+  *     `skew × size^0.05` (smaller is better — prefer balanced merges of
+  *     small segments, the shape of the reference's `score()` method);
+  *  3. segments larger than half `maxMergedBlocks` never merge (ref
+  *     `:76-114` maxMergedSegmentBytes/2 rule).
+  *
+  * Returns at most one merge per call — the driver loop (the re-expression
+  * of `ConcurrentMergeScheduler`) replans after each committed merge.
   */
 object TieredMergePolicy {
-  val SegsPerTier = 8
+  val SegsPerTier = 8.0
   val MaxMergeAtOnce = 8
+  val FloorBlocks = 1024L
 
   /** Returns groups of segment dirs to merge (may be empty). */
   def findMerges(manifests: Seq[SegmentManifest], maxMergedBlocks: Long = Long.MaxValue): Seq[Seq[String]] = {
-    val eligible = manifests
-      .filter(_.blockCount <= maxMergedBlocks / 2)
-      .sortBy(_.blockCount)
+    val eligible = manifests.filter(_.blockCount <= maxMergedBlocks / 2)
     if (eligible.size < 2) return Seq.empty
-    // greedy: group the smallest segments, up to MaxMergeAtOnce per merge,
-    // only when at least SegsPerTier/2 segments of similar size exist or the
-    // total segment count exceeds SegsPerTier
-    if (manifests.size <= SegsPerTier) Seq.empty
-    else Seq(eligible.take(MaxMergeAtOnce).map(_.dir))
+    val bySizeDesc = eligible.sortBy(m => (-m.blockCount, m.dir))
+    val totalBlocks = eligible.map(_.blockCount).sum
+
+    // tier-budget walk (ref :340-375)
+    var levelSize = math.max(bySizeDesc.last.blockCount, FloorBlocks).toDouble
+    var remaining = totalBlocks.toDouble
+    var allowed = 0.0
+    while (remaining > 0) {
+      val segsAtLevel = remaining / levelSize
+      if (segsAtLevel < SegsPerTier) {
+        allowed += math.ceil(segsAtLevel)
+        remaining = 0
+      } else {
+        allowed += SegsPerTier
+        remaining -= SegsPerTier * levelSize
+        levelSize *= MaxMergeAtOnce
+      }
+    }
+    if (eligible.size <= allowed) return Seq.empty
+
+    // scored sliding windows over the size-sorted list (ref :380-423)
+    var bestScore = Double.MaxValue
+    var best: Seq[SegmentManifest] = Seq.empty
+    for (start <- bySizeDesc.indices) {
+      val cand = scala.collection.mutable.ArrayBuffer[SegmentManifest]()
+      var size = 0L
+      var i = start
+      while (i < bySizeDesc.size && cand.size < MaxMergeAtOnce &&
+             size + bySizeDesc(i).blockCount <= maxMergedBlocks) {
+        cand += bySizeDesc(i); size += bySizeDesc(i).blockCount; i += 1
+      }
+      if (cand.size > 1) {
+        val skew = cand.head.blockCount.toDouble / math.max(1L, size)
+        val score = skew * math.pow(size.toDouble, 0.05)
+        if (score < bestScore) { bestScore = score; best = cand.toSeq }
+      }
+    }
+    if (best.isEmpty) Seq.empty else Seq(best.map(_.dir))
   }
 }
