@@ -34,7 +34,7 @@ object SparkEntry {
       import spark.implicits._
       val dir = java.nio.file.Files
         .createDirectories(java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft-idx",
+          sys.props("java.io.tmpdir"), "graft-idx-v2", // vN = segment format rev
           java.lang.Integer.toHexString(sfDir.hashCode)))
         .toString
       val pages = spark.read.parquet(s"$sfDir/documents.parquet")

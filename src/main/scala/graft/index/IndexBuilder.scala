@@ -320,7 +320,15 @@ object IndexBuilder {
     import spark.implicits._
     blocks
       .groupBy($"term")
-      .agg(sum($"numDocs").as("docFreq"), sum($"freqSum").as("totalTermFreq"))
+      .agg(sum($"numDocs").as("docFreq"), sum($"freqSum").as("totalTermFreq"),
+        // singleton-doc inline (ref Lucene103PostingsWriter.java:564): the
+        // one-posting term's (docId, freq, norm) are already block metadata
+        when(sum($"numDocs") === 1, min($"firstDocId")).otherwise(-1L)
+          .as("singletonDocId"),
+        when(sum($"numDocs") === 1, max($"maxFreq")).otherwise(0)
+          .cast("int").as("singletonFreq"),
+        when(sum($"numDocs") === 1, min($"minNorm")).otherwise(0)
+          .cast("int").as("singletonNorm"))
       .as[TermStat]
   }
 

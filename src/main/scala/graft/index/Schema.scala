@@ -69,8 +69,21 @@ object Schema {
   /** Term-dictionary row (the block-tree/.tim re-expression: range-partitioned
     * sorted Parquet; Parquet row-group min/max stats on `term` are the .tip
     * trie equivalent — a point/range lookup prunes to one row group).
+    *
+    * Singleton-doc optimization (ref `Lucene103PostingsFormat.java:138-141`,
+    * `Lucene103PostingsWriter.java:564`): a term with docFreq == 1 inlines
+    * its only posting (docId, freq, norm) here, so the read path never
+    * touches the postings table for it — at web scale most of the
+    * dictionary is hapax terms. `singletonDocId == -1` means not singleton.
     */
-  final case class TermStat(term: String, docFreq: Long, totalTermFreq: Long)
+  final case class TermStat(
+      term: String,
+      docFreq: Long,
+      totalTermFreq: Long,
+      singletonDocId: Long = -1L,
+      singletonFreq: Int = 0,
+      singletonNorm: Int = 0
+  )
 
   /** Collection statistics for BM25
     * (ref `search/similarities/BM25Similarity.java:101-108`).

@@ -19,6 +19,19 @@ object Precision {
 
 final case class ScoredDoc(docId: Long, score: Double)
 
+/** One term-dictionary row tagged with its segment ordinal (driver-side
+  * aggregation input; carries the singleton-doc inline posting).
+  */
+final case class SegTermRow(
+    seg: Int,
+    term: String,
+    docFreq: Long,
+    totalTermFreq: Long,
+    singletonDocId: Long,
+    singletonFreq: Int,
+    singletonNorm: Int
+)
+
 /** Block row shape shipped to the scoring executors. */
 final case class QBlock(
     term: String,
@@ -79,20 +92,27 @@ final class IndexSearcher(
 
   // ------------------------------------------------------------- stats
 
+  /** One pruned union-scan of the per-segment term dictionaries: rows keep
+    * their segment ordinal (needed by the singleton-doc fast path) and are
+    * aggregated on the driver (≤ |terms| × |segments| rows).
+    */
+  private def segTermRows(terms: Seq[String]): Seq[SegTermRow] =
+    if (terms.isEmpty) Seq.empty
+    else segments.zipWithIndex.map { case (s, i) =>
+      spark.read.parquet(s"${s.dir}/terms")
+        .where($"term".isin(terms: _*))
+        .select(lit(i).as("seg"), $"term", $"docFreq", $"totalTermFreq",
+          $"singletonDocId", $"singletonFreq", $"singletonNorm")
+    }.reduce(_ unionByName _).as[SegTermRow].collect().toSeq
+
+  private def aggStats(rows: Seq[SegTermRow]): Map[String, TermStat] =
+    rows.groupBy(_.term).map { case (t, rs) =>
+      t -> TermStat(t, rs.map(_.docFreq).sum, rs.map(_.totalTermFreq).sum)
+    }
+
   /** Global term stats for the given terms (sorted-Parquet point lookups). */
-  def termStats(terms: Seq[String]): Map[String, TermStat] = {
-    if (terms.isEmpty) return Map.empty
-    segments
-      .map(s => spark.read.parquet(s"${s.dir}/terms"))
-      .reduce(_ unionByName _)
-      .where($"term".isin(terms: _*))
-      .groupBy($"term")
-      .agg(sum($"docFreq").as("docFreq"), sum($"totalTermFreq").as("totalTermFreq"))
-      .as[TermStat]
-      .collect()
-      .map(t => t.term -> t)
-      .toMap
-  }
+  def termStats(terms: Seq[String]): Map[String, TermStat] =
+    aggStats(segTermRows(terms))
 
   /** Multi-term expansion against the sorted term dictionary (the automaton
     * intersection of `search/PrefixQuery`/`TermRangeQuery`/`AutomatonQuery`
@@ -179,16 +199,55 @@ final class IndexSearcher(
       .as[QBlock]
   }
 
+  /** Blocks for a query, with the singleton-doc fast path (ref
+    * `Lucene103PostingsFormat.java:138-141`): terms whose global docFreq is
+    * 1 synthesize their one-posting block from the term-dictionary row on
+    * the driver — the postings table is only scanned for the remaining
+    * terms, and not at all when every query term is a hapax.
+    */
+  private def queryBlocks(qTerms: Seq[String], rows: Seq[SegTermRow]): Dataset[QBlock] = {
+    import graft.codec.{BlockCodec, Impacts}
+    val singles: Map[String, SegTermRow] = rows.groupBy(_.term).collect {
+      case (t, rs) if rs.map(_.docFreq).sum == 1 && rs.exists(_.singletonDocId >= 0) =>
+        t -> rs.find(_.singletonDocId >= 0).get
+    }
+    val restTerms = qTerms.filter(t => !singles.contains(t) && rows.exists(_.term == t))
+    val scanned: Option[Dataset[QBlock]] =
+      if (restTerms.isEmpty) None else Some(blocksFor(restTerms))
+    val synthetic: Option[Dataset[QBlock]] =
+      if (singles.isEmpty) None
+      else {
+        val qbs = singles.values.map { r =>
+          val shift = segments(r.seg).bucketShift
+          val ids = Array(r.singletonDocId)
+          QBlock(r.term, r.seg, r.singletonDocId >>> shift,
+            r.singletonDocId, r.singletonDocId, 1,
+            BlockCodec.forEncode(BlockCodec.deltaEncode(ids, ids(0))),
+            BlockCodec.pforEncode(Array(r.singletonFreq.toLong)),
+            BlockCodec.forEncode(Array(r.singletonNorm.toLong)),
+            Impacts.encode(Impacts.skyline(Array((r.singletonFreq, r.singletonNorm)))))
+        }.toSeq
+        Some(spark.createDataset(qbs))
+      }
+    (scanned, synthetic) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None)    => a
+      case (None, Some(b))    => b
+      case (None, None)       => spark.emptyDataset[QBlock]
+    }
+  }
+
   // ------------------------------------------------------------ search
 
   /** Top-k by BM25, rank-identical tie-break (score desc, docId asc). */
   def topK(query: Query, k: Int, pruning: Boolean = true): Dataset[ScoredDoc] = {
     val qTerms = query.terms.toSeq.sorted
-    val ts = termStats(qTerms)
+    val rows = segTermRows(qTerms)
+    val ts = aggStats(rows)
     val scorers: Map[String, SimScorer] = scorerMap(query, ts)
     val basesL = bases
     val q = query
-    val candidates = blocksFor(qTerms)
+    val candidates = queryBlocks(qTerms, rows)
       .groupByKey(bk => (bk.seg, bk.bucket))
       .flatMapGroups { (key: (Int, Long), it: Iterator[QBlock]) =>
         val seg = key._1
@@ -212,11 +271,12 @@ final class IndexSearcher(
     */
   def scoreMatches(query: Query): Dataset[ScoredDoc] = {
     val qTerms = query.terms.toSeq.sorted
-    val ts = termStats(qTerms)
+    val rows = segTermRows(qTerms)
+    val ts = aggStats(rows)
     val scorers: Map[String, SimScorer] = scorerMap(query, ts)
     val basesL = bases
     val q = query
-    blocksFor(qTerms)
+    queryBlocks(qTerms, rows)
       .groupByKey(bk => (bk.seg, bk.bucket))
       .flatMapGroups { (key: (Int, Long), it: Iterator[QBlock]) =>
         val seg = key._1
@@ -263,7 +323,7 @@ final class IndexSearcher(
     val scorers: Map[String, SimScorer] = qTerms.map(t => t -> new ConstScorer(1.0)).toMap
     val basesL = bases
     val q = query
-    blocksFor(qTerms)
+    queryBlocks(qTerms, segTermRows(qTerms))
       .groupByKey(bk => (bk.seg, bk.bucket))
       .flatMapGroups { (key: (Int, Long), it: Iterator[QBlock]) =>
         val seg = key._1

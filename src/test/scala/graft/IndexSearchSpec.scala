@@ -110,6 +110,29 @@ class IndexSearchSpec extends SparkTestBase {
     }
   }
 
+  test("singleton-doc fast path: docFreq==1 terms rank-identical to oracle") {
+    // hunt a hapax term in the corpus (iterate doc term maps)
+    import scala.jdk.CollectionConverters._
+    val counts = scala.collection.mutable.HashMap[String, Int]()
+    oracle.docTf.foreach(_._1.keySet().asScala.foreach(t =>
+      counts.update(t, counts.getOrElse(t, 0) + 1)))
+    val hapaxes = counts.filter(_._2 == 1).keys.toSeq.sorted.take(3)
+    assert(hapaxes.nonEmpty, "corpus has no docFreq==1 term — enlarge it")
+    for (h <- hapaxes) {
+      val ts = searcher.termStats(Seq(h))
+      assert(ts(h).docFreq == 1L)
+      // term dictionary row carries the inline posting
+      val q = Query.parse(h)
+      val got = searcher.topK(q, 5).collect().map(s => (s.docId, s.score)).toSeq
+      assert(got == oracle.topK(q, 5), s"hapax $h")
+      assert(searcher.matching(q).collect().length == 1)
+      // mixed query: hapax OR head term still rank-identical
+      val mixed = Query.parse(s"$h OR court")
+      val gotM = searcher.topK(mixed, 10).collect().map(s => (s.docId, s.score)).toSeq
+      assert(gotM == oracle.topK(mixed, 10), s"mixed $h OR court")
+    }
+  }
+
   test("phrase: two-phase match == brute-force positional scan") {
     import spark.implicits._
     val pagesDs = spark.createDataset(pagesLocal.map(p => (p.url, p.text)))
