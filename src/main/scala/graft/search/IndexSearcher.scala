@@ -99,7 +99,14 @@ final class IndexSearcher(
   private def segTermRows(terms: Seq[String]): Seq[SegTermRow] =
     if (terms.isEmpty) Seq.empty
     else segments.zipWithIndex.map { case (s, i) =>
-      spark.read.parquet(s"${s.dir}/terms")
+      val raw = spark.read.parquet(s"${s.dir}/terms")
+      // schema evolution: pre-singleton segments read with the fast path off
+      val compat = Seq("singletonDocId" -> lit(-1L),
+          "singletonFreq" -> lit(0), "singletonNorm" -> lit(0))
+        .foldLeft(raw) { case (d, (c, dflt)) =>
+          if (d.columns.contains(c)) d else d.withColumn(c, dflt)
+        }
+      compat
         .where($"term".isin(terms: _*))
         .select(lit(i).as("seg"), $"term", $"docFreq", $"totalTermFreq",
           $"singletonDocId", $"singletonFreq", $"singletonNorm")
@@ -531,8 +538,94 @@ object Executor {
       val should = bq.should.flatMap(build(_, blocks, scorers))
       val excl = orScorer(bq.mustNot.flatMap(build(_, blocks, scorers)))
       if (should.nonEmpty) Wand.run(should.toArray, excl, collector, pruning)
+    case bq: BoolQuery if bq.should.isEmpty && bq.must.nonEmpty =>
+      // pure conjunction: block-max AND (ref
+      // search/BlockMaxConjunctionBulkScorer.java via
+      // BooleanScorerSupplier.java:412-414)
+      val musts = bq.must.map(build(_, blocks, scorers))
+      val filters = bq.filter.map(build(_, blocks, scorers))
+      if (musts.exists(_.isEmpty) || filters.exists(_.isEmpty)) return
+      val excl = orScorer(bq.mustNot.flatMap(build(_, blocks, scorers)))
+      blockMaxConjunction(musts.flatten.toArray, filters.flatten.toArray,
+        excl, collector, pruning)
     case _ =>
       build(query, blocks, scorers).foreach(Wand.drain(_, collector))
+  }
+
+  /** Block-max conjunction: leapfrog intersection led by the cheapest
+    * clause; before scoring a matched doc, the scoring clauses' summed
+    * per-block maxima are checked against the collector's k-th score — a
+    * non-competitive block is skipped wholesale (to just past the tightest
+    * block boundary) without decoding. Results are identical to exhaustive
+    * draining (duels enforce it): a doc is only skipped when its score
+    * upper bound cannot exceed the current threshold.
+    */
+  private def blockMaxConjunction(
+      musts: Array[DocScorer],
+      filters: Array[DocScorer],
+      excl: Option[DocScorer],
+      collector: TopKCollector,
+      pruning: Boolean
+  ): Unit = {
+    import DocScorer.NoMoreDocs
+    val all = musts ++ filters
+    if (all.isEmpty) return
+    val lead = all.minBy(_.cost)
+    var d = lead.nextDoc()
+    while (d != NoMoreDocs) {
+      // align every other clause to the lead's doc
+      var aligned = true
+      var i = 0
+      while (i < all.length && aligned) {
+        val s = all(i)
+        if (s ne lead) {
+          val sd = if (s.docId < d) s.advance(d) else s.docId
+          if (sd != d) {
+            aligned = false
+            d = if (sd == NoMoreDocs) NoMoreDocs else lead.advance(sd)
+          }
+        }
+        i += 1
+      }
+      if (aligned && d != NoMoreDocs) {
+        val thr = if (pruning) collector.minCompetitiveScore else Double.NegativeInfinity
+        var prune = false
+        if (thr != Double.NegativeInfinity) {
+          var ub = 0.0
+          var j = 0
+          while (j < musts.length) {
+            musts(j).advanceShallow(d)
+            ub += musts(j).blockMaxScore
+            j += 1
+          }
+          prune = ub <= thr
+        }
+        if (prune) {
+          var bnd = NoMoreDocs
+          var j = 0
+          while (j < musts.length) {
+            val b = musts(j).blockBoundary
+            if (b < bnd) bnd = b
+            j += 1
+          }
+          val skipTo =
+            if (bnd == NoMoreDocs) NoMoreDocs else math.max(d + 1, bnd + 1)
+          d = lead.advance(skipTo)
+        } else {
+          val excluded = excl.exists { e =>
+            val ed = if (e.docId < d) e.advance(d) else e.docId
+            ed == d
+          }
+          if (!excluded) {
+            var s = 0.0
+            var j = 0
+            while (j < musts.length) { s += musts(j).score; j += 1 }
+            collector.collect(d, s)
+          }
+          d = lead.nextDoc()
+        }
+      }
+    }
   }
 
   /** All scorer-map keys a query needs (terms + synonym pseudo-terms). */
