@@ -21,8 +21,9 @@ object PhaseProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+    val parts = args.lift(3).map(_.toInt).getOrElse(cores * 2)
     val cfg = IndexConfig(bucketShift = 14,
-      numPostingPartitions = cores * 2, numDocPartitions = cores * 2)
+      numPostingPartitions = parts, numDocPartitions = parts)
     val work = java.nio.file.Files.createTempDirectory("graft-prof").toString
 
     def phase[A](name: String)(f: => A): A = {

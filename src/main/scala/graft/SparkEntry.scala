@@ -592,7 +592,8 @@ object SparkEntry {
         |ORDER BY sim DESC, b.vec_id ASC LIMIT 10""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
-        |       len(list_distinct(string_split(text, ' '))) AS n_unique
+        |       len(list_distinct(string_split(text, ' '))) AS n_unique,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality" -> "", // replaced below
     "text_langid" -> "",  // replaced below

@@ -42,6 +42,30 @@ object Impacts {
     out.toArray
   }
 
+  /** Primitive-array skyline for the build hot path: no per-pair boxing
+    * (norm bytes bucket into a 256-slot max-freq table). Semantics identical
+    * to [[skyline]].
+    */
+  def skylineInts(freqs: Array[Long], norms: Array[Int], n: Int): Array[Impact] = {
+    val maxFreq = new Array[Int](256)
+    java.util.Arrays.fill(maxFreq, -1)
+    var i = 0
+    while (i < n) {
+      val nm = norms(i) & 0xff
+      val f = freqs(i).toInt
+      if (f > maxFreq(nm)) maxFreq(nm) = f
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Impact](4)
+    var best = -1
+    var nm = 0
+    while (nm < 256) {
+      if (maxFreq(nm) > best) { out += Impact(maxFreq(nm), nm); best = maxFreq(nm) }
+      nm += 1
+    }
+    out.toArray
+  }
+
   /** Serialize impacts as interleaved VInts: [vlong n][(vlong freq, vlong norm)*]. */
   def encode(impacts: Array[Impact]): Array[Byte] = {
     val w = new BlockCodec.ByteWriter(impacts.length * 3 + 4)

@@ -185,14 +185,34 @@ object IndexBuilder {
         $"tf.freqs".as("freq"),
         $"norm"
       )
+    // HASH-shuffle the raw token stream: repartitionByRange would pay a full
+    // extra pass over all (term, doc) rows just to sample range boundaries
+    // (RangePartitioner reservoir-samples every partition). Hash placement
+    // is equivalent for block building — all rows of a (term, bucket) land
+    // in one partition, sorted locally. The dictionary's *range* layout is
+    // re-established afterwards at the block level (128x fewer rows), where
+    // the sampling pass is nearly free — see `rangeLayout`.
     val sortedRows = tokens
-      .repartitionByRange(cfg.numPostingPartitions, $"term", $"bucket")
+      .repartition(cfg.numPostingPartitions, $"term", $"bucket")
       .sortWithinPartitions($"term", $"bucket", $"docId")
       .queryExecution.toRdd
     // InternalRow consumption: no per-row tuple/String allocation — the term
     // string only materializes once per (term, bucket) run (GC matters: this
     // iterator sees every (term, doc) pair in the corpus)
     spark.createDataset(sortedRows.mapPartitions(blockBuilder(_)))
+  }
+
+  /** Final on-disk layout of a posting-block table: range-partitioned and
+    * sorted by (term, bucket, firstDocId), so Parquet file/row-group min-max
+    * on `term` gives the .tip-style dictionary pruning. Run on block rows
+    * (ideally cached) — the range sampling pass is cheap at block granularity.
+    */
+  def rangeLayout(blocks: Dataset[PostingBlock], cfg: IndexConfig): Dataset[PostingBlock] = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    blocks
+      .repartitionByRange(cfg.numPostingPartitions, $"term", $"bucket", $"firstDocId")
+      .sortWithinPartitions($"term", $"bucket", $"firstDocId")
   }
 
   /** Streaming 128-doc block builder over InternalRows of
@@ -224,14 +244,12 @@ object IndexBuilder {
       val fs = java.util.Arrays.copyOf(freqs, n)
       val first = ids(0)
       val deltas = BlockCodec.deltaEncode(ids, first)
-      val pairs = new Array[(Int, Int)](n)
       val normsL = new Array[Long](n)
       var i = 0
       var freqSum = 0L
       var maxFreq = 0
       var minNorm = Int.MaxValue
       while (i < n) {
-        pairs(i) = (fs(i).toInt, norms(i))
         normsL(i) = norms(i).toLong
         freqSum += fs(i)
         if (fs(i) > maxFreq) maxFreq = fs(i).toInt
@@ -247,7 +265,7 @@ object IndexBuilder {
         docsPacked = BlockCodec.forEncode(deltas),
         freqsPacked = BlockCodec.pforEncode(fs),
         normsPacked = BlockCodec.forEncode(normsL),
-        impacts = Impacts.encode(Impacts.skyline(pairs)),
+        impacts = Impacts.encode(Impacts.skylineInts(fs, norms, n)),
         freqSum = freqSum,
         maxFreq = maxFreq,
         minNorm = minNorm
@@ -357,9 +375,11 @@ object IndexBuilder {
 
           val blocks = buildPostings(docTokens, cfg)
             .persist(StorageLevel.MEMORY_AND_DISK)
-          // postings are already range-partitioned + sorted by (term, bucket)
-          // → Parquet row-group min/max on `term` gives dictionary pruning
-          blocks.write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")
+          // re-establish the dictionary's range layout at block granularity
+          // (cheap sampling over the cached blocks), then write — Parquet
+          // file/row-group min/max on `term` gives dictionary pruning
+          rangeLayout(blocks, cfg)
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")
 
           buildTermStats(blocks)
             .repartitionByRange(math.max(1, cfg.numPostingPartitions / 4), $"term")

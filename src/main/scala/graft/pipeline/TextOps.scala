@@ -20,12 +20,20 @@ object TextOps {
     */
   def tokensCol(text: Column): Column = split(text, " ")
 
-  /** Per-doc token counts: total + distinct. */
+  /** BPE-ish regex tokenization count: letter runs, digit runs, and single
+    * non-alphanumeric marks — the pre-tokenizer split shape of byte-pair
+    * encoders (RE2/Java-compatible pattern so the SQL oracle replicates it).
+    */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Per-doc token counts: whitespace total + distinct + BPE-ish. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol),
       size(tokensCol(col(textCol))).as("n_tokens"),
-      size(array_distinct(tokensCol(col(textCol)))).as("n_unique")
+      size(array_distinct(tokensCol(col(textCol)))).as("n_unique"),
+      bpeishCount(col(textCol)).as("n_bpe_tokens")
     )
 
   /** Corpus term statistics (docFreq, totalTermFreq) — the term-dictionary

@@ -114,6 +114,16 @@ class CodecSpec extends AnyFunSuite with PropHelpers {
     }
   }
 
+  test("skylineInts (primitive hot path) == skyline (reference impl)") {
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(1, 50), Gen.choose(1, 255)))) { pairs =>
+      val freqs = pairs.map(_._1.toLong).toArray
+      val norms = pairs.map(_._2).toArray
+      val a = Impacts.skylineInts(freqs, norms, pairs.length).toSeq
+      val b = Impacts.skyline(pairs).toSeq
+      assert(a == b)
+    }
+  }
+
   test("impact maxScore bounds any member score") {
     val pairs = Seq((1, 10), (3, 40), (7, 200), (2, 5))
     val sky = Impacts.skyline(pairs)

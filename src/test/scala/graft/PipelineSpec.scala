@@ -37,6 +37,17 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("jaccard strategies agree: count-based == PPJoin-prefix (both exact)") {
+    for (t <- Seq(0.5, 0.8)) {
+      val a = Dedup.jaccardPairs(docs, "doc_id", "text", w = 2, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val b = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", w = 2, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(a == b, s"threshold $t")
+      assert(a.nonEmpty, "fixture should contain near-dups")
+    }
+  }
+
   test("minhash-LSH recovers all high-jaccard pairs (recall vs exact)") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", w = 2, threshold = 0.8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -145,6 +145,45 @@ class ScorerSpec extends AnyFunSuite with PropHelpers {
     }
   }
 
+  test("randomized duel: block-max conjunction == exhaustive") {
+    val genCorpus = for {
+      nDocs <- Gen.choose(20, 400)
+      nTerms <- Gen.choose(2, 4)
+      density <- Gen.choose(2, 6)
+    } yield (nDocs, nTerms, density)
+
+    forAll(genCorpus, n = 40) { case (nDocs, nTerms, density) =>
+      val rnd = new scala.util.Random(nDocs * 7919 + nTerms * 31 + density)
+      val termPostings = (0 until nTerms).map { t =>
+        val ps = (0 until nDocs).flatMap { d =>
+          if (rnd.nextInt(density) == 0)
+            Some((d.toLong, 1 + rnd.nextInt(5), 1 + rnd.nextInt(200)))
+          else None
+        }
+        t.toString -> ps
+      }.filter(_._2.nonEmpty)
+      if (termPostings.size >= 2) {
+        val sims: Map[String, SimScorer] = termPostings.map { case (t, _) =>
+          t -> (new Bm25FloatScorer(1.2f, 0.75f,
+            (0.5f + rnd.nextInt(10)), 120.0f): SimScorer)
+        }.toMap
+        val bs = 1 + rnd.nextInt(16)
+        val blocksMap = termPostings.map { case (t, ps) => t -> blocks(ps, bs) }.toMap
+        val q = BoolQuery(termPostings.map { case (t, _) =>
+          TermQuery(t) -> (Occur.Must: Occur)
+        })
+        for (k <- Seq(1, 3, 10)) {
+          val pruned = new TopKCollector(k)
+          Executor.search(q, blocksMap, sims, pruned, pruning = true)
+          val exact = new TopKCollector(k)
+          Executor.search(q, blocksMap, sims, exact, pruning = false)
+          assert(pruned.results.toSeq == exact.results.toSeq,
+            s"conjunction pruning changed results k=$k blockSize=$bs")
+        }
+      }
+    }
+  }
+
   test("TermScorer advance skips blocks by metadata") {
     val ps = (0 until 1000).map(i => (i * 3L, 1, 10))
     val t = term(ps, 1.0, blockSize = 64)
