@@ -240,6 +240,16 @@ object SparkEntry {
         .groupBy($"source").agg(count(lit(1)).as("n_docs"))
         .orderBy($"source")
     }),
+    "ft_highlight" -> ((s, d) => {
+      // highlighter module: snippet = window around the first hit term in
+      // the stored text of matching docs
+      import s.implicits._
+      ftMatch(s, d, Query.parse("data"))
+        .orderBy($"doc_id").limit(20)
+        .join(docsDf(s, d).select($"doc_id", $"text"), "doc_id")
+        .select($"doc_id", TextOps.snippet($"text", "data", 2).as("snippet"))
+        .orderBy($"doc_id")
+    }),
     "ft_suggest" -> ((s, d) => {
       // suggest module re-expression: prefix autocomplete ranked by docFreq
       // (ref lucene/suggest FST lookups -> sorted-dictionary prefix scan)
@@ -519,6 +529,17 @@ object SparkEntry {
           |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
           |  FROM ranked
           |) WHERE rn > 10 AND rn <= 20""".stripMargin),
+    "ft_highlight" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |m AS (SELECT doc_id FROM (SELECT DISTINCT doc_id FROM documents
+         |      WHERE ${hasTerm("data")}) ORDER BY doc_id LIMIT 20)
+         |SELECT m.doc_id,
+         |  array_to_string(
+         |    list_slice(string_split(d.text, ' '),
+         |      greatest(1, list_position(string_split(d.text, ' '), 'data') - 2),
+         |      greatest(1, list_position(string_split(d.text, ' '), 'data') - 2) + 4),
+         |    ' ') AS snippet
+         |FROM m JOIN documents d USING (doc_id) ORDER BY m.doc_id""".stripMargin,
     "ft_suggest" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
         |SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok

@@ -81,6 +81,18 @@ object TextOps {
     )
   }
 
+  /** Highlight snippet: the ±`ctx`-token window around the first occurrence
+    * of `term` (the highlighter module's unified-snippet shape, re-expressed
+    * as codegen'd array ops over stored text — no re-analysis pass).
+    */
+  def snippet(text: Column, term: String, ctx: Int = 2): Column = {
+    val toks = tokensCol(text)
+    val p = array_position(toks, term) // 1-based; 0 when absent
+    when(p > 0,
+      concat_ws(" ", slice(toks, greatest(lit(1), (p - ctx).cast("int")), lit(2 * ctx + 1))))
+      .otherwise(lit(null))
+  }
+
   /** Content fingerprint (md5) — exact-dup key; codegen'd. */
   def fingerprintMd5(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), md5(col(textCol)).as("fingerprint"))
