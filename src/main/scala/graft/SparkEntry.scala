@@ -34,13 +34,14 @@ object SparkEntry {
       import spark.implicits._
       val dir = java.nio.file.Files
         .createDirectories(java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft-idx-v2", // vN = segment format rev
+          sys.props("java.io.tmpdir"), "graft-idx-v3", // vN = segment format rev
           java.lang.Integer.toHexString(sfDir.hashCode)))
         .toString
       val pages = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(format_string("doc%012d", $"doc_id").as("url"), $"text")
         .as[(String, String)]
-      val cfg = IndexConfig(bucketShift = 8, numPostingPartitions = 8, numDocPartitions = 4)
+      val cfg = IndexConfig(bucketShift = 8, numPostingPartitions = 8,
+        numDocPartitions = 4, storePositions = true)
       IndexBuilder.buildSegment(pages, s"$dir/seg0", cfg)
       new IndexSearcher(spark, Seq(Manifest.read(s"$dir/seg0").get),
         precision = Precision.DoubleOracle, k1 = K1, b = B)

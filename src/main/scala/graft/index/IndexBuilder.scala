@@ -23,7 +23,8 @@ final case class IndexConfig(
     numPostingPartitions: Int = 32,
     numDocPartitions: Int = 32,
     stopwords: Set[String] = Set.empty,
-    maxTokenLength: Int = 255
+    maxTokenLength: Int = 255,
+    storePositions: Boolean = false // index analyzer positions (phrase path)
 ) {
   def analyzer: StandardAnalyzer = new StandardAnalyzer(stopwords, maxTokenLength)
 }
@@ -82,28 +83,56 @@ object IndexBuilder {
       }
       .collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
+    val withPositions = cfg.storePositions
     val docTokens = sortedRows.mapPartitionsWithIndex { (pid, it) =>
       val analyzer = new StandardAnalyzer(stop, maxLen)
       var id = offsets(pid)
       it.map { row =>
         val url = row.getString(0)
         val text = row.getString(1)
-        val (freqMap, length) = analyzer.termFreqs(text)
-        val n = freqMap.size
-        val terms = new Array[String](n)
-        val freqs = new Array[Int](n)
-        var i = 0
-        val iter = freqMap.entrySet().iterator()
-        while (iter.hasNext) {
-          val e = iter.next()
-          terms(i) = e.getKey
-          freqs(i) = e.getValue
-          i += 1
-        }
         val docId = id
         id += 1
-        DocTokens(docId, url, length,
-          java.lang.Byte.toUnsignedInt(SmallFloat.intToByte4(length)), terms, freqs)
+        if (withPositions) {
+          val toks = analyzer.tokens(text)
+          val byTerm = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+          toks.foreach { t =>
+            var b = byTerm.get(t.term)
+            if (b == null) { b = new scala.collection.mutable.ArrayBuffer[Int](2); byTerm.put(t.term, b) }
+            b += t.position
+          }
+          val n = byTerm.size
+          val terms = new Array[String](n)
+          val freqs = new Array[Int](n)
+          val positions = new Array[Array[Int]](n)
+          var i = 0
+          val iter = byTerm.entrySet().iterator()
+          while (iter.hasNext) {
+            val e = iter.next()
+            terms(i) = e.getKey
+            freqs(i) = e.getValue.size
+            positions(i) = e.getValue.toArray
+            i += 1
+          }
+          val length = toks.size
+          DocTokens(docId, url, length,
+            java.lang.Byte.toUnsignedInt(SmallFloat.intToByte4(length)),
+            terms, freqs, positions)
+        } else {
+          val (freqMap, length) = analyzer.termFreqs(text)
+          val n = freqMap.size
+          val terms = new Array[String](n)
+          val freqs = new Array[Int](n)
+          var i = 0
+          val iter = freqMap.entrySet().iterator()
+          while (iter.hasNext) {
+            val e = iter.next()
+            terms(i) = e.getKey
+            freqs(i) = e.getValue
+            i += 1
+          }
+          DocTokens(docId, url, length,
+            java.lang.Byte.toUnsignedInt(SmallFloat.intToByte4(length)), terms, freqs)
+        }
       }
     }
     spark.createDataset(docTokens)
@@ -175,16 +204,30 @@ object IndexBuilder {
     val spark = docTokens.sparkSession
     import spark.implicits._
     val shift = cfg.bucketShift
-    // narrow explode: (term, bucket, docId, freq, norm)
-    val tokens = docTokens
-      .select($"docId", $"norm", explode(arrays_zip($"terms", $"freqs")).as("tf"))
-      .select(
-        $"tf.terms".as("term"),
-        shiftright($"docId", shift).as("bucket"),
-        $"docId",
-        $"tf.freqs".as("freq"),
-        $"norm"
-      )
+    // narrow explode: (term, bucket, docId, freq, norm[, positions])
+    val tokens =
+      if (cfg.storePositions)
+        docTokens
+          .select($"docId", $"norm",
+            explode(arrays_zip($"terms", $"freqs", $"positions")).as("tf"))
+          .select(
+            $"tf.terms".as("term"),
+            shiftright($"docId", shift).as("bucket"),
+            $"docId",
+            $"tf.freqs".as("freq"),
+            $"norm",
+            $"tf.positions".as("pos")
+          )
+      else
+        docTokens
+          .select($"docId", $"norm", explode(arrays_zip($"terms", $"freqs")).as("tf"))
+          .select(
+            $"tf.terms".as("term"),
+            shiftright($"docId", shift).as("bucket"),
+            $"docId",
+            $"tf.freqs".as("freq"),
+            $"norm"
+          )
     // HASH-shuffle the raw token stream: repartitionByRange would pay a full
     // extra pass over all (term, doc) rows just to sample range boundaries
     // (RangePartitioner reservoir-samples every partition). Hash placement
@@ -199,7 +242,8 @@ object IndexBuilder {
     // InternalRow consumption: no per-row tuple/String allocation — the term
     // string only materializes once per (term, bucket) run (GC matters: this
     // iterator sees every (term, doc) pair in the corpus)
-    spark.createDataset(sortedRows.mapPartitions(blockBuilder(_)))
+    val withPos = cfg.storePositions
+    spark.createDataset(sortedRows.mapPartitions(blockBuilder(_, withPos)))
   }
 
   /** Final on-disk layout of a posting-block table: range-partitioned and
@@ -220,12 +264,15 @@ object IndexBuilder {
     * O(blockSize) state.
     */
   private def blockBuilder(
-      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow]
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      withPos: Boolean = false
   ): Iterator[PostingBlock] = new Iterator[PostingBlock] {
     private val B = BlockCodec.BlockSize
     private val docIds = new Array[Long](B)
     private val freqs = new Array[Long](B)
     private val norms = new Array[Int](B)
+    private val poss: Array[Array[Int]] = if (withPos) new Array[Array[Int]](B) else null
+    private var pPos: Array[Int] = null // pending row's positions
     private var n = 0
     private var curTerm: String = null // term of the open block
     private var curTermU8: org.apache.spark.unsafe.types.UTF8String = null
@@ -268,7 +315,8 @@ object IndexBuilder {
         impacts = Impacts.encode(Impacts.skylineInts(fs, norms, n)),
         freqSum = freqSum,
         maxFreq = maxFreq,
-        minNorm = minNorm
+        minNorm = minNorm,
+        posPacked = if (withPos) graft.codec.Positions.encode(poss, n) else null
       )
       n = 0
       block
@@ -294,6 +342,7 @@ object IndexBuilder {
           pTermU8 = null
           open(t, pBucket)
           docIds(0) = pDocId; freqs(0) = pFreq.toLong; norms(0) = pNorm
+          if (withPos) poss(0) = pPos
           n = 1
         } else {
           val row = rows.next()
@@ -303,12 +352,14 @@ object IndexBuilder {
             docIds(n) = row.getLong(2)
             freqs(n) = row.getInt(3).toLong
             norms(n) = row.getInt(4)
+            if (withPos) poss(n) = row.getArray(5).toIntArray()
             n += 1
           } else if (n == 0) { // first row of the partition
             open(termU8.clone(), bucket) // clone: sorter reuses row buffers
             docIds(0) = row.getLong(2)
             freqs(0) = row.getInt(3).toLong
             norms(0) = row.getInt(4)
+            if (withPos) poss(0) = row.getArray(5).toIntArray()
             n = 1
           } else { // boundary: stash the row, emit the finished block
             pTermU8 = termU8.clone()
@@ -316,6 +367,7 @@ object IndexBuilder {
             pDocId = row.getLong(2)
             pFreq = row.getInt(3)
             pNorm = row.getInt(4)
+            if (withPos) pPos = row.getArray(5).toIntArray()
             nextBlock = flushBlock()
           }
         }
@@ -412,7 +464,8 @@ object IndexBuilder {
             blockCount = blockCount,
             bucketShift = cfg.bucketShift,
             buildWallSec = (System.nanoTime() - t0) / 1e9,
-            lineage = lineage.map { case (p, r, t, _) => PartitionLineage(p, r, t) }.toSeq
+            lineage = lineage.map { case (p, r, t, _) => PartitionLineage(p, r, t) }.toSeq,
+            hasPositions = cfg.storePositions
           )
           Manifest.commit(dir, manifest)
           manifest

@@ -22,7 +22,8 @@ final case class SegmentManifest(
     blockCount: Long,
     bucketShift: Int,
     buildWallSec: Double,
-    lineage: Seq[PartitionLineage]
+    lineage: Seq[PartitionLineage],
+    hasPositions: Boolean = false
 ) {
   def sizeScore: Long = blockCount // merge-policy size proxy
 }
@@ -53,6 +54,7 @@ object Manifest {
        |  "blockCount": ${m.blockCount},
        |  "bucketShift": ${m.bucketShift},
        |  "buildWallSec": ${m.buildWallSec},
+       |  "hasPositions": ${m.hasPositions},
        |  "lineage": $lineage
        |}""".stripMargin
   }
@@ -97,7 +99,8 @@ object Manifest {
       termCount = l("termCount"), blockCount = l("blockCount"),
       bucketShift = l("bucketShift").toInt,
       buildWallSec = field(json, "buildWallSec").map(_.toDouble).getOrElse(0.0),
-      lineage = lineage
+      lineage = lineage,
+      hasPositions = field(json, "hasPositions").contains("true")
     )
   }
 

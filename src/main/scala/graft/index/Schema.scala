@@ -27,7 +27,8 @@ object Schema {
       length: Int,
       norm: Int,
       terms: Array[String],
-      freqs: Array[Int]
+      freqs: Array[Int],
+      positions: Array[Array[Int]] = null // per-term analyzer positions (opt-in)
   )
 
   /** One 128-doc posting block for (term, bucket).
@@ -63,7 +64,12 @@ object Schema {
       impacts: Array[Byte],
       freqSum: Long,
       maxFreq: Int,
-      minNorm: Int
+      minNorm: Int,
+      // optional positional postings (IndexConfig.storePositions): per doc in
+      // block order, `freq` delta-VInt-encoded analyzer positions,
+      // concatenated — the .pos file re-expression (doc boundaries come from
+      // the decoded freqs)
+      posPacked: Array[Byte] = null
   )
 
   /** Term-dictionary row (the block-tree/.tim re-expression: range-partitioned

@@ -64,7 +64,11 @@ object SegmentMerger {
         // bucket-aligned), then compact fragmented tails per (term, bucket)
         val shift = cfg.bucketShift
         val blocks = manifests.zip(bases).map { case (m, base) =>
-          spark.read.parquet(s"${m.dir}/postings")
+          val raw = spark.read.parquet(s"${m.dir}/postings")
+          val compat = // pre-positions segments merge with a null column
+            if (raw.columns.contains("posPacked")) raw
+            else raw.withColumn("posPacked", lit(null).cast("binary"))
+          compat
             .withColumn("firstDocId", $"firstDocId" + lit(base))
             .withColumn("lastDocId", $"lastDocId" + lit(base))
             .withColumn("bucket", shiftright($"firstDocId", shift))
@@ -73,7 +77,7 @@ object SegmentMerger {
         val merged = blocks
           .select($"term", $"bucket", $"firstDocId", $"lastDocId", $"numDocs",
             $"docsPacked", $"freqsPacked", $"normsPacked", $"impacts",
-            $"freqSum", $"maxFreq", $"minNorm")
+            $"freqSum", $"maxFreq", $"minNorm", $"posPacked")
           .repartitionByRange(cfg.numPostingPartitions, $"term", $"bucket")
           .sortWithinPartitions($"term", $"bucket", $"firstDocId")
           .as[PostingBlock]
@@ -97,7 +101,8 @@ object SegmentMerger {
           blockCount = mergedBlocks.count(),
           bucketShift = cfg.bucketShift,
           buildWallSec = (System.nanoTime() - t0) / 1e9,
-          lineage = manifests.flatMap(_.lineage)
+          lineage = manifests.flatMap(_.lineage),
+          hasPositions = manifests.forall(_.hasPositions)
         )
         Manifest.commit(outDir, manifest)
         manifest
@@ -120,14 +125,23 @@ object SegmentMerger {
         val ids = scala.collection.mutable.ArrayBuffer[Long]()
         val fs = scala.collection.mutable.ArrayBuffer[Long]()
         val ns = scala.collection.mutable.ArrayBuffer[Long]()
+        val hasPos = parts.forall(_.posPacked != null)
+        val pos = scala.collection.mutable.ArrayBuffer[Array[Int]]()
         parts.foreach { p =>
+          val pFreqs = BlockCodec.pforDecode(p.freqsPacked)
           ids ++= BlockCodec.deltaDecode(BlockCodec.forDecode(p.docsPacked), p.firstDocId)
-          fs ++= BlockCodec.pforDecode(p.freqsPacked)
+          fs ++= pFreqs
           ns ++= BlockCodec.forDecode(p.normsPacked)
+          if (hasPos)
+            pos ++= graft.codec.Positions.decode(p.posPacked, pFreqs, p.numDocs)
         }
+        val posArr = pos.toArray
+        var off = 0
         ids.toArray.grouped(B).zip(fs.toArray.grouped(B).zip(ns.toArray.grouped(B))).map {
           case (gi, (gf, gn)) =>
             val pairs = gi.indices.map(i => (gf(i).toInt, gn(i).toInt))
+            val gPos = if (hasPos) posArr.slice(off, off + gi.length) else null
+            off += gi.length
             PostingBlock(
               term = parts.head.term,
               bucket = parts.head.bucket,
@@ -140,7 +154,9 @@ object SegmentMerger {
               impacts = Impacts.encode(Impacts.skyline(pairs)),
               freqSum = gf.sum,
               maxFreq = gf.max.toInt,
-              minNorm = gn.min.toInt
+              minNorm = gn.min.toInt,
+              posPacked =
+                if (hasPos) graft.codec.Positions.encode(gPos, gi.length) else null
             )
         }
       }

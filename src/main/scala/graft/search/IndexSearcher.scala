@@ -43,7 +43,8 @@ final case class QBlock(
     docsPacked: Array[Byte],
     freqsPacked: Array[Byte],
     normsPacked: Array[Byte],
-    impacts: Array[Byte]
+    impacts: Array[Byte],
+    posPacked: Array[Byte] = null
 )
 
 /** Distributed BM25 top-k search over one or more index segments.
@@ -194,12 +195,16 @@ final class IndexSearcher(
     require(terms.nonEmpty, "no terms")
     segments.zipWithIndex
       .map { case (s, i) =>
-        spark.read
-          .parquet(s"${s.dir}/postings")
+        val raw = spark.read.parquet(s"${s.dir}/postings")
+        val compat = // pre-positions segments read with a null column
+          if (raw.columns.contains("posPacked")) raw
+          else raw.withColumn("posPacked", lit(null).cast("binary"))
+        compat
           .where($"term".isin(terms: _*))
           .select(
             $"term", lit(i).as("seg"), $"bucket", $"firstDocId", $"lastDocId",
-            $"numDocs", $"docsPacked", $"freqsPacked", $"normsPacked", $"impacts"
+            $"numDocs", $"docsPacked", $"freqsPacked", $"normsPacked", $"impacts",
+            $"posPacked"
           )
       }
       .reduce(_ unionByName _)
@@ -263,7 +268,8 @@ final class IndexSearcher(
           .map { case (t, arr) =>
             t -> arr.sortBy(_.firstDocId).map(bv =>
               BlockView(bv.firstDocId, bv.lastDocId, bv.numDocs,
-                bv.docsPacked, bv.freqsPacked, bv.normsPacked, bv.impacts))
+                bv.docsPacked, bv.freqsPacked, bv.normsPacked, bv.impacts,
+                bv.posPacked))
           }
         val collector = new TopKCollector(k)
         Executor.search(q, byTerm, scorers, collector, pruning)
@@ -290,7 +296,8 @@ final class IndexSearcher(
         val byTerm = it.toArray.groupBy(_.term).map { case (t, arr) =>
           t -> arr.sortBy(_.firstDocId).map(bv =>
             BlockView(bv.firstDocId, bv.lastDocId, bv.numDocs,
-              bv.docsPacked, bv.freqsPacked, bv.normsPacked, bv.impacts))
+              bv.docsPacked, bv.freqsPacked, bv.normsPacked, bv.impacts,
+              bv.posPacked))
         }
         val base = basesL(seg)
         Executor.build(q, byTerm, scorers) match {
@@ -337,7 +344,8 @@ final class IndexSearcher(
         val byTerm = it.toArray.groupBy(_.term).map { case (t, arr) =>
           t -> arr.sortBy(_.firstDocId).map(bv =>
             BlockView(bv.firstDocId, bv.lastDocId, bv.numDocs,
-              bv.docsPacked, bv.freqsPacked, bv.normsPacked, bv.impacts))
+              bv.docsPacked, bv.freqsPacked, bv.normsPacked, bv.impacts,
+              bv.posPacked))
         }
         val base = basesL(seg)
         Executor.matchIds(q, byTerm).map(_ + base)
@@ -360,6 +368,87 @@ final class IndexSearcher(
     * @return (docId, phraseFreq) for docs with ≥1 phrase occurrence
     */
   def phraseFreqs(
+      terms: Seq[String],
+      textByDocId: Dataset[(Long, String)]
+  ): Dataset[(Long, Int)] =
+    if (segments.forall(_.hasPositions)) phraseFreqsIndexed(terms)
+    else phraseFreqsStored(terms, textByDocId)
+
+  /** Native positional phrase matching over indexed positions (the
+    * `ExactPhraseMatcher` re-expression, `search/ExactPhraseMatcher.java:39`):
+    * leapfrog conjunction of the phrase terms' posting iterators; on every
+    * aligned doc, count positions p of the first term with `p+i` present in
+    * term i's positions (binary search over the sorted per-doc position
+    * arrays decoded lazily from the block's .pos payload).
+    */
+  def phraseFreqsIndexed(terms: Seq[String]): Dataset[(Long, Int)] = {
+    require(terms.nonEmpty, "empty phrase")
+    require(segments.forall(_.hasPositions), "index was built without positions")
+    val phrase = terms.toArray
+    val unique = terms.distinct
+    val basesL = bases
+    blocksFor(unique)
+      .groupByKey(bk => (bk.seg, bk.bucket))
+      .flatMapGroups { (key: (Int, Long), it: Iterator[QBlock]) =>
+        val seg = key._1
+        val byTerm = it.toArray.groupBy(_.term).map { case (t, arr) =>
+          t -> arr.sortBy(_.firstDocId).map(bv =>
+            BlockView(bv.firstDocId, bv.lastDocId, bv.numDocs,
+              bv.docsPacked, bv.freqsPacked, bv.normsPacked, bv.impacts,
+              bv.posPacked))
+        }
+        if (unique.exists(t => !byTerm.contains(t))) Iterator.empty
+        else {
+          val scorerOf =
+            unique.map(t => t -> new TermScorer(byTerm(t), new ConstScorer(1.0))).toMap
+          val all = scorerOf.values.toArray
+          val base = basesL(seg)
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+          val lead = all.minBy(_.cost)
+          var d = lead.nextDoc()
+          while (d != DocScorer.NoMoreDocs) {
+            var aligned = true
+            var i = 0
+            while (i < all.length && aligned) {
+              val s = all(i)
+              if (s ne lead) {
+                val sd = if (s.docId < d) s.advance(d) else s.docId
+                if (sd != d) {
+                  aligned = false
+                  d = if (sd == DocScorer.NoMoreDocs) DocScorer.NoMoreDocs
+                      else lead.advance(sd)
+                }
+              }
+              i += 1
+            }
+            if (aligned && d != DocScorer.NoMoreDocs) {
+              val slotPos: Array[Array[Int]] = phrase.map(t => scorerOf(t).positions)
+              val p0 = slotPos(0)
+              var f = 0
+              var j = 0
+              while (j < p0.length) {
+                var ok = true
+                var k = 1
+                while (ok && k < slotPos.length) {
+                  if (java.util.Arrays.binarySearch(slotPos(k), p0(j) + k) < 0) ok = false
+                  k += 1
+                }
+                if (ok) f += 1
+                j += 1
+              }
+              if (f > 0) out += ((d + base, f))
+              d = lead.nextDoc()
+            }
+          }
+          out.iterator
+        }
+      }
+  }
+
+  /** Two-phase fallback for indexes without positions: conjunction over the
+    * index, then adjacency verification against stored text.
+    */
+  def phraseFreqsStored(
       terms: Seq[String],
       textByDocId: Dataset[(Long, String)]
   ): Dataset[(Long, Int)] = {

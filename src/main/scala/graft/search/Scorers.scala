@@ -48,7 +48,8 @@ final case class BlockView(
     docsPacked: Array[Byte],
     freqsPacked: Array[Byte],
     normsPacked: Array[Byte],
-    impacts: Array[Byte]
+    impacts: Array[Byte],
+    posPacked: Array[Byte] = null
 )
 
 /** Posting-list iterator over one term's blocks (sorted by firstDocId) with
@@ -92,6 +93,23 @@ final class TermScorer(blocks: Array[BlockView], scorer: SimScorer) extends DocS
     norms = BlockCodec.forDecode(b.normsPacked)
     blockIdx = i
     pos = 0
+  }
+
+  private var posPerDoc: Array[Array[Int]] = null
+  private var posBlockIdx = -1
+
+  /** Analyzer positions of the CURRENT doc (requires an index built with
+    * `storePositions` — the .pos stream re-expression). Lazy per-block
+    * decode; freqs give the doc boundaries.
+    */
+  def positions: Array[Int] = {
+    if (posBlockIdx != blockIdx) {
+      val packed = blocks(blockIdx).posPacked
+      require(packed != null, "index was built without positions")
+      posPerDoc = graft.codec.Positions.decode(packed, freqs, blocks(blockIdx).numDocs)
+      posBlockIdx = blockIdx
+    }
+    posPerDoc(pos)
   }
 
   def docId: Long = cur

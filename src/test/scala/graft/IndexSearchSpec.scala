@@ -166,6 +166,80 @@ class IndexSearchSpec extends SparkTestBase {
     assert(top.forall(s => expected.contains(s.docId)))
   }
 
+  /** Brute-force phrase frequencies keyed by url (docId-layout independent). */
+  private def phraseByUrl(phrase: Seq[String]): Map[String, Int] = {
+    val an = StandardAnalyzer.Default
+    pagesLocal.flatMap { p =>
+      val toks = an.tokens(p.text)
+      val byPos = toks.map(t => t.position -> t.term).toMap
+      var f = 0
+      toks.foreach { t =>
+        if (t.term == phrase.head) {
+          var ok = true
+          var i = 1
+          while (ok && i < phrase.length) {
+            if (!byPos.get(t.position + i).contains(phrase(i))) ok = false
+            i += 1
+          }
+          if (ok) f += 1
+        }
+      }
+      if (f > 0) Some(p.url -> f) else None
+    }.toMap
+  }
+
+  test("positional index: indexed phrase == stored-text phrase == brute force") {
+    import spark.implicits._
+    val dir = tmpDir("posseg")
+    val ds = spark.createDataset(pagesLocal.map(p => (p.url, p.text)))
+    IndexBuilder.buildSegment(ds, dir, cfg.copy(storePositions = true))
+    val se = new IndexSearcher(spark, Seq(Manifest.read(dir).get))
+    assert(se.segments.head.hasPositions)
+
+    val pagesDs = spark.createDataset(pagesLocal.map(p => (p.url, p.text)))
+      .toDF("url", "text")
+    val txt = se.docsTable.select($"docId", $"url")
+      .join(pagesDs, "url").select($"docId", $"text").as[(Long, String)]
+    val urlOf = se.docsTable.select($"docId", $"url").as[(Long, String)]
+      .collect().toMap
+
+    for (phrase <- Seq(Seq("the", "of"), Seq("the", "of", "the"))) {
+      val indexed = se.phraseFreqsIndexed(phrase).collect()
+        .map { case (d, f) => urlOf(d) -> f }.toMap
+      val stored = se.phraseFreqsStored(phrase, txt).collect()
+        .map { case (d, f) => urlOf(d) -> f }.toMap
+      val brute = phraseByUrl(phrase)
+      assert(indexed == brute, s"indexed != brute for $phrase")
+      assert(stored == brute, s"stored != brute for $phrase")
+    }
+    assert(phraseByUrl(Seq("the", "of")).nonEmpty)
+
+    // the dispatcher picks the positional path on positional segments, and
+    // scoring on a positional segment stays rank-identical
+    val q = Query.parse("court AND law")
+    assert(se.topK(q, 10).collect().map(s => (s.docId, s.score)).toSeq ==
+      oracle.topK(q, 10))
+  }
+
+  test("positional merge: positions survive the docID remap") {
+    import spark.implicits._
+    val cfgP = cfg.copy(storePositions = true)
+    val (evens, odds) = pagesLocal.partition(p => (p.url.hashCode & 1) == 0)
+    val dA = tmpDir("posA"); val dB = tmpDir("posB"); val dM = tmpDir("posM")
+    IndexBuilder.buildSegment(
+      spark.createDataset(evens.map(p => (p.url, p.text))), dA, cfgP)
+    IndexBuilder.buildSegment(
+      spark.createDataset(odds.map(p => (p.url, p.text))), dB, cfgP)
+    val m = SegmentMerger.merge(spark, Seq(dA, dB), dM, cfgP)
+    assert(m.hasPositions)
+    val se = new IndexSearcher(spark, Seq(m))
+    val urlOf = se.docsTable.select($"docId", $"url").as[(Long, String)]
+      .collect().toMap
+    val got = se.phraseFreqsIndexed(Seq("the", "of")).collect()
+      .map { case (d, f) => urlOf(d) -> f }.toMap
+    assert(got == phraseByUrl(Seq("the", "of")))
+  }
+
   test("matching set and counts match oracle") {
     for (qs <- Seq("court AND law", "court NOT law", "(court OR law) AND state")) {
       val q = Query.parse(qs)
