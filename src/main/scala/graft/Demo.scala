@@ -28,13 +28,28 @@ object Demo {
     import spark.implicits._
 
     args.toList match {
-      case "index" :: dir :: n :: Nil =>
+      case "index" :: dir :: n :: rest if rest.isEmpty || rest == List("--positions") =>
         val pages = Corpus.pages(spark, n.toLong).map(p => (p.url, p.text))
-        val cfg = IndexConfig(bucketShift = 12, numPostingPartitions = cpus.toInt * 2)
+        val cfg = IndexConfig(bucketShift = 12, numPostingPartitions = cpus.toInt * 2,
+          storePositions = rest.nonEmpty)
         val m = IndexBuilder.buildSegment(pages, s"$dir/seg0", cfg)
         println(s"[demo] indexed ${m.docCount} docs, ${m.termCount} terms, " +
           f"${m.blockCount} blocks in ${m.buildWallSec}%.1fs " +
-          f"(${m.docCount / m.buildWallSec}%.0f docs/sec)")
+          f"(${m.docCount / m.buildWallSec}%.0f docs/sec)" +
+          (if (m.hasPositions) " [positions]" else ""))
+      case "phrase" :: dir :: rest if rest.nonEmpty =>
+        val searcher = IndexSearcher.open(spark, dir)
+        val terms = rest.map(t => searcher.parse(t).terms.head)
+        val t0 = System.nanoTime()
+        val hits = searcher.phraseFreqsIndexed(terms)
+          .toDF("docId", "freq")
+          .join(searcher.docsTable.select($"docId", $"url"), "docId")
+          .orderBy($"freq".desc, $"docId".asc).limit(10).collect()
+        val ms = (System.nanoTime() - t0) / 1e6
+        println(f"""[demo] phrase "${terms.mkString(" ")}": ${hits.length} top hits in $ms%.0f ms""")
+        hits.foreach { r =>
+          println(f"  doc=${r.getAs[Long]("docId")}%6d freq=${r.getAs[Int]("freq")}%2d ${r.getAs[String]("url")}")
+        }
       case "ingest" :: dir :: batches :: perBatch :: Nil =>
         // incremental ingest: one committed segment per batch (NRT-style —
         // each commit is searchable immediately via IndexSearcher.open),
