@@ -38,7 +38,8 @@ object Bench {
     // 2. headline query entries (steady-state: one warm-up, then timed)
     val headline = Seq(
       "ft_term_topk", "ft_and_topk", "ft_or_topk", "ft_nested_topk",
-      "ft_group_top2", "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+      "ft_phrase_topk", "ft_group_top2",
+      "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash",
       "ann_topk", "ann_lsh_topk", "text_quality", "text_termstats",
       "mm_meta", "rel_agg", "rel_window_top2"
     )

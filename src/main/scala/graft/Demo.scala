@@ -101,6 +101,21 @@ object Demo {
         hits.foreach { r =>
           println(f"  doc=${r.getAs[Long]("docId")}%6d score=${r.getAs[Double]("score")}%.4f ${r.getAs[String]("url")}")
         }
+      case "check" :: dir :: Nil =>
+        // CheckIndex over every committed segment under dir
+        import graft.index.{CheckIndex, Manifest}
+        val segs = new java.io.File(dir).listFiles()
+          .filter(f => f.isDirectory && Manifest.read(f.getPath).isDefined)
+          .sortBy(_.getName)
+        var bad = 0
+        segs.foreach { f =>
+          val r = CheckIndex.check(spark, f.getPath)
+          println(s"[demo] check ${f.getName}: docs=${r.docCount} blocks=${r.blockCount} " +
+            s"terms=${r.termCount} -> ${if (r.ok) "OK" else "FAILED"}")
+          r.violations.foreach(msg => println(s"  VIOLATION: $msg"))
+          if (!r.ok) bad += 1
+        }
+        if (bad > 0) { System.err.println(s"[demo] $bad segment(s) failed"); sys.exit(1) }
       case "explain" :: dir :: rest if rest.nonEmpty =>
         val searcher = IndexSearcher.open(spark, dir)
         val q = searcher.parse(rest.mkString(" "))

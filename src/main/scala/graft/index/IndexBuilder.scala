@@ -138,63 +138,6 @@ object IndexBuilder {
     spark.createDataset(docTokens)
   }
 
-  /** Back-compat two-step shape used by specs: docId assignment alone. */
-  def assignDocIds(
-      pages: Dataset[(String, String)],
-      cfg: IndexConfig
-  ): Dataset[(Long, String, String)] = {
-    val spark = pages.sparkSession
-    import spark.implicits._
-    val parts = cfg.numDocPartitions
-    val sortedRows = pages
-      .toDF("_1", "_2")
-      .repartitionByRange(parts, $"_1")
-      .sortWithinPartitions($"_1")
-      .queryExecution.toRdd
-    val counts = sortedRows
-      .mapPartitionsWithIndex { (pid, it) =>
-        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator((pid, n))
-      }
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
-    val out = sortedRows.mapPartitionsWithIndex { (pid, it) =>
-      var id = offsets(pid)
-      it.map { row =>
-        val r = (id, row.getString(0), row.getString(1)); id += 1; r
-      }
-    }
-    spark.createDataset(out)
-  }
-
-  /** Tokenize each doc exactly once into term-frequency arrays + norm. */
-  def tokenizeDocs(
-      docs: Dataset[(Long, String, String)],
-      cfg: IndexConfig
-  ): Dataset[DocTokens] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val stop = cfg.stopwords
-    val maxLen = cfg.maxTokenLength
-    docs.mapPartitions { it =>
-      val analyzer = new StandardAnalyzer(stop, maxLen)
-      it.map { case (docId, url, text) =>
-        val (freqMap, length) = analyzer.termFreqs(text)
-        val n = freqMap.size
-        val terms = new Array[String](n)
-        val freqs = new Array[Int](n)
-        var i = 0
-        val iter = freqMap.entrySet().iterator()
-        while (iter.hasNext) {
-          val e = iter.next()
-          terms(i) = e.getKey
-          freqs(i) = e.getValue
-          i += 1
-        }
-        DocTokens(docId, url, length,
-          java.lang.Byte.toUnsignedInt(SmallFloat.intToByte4(length)), terms, freqs)
-      }
-    }
-  }
 
   /** Build posting blocks: the single wide shuffle of the index build. */
   def buildPostings(
