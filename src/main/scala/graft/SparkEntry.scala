@@ -68,7 +68,7 @@ object SparkEntry {
   private def ftMatch(spark: SparkSession, sfDir: String, q: Query): DataFrame = {
     val s = searcherFor(spark, sfDir)
     import spark.implicits._
-    s.matching(q).toDF("docId")
+    s.matchingCached(q).toDF("docId")
       .join(s.docsTable.select($"docId", $"url"), "docId")
       .select(docIdOf($"url"))
       .orderBy($"doc_id")

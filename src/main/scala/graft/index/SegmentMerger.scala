@@ -51,11 +51,23 @@ object SegmentMerger {
           "bucketShift mismatch between segments and merge config")
         val bases = alignedBases(manifests, cfg.bucketShift)
 
-        // docs: union + remap + rewrite sorted by docId
-        val docs = manifests.zip(bases).map { case (m, base) =>
+        // tombstones of the inputs, shifted to the merged docId space — the
+        // merge PURGES them physically (ref: merges drop deleted docs and
+        // collection stats become exact again)
+        val deadGlobal: Array[Long] = manifests.zip(bases).flatMap { case (m, base) =>
+          Deletes.readSorted(spark, m.dir).map(_ + base)
+        }.sorted.toArray
+
+        // docs: union + remap (+ tombstone purge) + rewrite sorted by docId
+        val docsAll = manifests.zip(bases).map { case (m, base) =>
           spark.read.parquet(s"${m.dir}/docs").withColumn("docId", $"docId" + lit(base))
         }.reduce(_ unionByName _)
-        docs
+        val docsLive =
+          if (deadGlobal.isEmpty) docsAll
+          else docsAll.join(
+            spark.createDataset(deadGlobal.toSeq).toDF("docId"),
+            Seq("docId"), "left_anti")
+        docsLive
           .repartitionByRange(cfg.numDocPartitions, $"docId")
           .sortWithinPartitions($"docId")
           .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
@@ -74,10 +86,15 @@ object SegmentMerger {
             .withColumn("bucket", shiftright($"firstDocId", shift))
         }.reduce(_ unionByName _)
 
-        val merged = blocks
+        val typed = blocks
           .select($"term", $"bucket", $"firstDocId", $"lastDocId", $"numDocs",
             $"docsPacked", $"freqsPacked", $"normsPacked", $"impacts",
             $"freqSum", $"maxFreq", $"minNorm", $"posPacked")
+          .as[PostingBlock]
+        val purged =
+          if (deadGlobal.isEmpty) typed
+          else typed.mapPartitions(purge(_, deadGlobal))
+        val merged = purged
           .repartitionByRange(cfg.numPostingPartitions, $"term", $"bucket")
           .sortWithinPartitions($"term", $"bucket", $"firstDocId")
           .as[PostingBlock]
@@ -91,12 +108,19 @@ object SegmentMerger {
           .sortWithinPartitions($"term")
           .write.mode(SaveMode.Overwrite).parquet(s"$outDir/terms")
 
+        // stats recomputed from what was actually written — exact again
+        // after a purge (the reference's post-merge behavior)
+        val mergedDocCount = spark.read.parquet(s"$outDir/docs").count()
+        val mergedSttf = {
+          val r = mergedBlocks.agg(sum($"freqSum")).head()
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        }
         val manifest = SegmentManifest(
           segmentId = java.util.UUID.nameUUIDFromBytes(outDir.getBytes).toString,
           dir = outDir,
-          docCount = manifests.map(_.docCount).sum,
+          docCount = mergedDocCount,
           maxDocId = bases.last + manifests.last.maxDocId,
-          sumTotalTermFreq = manifests.map(_.sumTotalTermFreq).sum,
+          sumTotalTermFreq = mergedSttf,
           termCount = spark.read.parquet(s"$outDir/terms").count(),
           blockCount = mergedBlocks.count(),
           bucketShift = cfg.bucketShift,
@@ -108,6 +132,55 @@ object SegmentMerger {
         manifest
     }
   }
+
+  /** Drop tombstoned docIds from blocks: no-overlap blocks pass through as
+    * opaque bytes; overlapping blocks decode, filter and re-encode (impacts
+    * and positions recomputed); fully-dead blocks vanish.
+    */
+  private def purge(
+      it: Iterator[PostingBlock], dead: Array[Long]
+  ): Iterator[PostingBlock] =
+    it.flatMap { b =>
+      var lo = java.util.Arrays.binarySearch(dead, b.firstDocId)
+      if (lo < 0) lo = -lo - 1
+      val overlaps = lo < dead.length && dead(lo) <= b.lastDocId
+      if (!overlaps) Some(b)
+      else {
+        val ids = BlockCodec.deltaDecode(BlockCodec.forDecode(b.docsPacked), b.firstDocId)
+        val fs = BlockCodec.pforDecode(b.freqsPacked)
+        val ns = BlockCodec.forDecode(b.normsPacked)
+        val pos =
+          if (b.posPacked != null) graft.codec.Positions.decode(b.posPacked, fs, b.numDocs)
+          else null
+        val keep = ids.indices.filter(i =>
+          java.util.Arrays.binarySearch(dead, ids(i)) < 0)
+        if (keep.isEmpty) None
+        else if (keep.size == b.numDocs) Some(b)
+        else {
+          val ki = keep.map(ids).toArray
+          val kf = keep.map(fs).toArray
+          val kn = keep.map(ns).toArray
+          Some(PostingBlock(
+            term = b.term,
+            bucket = b.bucket,
+            firstDocId = ki.head,
+            lastDocId = ki.last,
+            numDocs = ki.length,
+            docsPacked = BlockCodec.forEncode(BlockCodec.deltaEncode(ki, ki.head)),
+            freqsPacked = BlockCodec.pforEncode(kf),
+            normsPacked = BlockCodec.forEncode(kn),
+            impacts = Impacts.encode(
+              Impacts.skylineInts(kf, kn.map(_.toInt), ki.length)),
+            freqSum = kf.sum,
+            maxFreq = kf.max.toInt,
+            minNorm = kn.min.toInt,
+            posPacked =
+              if (pos != null)
+                graft.codec.Positions.encode(keep.map(pos).toArray, ki.length)
+              else null))
+        }
+      }
+    }
 
   /** Stream blocks sorted by (term, bucket, firstDocId); adjacent partial
     * blocks (numDocs < 128) of the same (term, bucket) are decoded, fused and

@@ -86,6 +86,19 @@ final class IndexSearcher(
     sumTotalTermFreq = segments.map(_.sumTotalTermFreq).sum
   )
 
+  /** Per-segment sorted tombstones (the liveDocs complement, ref
+    * `Lucene90LiveDocsFormat`): deleted docs are hidden from every read
+    * path; collection stats intentionally stay stale until a merge purges
+    * (the reference's semantics).
+    */
+  private val tombstones: Array[Array[Long]] =
+    segments.map(s => graft.index.Deletes.readSorted(spark, s.dir)).toArray
+
+  /** True when any segment carries un-merged deletes. */
+  def hasDeletes: Boolean = tombstones.exists(_.nonEmpty)
+
+  private def deadIn(seg: Int): Array[Long] = tombstones(seg)
+
   def parse(s: String): Query = Query.parse(s, t => {
     val toks = analyzer.tokens(t)
     if (toks.isEmpty) t else toks.head.term
@@ -259,6 +272,7 @@ final class IndexSearcher(
     val scorers: Map[String, SimScorer] = scorerMap(query, ts)
     val basesL = bases
     val q = query
+    val tombs = tombstones
     val candidates = queryBlocks(qTerms, rows)
       .groupByKey(bk => (bk.seg, bk.bucket))
       .flatMapGroups { (key: (Int, Long), it: Iterator[QBlock]) =>
@@ -271,7 +285,8 @@ final class IndexSearcher(
                 bv.docsPacked, bv.freqsPacked, bv.normsPacked, bv.impacts,
                 bv.posPacked))
           }
-        val collector = new TopKCollector(k)
+        // liveDocs: tombstoned docs never take a top-k slot
+        val collector = new TopKCollector(k, tombs(seg))
         Executor.search(q, byTerm, scorers, collector, pruning)
         val base = basesL(seg)
         collector.results.iterator.map { case (d, s) => ScoredDoc(d + base, s) }
@@ -289,6 +304,7 @@ final class IndexSearcher(
     val scorers: Map[String, SimScorer] = scorerMap(query, ts)
     val basesL = bases
     val q = query
+    val tombs = tombstones
     queryBlocks(qTerms, rows)
       .groupByKey(bk => (bk.seg, bk.bucket))
       .flatMapGroups { (key: (Int, Long), it: Iterator[QBlock]) =>
@@ -300,6 +316,7 @@ final class IndexSearcher(
               bv.posPacked))
         }
         val base = basesL(seg)
+        val dead = tombs(seg)
         Executor.build(q, byTerm, scorers) match {
           case None => Iterator.empty
           case Some(sc) =>
@@ -309,7 +326,8 @@ final class IndexSearcher(
               def next(): ScoredDoc = {
                 val r = ScoredDoc(d + base, sc.score); d = sc.nextDoc(); r
               }
-            }
+            }.filter(s => dead.length == 0 ||
+              java.util.Arrays.binarySearch(dead, s.docId - base) < 0)
         }
       }
   }
@@ -337,6 +355,7 @@ final class IndexSearcher(
     val scorers: Map[String, SimScorer] = qTerms.map(t => t -> new ConstScorer(1.0)).toMap
     val basesL = bases
     val q = query
+    val tombs = tombstones
     queryBlocks(qTerms, segTermRows(qTerms))
       .groupByKey(bk => (bk.seg, bk.bucket))
       .flatMapGroups { (key: (Int, Long), it: Iterator[QBlock]) =>
@@ -348,7 +367,11 @@ final class IndexSearcher(
               bv.posPacked))
         }
         val base = basesL(seg)
-        Executor.matchIds(q, byTerm).map(_ + base)
+        val dead = tombs(seg)
+        Executor.matchIds(q, byTerm)
+          .filter(d => dead.length == 0 ||
+            java.util.Arrays.binarySearch(dead, d) < 0)
+          .map(_ + base)
       }.toDF("docId").as[Long]
   }
 
@@ -387,6 +410,7 @@ final class IndexSearcher(
     val phrase = terms.toArray
     val unique = terms.distinct
     val basesL = bases
+    val tombs = tombstones
     blocksFor(unique)
       .groupByKey(bk => (bk.seg, bk.bucket))
       .flatMapGroups { (key: (Int, Long), it: Iterator[QBlock]) =>
@@ -422,21 +446,25 @@ final class IndexSearcher(
               i += 1
             }
             if (aligned && d != DocScorer.NoMoreDocs) {
-              val slotPos: Array[Array[Int]] = phrase.map(t => scorerOf(t).positions)
-              val p0 = slotPos(0)
-              var f = 0
-              var j = 0
-              while (j < p0.length) {
-                var ok = true
-                var k = 1
-                while (ok && k < slotPos.length) {
-                  if (java.util.Arrays.binarySearch(slotPos(k), p0(j) + k) < 0) ok = false
-                  k += 1
+              val live = tombs(seg).length == 0 ||
+                java.util.Arrays.binarySearch(tombs(seg), d) < 0
+              if (live) {
+                val slotPos: Array[Array[Int]] = phrase.map(t => scorerOf(t).positions)
+                val p0 = slotPos(0)
+                var f = 0
+                var j = 0
+                while (j < p0.length) {
+                  var ok = true
+                  var k = 1
+                  while (ok && k < slotPos.length) {
+                    if (java.util.Arrays.binarySearch(slotPos(k), p0(j) + k) < 0) ok = false
+                    k += 1
+                  }
+                  if (ok) f += 1
+                  j += 1
                 }
-                if (ok) f += 1
-                j += 1
+                if (f > 0) out += ((d + base, f))
               }
-              if (f > 0) out += ((d + base, f))
               d = lead.nextDoc()
             }
           }
@@ -511,12 +539,43 @@ final class IndexSearcher(
       .limit(k)
   }
 
+  // ------------------------------------------------------------ caching
+
+  /** LRU cache of filter (non-scoring) match sets — the re-expression of the
+    * reference's per-segment filter cache (`search/LRUQueryCache.java`):
+    * hot filters persist their docId Dataset; eviction unpersists. Keyed by
+    * the query's structural form.
+    */
+  private val maxCachedFilters = 32
+  private val filterCache =
+    new java.util.LinkedHashMap[String, Dataset[Long]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Dataset[Long]]): Boolean =
+        if (size > maxCachedFilters) { e.getValue.unpersist(false); true }
+        else false
+    }
+
+  /** Matching docIds with LRU caching (see [[matching]]). */
+  def matchingCached(query: Query): Dataset[Long] = filterCache.synchronized {
+    val key = query.toString
+    val hit = filterCache.get(key)
+    if (hit != null) hit
+    else {
+      val ds = matching(query).persist()
+      filterCache.put(key, ds)
+      ds
+    }
+  }
+
   /** Hit count. Single term: O(1) from the term dictionary (ref
     * `search/Weight.java#count` shortcut); otherwise counts matches.
     */
   def count(query: Query): Long = query match {
-    case TermQuery(t) => termStats(Seq(t)).get(t).map(_.docFreq).getOrElse(0L)
-    case _            => matching(query).count()
+    // docFreq shortcut is only valid with no pending deletes (the reference's
+    // Weight#count returns -1 on segments with deletions)
+    case TermQuery(t) if !hasDeletes =>
+      termStats(Seq(t)).get(t).map(_.docFreq).getOrElse(0L)
+    case _ => matching(query).count()
   }
 
   /** Fetch stored docs (url etc.) for a scored page — the stored-fields

@@ -6,7 +6,10 @@ package graft.search
   * — a hit equal to the current k-th is rejected, so among equal scores the
   * earliest-collected (lowest docID) wins).
   */
-final class TopKCollector(k: Int) {
+final class TopKCollector(
+    k: Int,
+    deadDocs: Array[Long] = Array.emptyLongArray // sorted tombstones (liveDocs)
+) {
   // min-heap of (score, docId): root = weakest entry (lowest score; among
   // equal scores, HIGHEST docId is weakest)
   private val scores = new Array[Double](k)
@@ -21,6 +24,8 @@ final class TopKCollector(k: Int) {
     if (size < k) Double.NegativeInfinity else scores(0)
 
   def collect(docId: Long, score: Double): Unit = {
+    if (deadDocs.length > 0 &&
+        java.util.Arrays.binarySearch(deadDocs, docId) >= 0) return
     if (size < k) {
       var i = size
       scores(i) = score; docs(i) = docId; size += 1

@@ -2,7 +2,7 @@ package graft
 
 import graft.analysis.StandardAnalyzer
 import graft.corpus.Corpus
-import graft.index.{IndexBuilder, IndexConfig, Manifest, SegmentMerger}
+import graft.index.{CheckIndex, Deletes, IndexBuilder, IndexConfig, Manifest, SegmentMerger}
 import graft.index.Schema.PostingBlock
 import graft.codec.BlockCodec
 import graft.search._
@@ -240,6 +240,16 @@ class IndexSearchSpec extends SparkTestBase {
     assert(got == phraseByUrl(Seq("the", "of")))
   }
 
+  test("filter cache: cached matching == uncached, and the plan is cached") {
+    val q = Query.parse("court AND law")
+    val first = searcher.matchingCached(q)
+    assert(first.storageLevel.useMemory, "filter result should be persisted")
+    val second = searcher.matchingCached(q)
+    assert(first eq second, "second lookup should hit the LRU cache")
+    assert(first.collect().sorted.toSeq ==
+      searcher.matching(q).collect().sorted.toSeq)
+  }
+
   test("matching set and counts match oracle") {
     for (qs <- Seq("court AND law", "court NOT law", "(court OR law) AND state")) {
       val q = Query.parse(qs)
@@ -299,6 +309,69 @@ class IndexSearchSpec extends SparkTestBase {
     val mm = Manifest.read(dirM).get
     assert(mm.docCount == oracle.docCount)
     assert(mm.sumTotalTermFreq == oracle.sumTtf)
+  }
+
+  test("deletes: liveDocs hide tombstoned docs; merge purges them physically") {
+    import spark.implicits._
+    val dir = tmpDir("delseg")
+    IndexBuilder.buildSegment(
+      spark.createDataset(pagesLocal.map(p => (p.url, p.text))), dir, cfg)
+    val victims = pagesLocal.map(_.url).sorted.zipWithIndex
+      .collect { case (u, i) if i % 30 == 0 => u }
+    assert(Deletes.deleteByUrls(spark, dir, victims) == victims.size)
+
+    val se = new IndexSearcher(spark, Seq(Manifest.read(dir).get))
+    assert(se.hasDeletes)
+    val seFull = searcher // pristine segment from the shared fixture
+    val victimIds = seFull.docsTable.where($"url".isin(victims: _*))
+      .select($"docId").as[Long].collect().toSet
+
+    // matching excludes exactly the tombstoned docs
+    val q = Query.parse("court OR law")
+    assert(se.matching(q).collect().toSet ==
+      seFull.matching(q).collect().toSet -- victimIds)
+
+    // top-k = pristine ranking with victims removed — surviving docs keep
+    // their scores (stats stay stale until merge, the reference semantics)
+    for (qs <- Seq("the", "court AND law", "court OR law OR state")) {
+      val qq = Query.parse(qs)
+      val expect = seFull.topK(qq, 10 + victimIds.size).collect()
+        .filterNot(s => victimIds.contains(s.docId))
+        .take(10).map(s => (s.docId, s.score)).toSeq
+      val got = se.topK(qq, 10).collect().map(s => (s.docId, s.score)).toSeq
+      assert(got == expect, s"query $qs")
+    }
+
+    // counts fall back from the docFreq shortcut and respect liveDocs
+    assert(se.count(Query.parse("the")) ==
+      (seFull.matching(Query.parse("the")).collect().toSet -- victimIds).size)
+
+    // merge purges physically: result == a fresh index over surviving pages
+    val outDir = tmpDir("delmerged")
+    val m = SegmentMerger.merge(spark, Seq(dir), outDir, cfg)
+    val seM = new IndexSearcher(spark, Seq(m))
+    assert(!seM.hasDeletes)
+    val kept = pagesLocal.filterNot(p => victims.contains(p.url))
+    val freshDir = tmpDir("delfresh")
+    IndexBuilder.buildSegment(
+      spark.createDataset(kept.map(p => (p.url, p.text))), freshDir, cfg)
+    val fresh = Manifest.read(freshDir).get
+    assert(m.docCount == kept.size)
+    assert(m.sumTotalTermFreq == fresh.sumTotalTermFreq)
+
+    // stats now exact again ⇒ scores bit-identical to the fresh build;
+    // docId holes don't reorder ties because url-rank order is preserved
+    val seF = new IndexSearcher(spark, Seq(fresh))
+    val urlOfM = seM.docsTable.select($"docId", $"url").as[(Long, String)].collect().toMap
+    val urlOfF = seF.docsTable.select($"docId", $"url").as[(Long, String)].collect().toMap
+    for (qs <- Seq("court AND law", "court OR law OR state", "the OR of")) {
+      val qq = Query.parse(qs)
+      val a = seM.topK(qq, 10).collect().map(s => (urlOfM(s.docId), s.score)).toSeq
+      val b = seF.topK(qq, 10).collect().map(s => (urlOfF(s.docId), s.score)).toSeq
+      assert(a == b, s"query $qs")
+    }
+    val rep = CheckIndex.check(spark, outDir)
+    assert(rep.ok, rep.violations.mkString("; "))
   }
 
   test("CheckIndex invariants: block order, doc order, stats consistency") {
