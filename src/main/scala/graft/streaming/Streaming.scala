@@ -94,6 +94,70 @@ object Streaming {
     spark.table(sink)
   }
 
+  /** Streaming NRT index ingest — the re-expression of the reference's
+    * near-real-time flow (`index/DirectoryReader.openIfChanged`,
+    * `search/SearcherManager`): a document stream lands as one committed
+    * segment per micro-batch (immediately searchable via
+    * `IndexSearcher.open`), with the tiered merge policy applied after each
+    * batch. Exactly-once across restarts: the stream checkpoint replays
+    * unfinished batches and `buildSegment`'s manifest commit makes the
+    * replay a no-op for already-committed segments.
+    *
+    * @return number of committed batches this invocation processed
+    */
+  def indexStream(
+      spark: SparkSession,
+      srcParquetDir0: String,
+      indexDir: String,
+      cfg: graft.index.IndexConfig,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 8
+  ): Int = {
+    import graft.index.{IndexBuilder, Manifest, SegmentMerger, TieredMergePolicy}
+    val srcDir = asStreamDir(srcParquetDir0)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    def manifests() = {
+      val root = new java.io.File(indexDir)
+      if (!root.isDirectory) Seq.empty
+      else root.listFiles().filter(_.isDirectory).sortBy(_.getName)
+        .flatMap(f => Manifest.read(f.getPath)).toSeq
+    }
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        import org.apache.spark.sql.functions.col
+        import spark.implicits._
+        val pages = batch.select(col("url"), col("text")).as[(String, String)]
+        val m = IndexBuilder.buildSegment(pages, f"$indexDir/seg$id%09d", cfg)
+        batches.incrementAndGet()
+        // merge-scheduler pass (driver-side, after each commit)
+        var plan = TieredMergePolicy.findMerges(manifests())
+        var round = 0
+        while (plan.nonEmpty) {
+          val out = f"$indexDir/merge_${id}%09d_$round%02d"
+          SegmentMerger.merge(spark, plan.head, out, cfg)
+          plan.head.foreach { d =>
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) f.listFiles().foreach(rm)
+              f.delete(): Unit
+            }
+            rm(new java.io.File(d))
+          }
+          round += 1
+          plan = TieredMergePolicy.findMerges(manifests())
+        }
+        val _ = m
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    batches.get()
+  }
+
   /** Event-time tumbling-window aggregation with a watermark over a parquet
     * stream: (window_start, event_type) -> count, sum(value).
     */

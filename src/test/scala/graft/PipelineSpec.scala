@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.analysis.StandardAnalyzer
+import graft.index.IndexConfig
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
-import graft.search.Query
+import graft.search.{IndexSearcher, Query}
 import graft.streaming.Streaming
 
 /** Pipeline-operator tests: dedup families against exact Jaccard, LSH ANN
@@ -35,6 +36,31 @@ class PipelineSpec extends SparkTestBase {
       val distinctTexts = rows.map(r => texts(r.getLong(0))).distinct
       assert(distinctTexts.size == 1)
     }
+  }
+
+  test("streaming NRT ingest: per-batch segments, searchable, resumable") {
+    import spark.implicits._
+    val n = 3000
+    val src = tmpDir("nrt-src")
+    graft.corpus.Corpus.pages(spark, n.toLong).map(p => (p.url, p.text))
+      .toDF("url", "text").repartition(6).write.mode("overwrite").parquet(src)
+    val idx = tmpDir("nrt-idx")
+    val ckpt = tmpDir("nrt-ckpt")
+    val cfg = IndexConfig(bucketShift = 10, numPostingPartitions = 4, numDocPartitions = 2)
+    val nb = Streaming.indexStream(spark, src, idx, cfg, ckpt, maxFilesPerTrigger = 2)
+    assert(nb >= 2, s"expected multiple micro-batches, got $nb")
+
+    val se = IndexSearcher.open(spark, idx)
+    assert(se.segments.map(_.docCount).sum == n)
+    val an = StandardAnalyzer.Default
+    val expected = (0L until n.toLong)
+      .count(id => an.tokens(graft.corpus.Corpus.page(id).text).exists(_.term == "court"))
+    assert(se.count(Query.parse("court")) == expected)
+
+    // restart against the same checkpoint: nothing to replay, index unchanged
+    val nb2 = Streaming.indexStream(spark, src, idx, cfg, ckpt, maxFilesPerTrigger = 2)
+    assert(nb2 == 0)
+    assert(IndexSearcher.open(spark, idx).segments.map(_.docCount).sum == n)
   }
 
   test("jaccard strategies agree: count-based == PPJoin-prefix (both exact)") {
