@@ -374,6 +374,22 @@ class IndexSearchSpec extends SparkTestBase {
     assert(rep.ok, rep.violations.mkString("; "))
   }
 
+  test("head-term salting: a Zipf-head term's postings span multiple buckets") {
+    import spark.implicits._
+    // the north rule's skew evidence: 'the' (corpus head) must not collapse
+    // into one reducer key — its blocks split across docID-range buckets,
+    // so the (term, bucket) shuffle spreads them over the cluster
+    val blocks = spark.read.parquet(s"$segDir/postings")
+      .where($"term" === "the")
+      .select($"bucket").distinct().as[Long].collect()
+    assert(blocks.length > 1, s"head term landed in ${blocks.length} bucket(s)")
+    // and a tail term stays compact (no pointless splitting)
+    val tailBuckets = spark.read.parquet(s"$segDir/postings")
+      .where($"term" === "bebe")
+      .select($"bucket").distinct().count()
+    assert(tailBuckets <= blocks.length)
+  }
+
   test("CheckIndex invariants: block order, doc order, stats consistency") {
     import spark.implicits._
     val blocks = spark.read.parquet(s"$segDir/postings").as[PostingBlock].collect()
