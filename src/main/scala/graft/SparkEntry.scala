@@ -251,6 +251,21 @@ object SparkEntry {
         .select($"doc_id", TextOps.snippet($"text", "data", 2).as("snippet"))
         .orderBy($"doc_id")
     }),
+    "ft_expr_rank" -> ((s, d) => {
+      // expressions module re-expression: a scalar ranking formula over
+      // (score, doc-value) columns — Catalyst codegen instead of the
+      // reference's compiled JS expressions (lucene/expressions)
+      val se = searcherFor(s, d)
+      import s.implicits._
+      val scored = se.scoreMatches(se.parse("data OR query"))
+        .join(se.docsTable.select($"docId", $"url", $"length"), "docId")
+      scored
+        .select(docIdOf($"url"),
+          round($"score" * 0.7 + log(lit(1.0) + $"length".cast("double")) * 0.3, 6)
+            .as("rank_expr"))
+        .orderBy($"rank_expr".desc, $"doc_id".asc)
+        .limit(15)
+    }),
     "ft_suggest" -> ((s, d) => {
       // suggest module re-expression: prefix autocomplete ranked by docFreq
       // (ref lucene/suggest FST lookups -> sorted-dictionary prefix scan)
@@ -541,6 +556,15 @@ object SparkEntry {
          |      greatest(1, list_position(string_split(d.text, ' '), 'data') - 2) + 4),
          |    ' ') AS snippet
          |FROM m JOIN documents d USING (doc_id) ORDER BY m.doc_id""".stripMargin,
+    "ft_expr_rank" ->
+      (bm25Ctes(Seq("data", "query")) +
+        """, scored AS (
+          |  SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id
+          |)
+          |SELECT doc_id, round(score * 0.7 + ln(1 + dl) * 0.3, 6) AS rank_expr
+          |FROM scored JOIN dlen USING (doc_id)
+          |ORDER BY round(score * 0.7 + ln(1 + dl) * 0.3, 6) DESC, doc_id ASC
+          |LIMIT 15""".stripMargin),
     "ft_suggest" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
         |SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok
