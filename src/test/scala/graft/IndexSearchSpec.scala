@@ -167,8 +167,10 @@ class IndexSearchSpec extends SparkTestBase {
   }
 
   /** Brute-force phrase frequencies keyed by url (docId-layout independent). */
-  private def phraseByUrl(phrase: Seq[String]): Map[String, Int] = {
-    val an = StandardAnalyzer.Default
+  private def phraseByUrl(
+      phrase: Seq[String],
+      an: StandardAnalyzer = StandardAnalyzer.Default
+  ): Map[String, Int] = {
     pagesLocal.flatMap { p =>
       val toks = an.tokens(p.text)
       val byPos = toks.map(t => t.position -> t.term).toMap
@@ -219,6 +221,45 @@ class IndexSearchSpec extends SparkTestBase {
     val q = Query.parse("court AND law")
     assert(se.topK(q, 10).collect().map(s => (s.docId, s.score)).toSeq ==
       oracle.topK(q, 10))
+  }
+
+  test("stopword analyzer: rank-identity + position gaps break phrase adjacency") {
+    import spark.implicits._
+    val dir = tmpDir("stopseg")
+    val cfgS = cfg.copy(
+      stopwords = StandardAnalyzer.EnglishStopwords, storePositions = true)
+    IndexBuilder.buildSegment(
+      spark.createDataset(pagesLocal.map(p => (p.url, p.text))), dir, cfgS)
+    val se = new IndexSearcher(spark, Seq(Manifest.read(dir).get),
+      analyzer = StandardAnalyzer.English)
+    val oracleS = new BruteForceOracle(pagesLocal, StandardAnalyzer.English)
+
+    // norms count post-filter tokens; scores must still be rank-identical
+    for (qs <- Seq("court AND law", "court OR law OR state", "court NOT law")) {
+      val q = Query.parse(qs)
+      assert(se.topK(q, 10).collect().map(s => (s.docId, s.score)).toSeq ==
+        oracleS.topK(q, 10), s"query $qs")
+    }
+
+    // phrase adjacency respects stopword gaps: "court law" only matches
+    // where no (removed) token sat between them — the FilteringTokenFilter
+    // position-increment contract, end to end
+    val urlOf = se.docsTable.select($"docId", $"url").as[(Long, String)]
+      .collect().toMap
+    val got = se.phraseFreqsIndexed(Seq("court", "law")).collect()
+      .map { case (d, f) => urlOf(d) -> f }.toMap
+    val brute = phraseByUrl(Seq("court", "law"), StandardAnalyzer.English)
+    assert(got == brute)
+    // sanity: the corpus genuinely contains gapped near-misses
+    // (court <stop> law) that a position-IGNORANT matcher (adjacency in the
+    // filtered token sequence) would overcount — so the equality above is
+    // meaningful
+    val naive = pagesLocal.map { p =>
+      val terms = StandardAnalyzer.English.tokens(p.text).map(_.term)
+      (0 until math.max(0, terms.size - 1))
+        .count(i => terms(i) == "court" && terms(i + 1) == "law")
+    }.sum
+    assert(naive > brute.values.sum, "fixture lacks gapped near-misses")
   }
 
   test("positional merge: positions survive the docID remap") {
