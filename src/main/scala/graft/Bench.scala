@@ -32,6 +32,17 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
+    // 0. untimed warm-up: a tiny synthetic build JIT-compiles the whole
+    //    index path so ft_build measures indexing, not first-call codegen
+    locally {
+      import spark.implicits._
+      val warmDir = java.nio.file.Files.createTempDirectory("graft-warm").toString
+      val pages = graft.corpus.Corpus.pages(spark, 500).map(p => (p.url, p.text))
+      graft.index.IndexBuilder.buildSegment(pages, s"$warmDir/seg0",
+        graft.index.IndexConfig(bucketShift = 8, numPostingPartitions = 4,
+          numDocPartitions = 2, storePositions = true))
+    }
+
     // 1. index build (includes tokenize + posting blocks + term dict + commit)
     val (_, buildSec) = timed(SparkEntry.searcherFor(spark, sfDir))
     results += "ft_build" -> buildSec
