@@ -145,6 +145,61 @@ class ScorerSpec extends AnyFunSuite with PropHelpers {
     }
   }
 
+  test("MAXSCORE fixture: same results as WAND on the golden corpus") {
+    for (bs <- Seq(1, 2, 128); k <- Seq(2, 10)) {
+      val ps = fixtureScorers(bs)
+      def mk() = Array[DocScorer](
+        term(ps("A"), 2.0, bs), term(ps("B"), 1.0, bs), term(ps("C"), 3.0, bs))
+      val viaMax = new TopKCollector(k)
+      MaxScore.run(mk(), viaMax)
+      val viaWand = new TopKCollector(k)
+      Wand.run(mk(), None, viaWand)
+      assert(viaMax.results.toSeq == viaWand.results.toSeq, s"bs=$bs k=$k")
+    }
+  }
+
+  test("randomized duel: MAXSCORE == WAND == exhaustive") {
+    val genCorpus = for {
+      nDocs <- Gen.choose(20, 400)
+      nTerms <- Gen.choose(2, 5)
+      density <- Gen.choose(2, 10)
+    } yield (nDocs, nTerms, density)
+
+    forAll(genCorpus, n = 40) { case (nDocs, nTerms, density) =>
+      val rnd = new scala.util.Random(nDocs * 31 + nTerms * 7 + density)
+      val termPostings = (0 until nTerms).map { t =>
+        val ps = (0 until nDocs).flatMap { d =>
+          if (rnd.nextInt(density) == 0)
+            Some((d.toLong, 1 + rnd.nextInt(5), 1 + rnd.nextInt(200)))
+          else None
+        }
+        t.toString -> ps
+      }.filter(_._2.nonEmpty)
+      if (termPostings.nonEmpty) {
+        val sims: Map[String, SimScorer] = termPostings.map { case (t, _) =>
+          t -> (new Bm25FloatScorer(1.2f, 0.75f,
+            (0.5f + rnd.nextInt(10)), 120.0f): SimScorer)
+        }.toMap
+        val bs = 1 + rnd.nextInt(16)
+        def mk() = termPostings.map { case (t, ps) =>
+          new TermScorer(blocks(ps, bs), sims(t)): DocScorer
+        }.toArray
+        for (k <- Seq(1, 3, 10)) {
+          val viaMax = new TopKCollector(k)
+          MaxScore.run(mk(), viaMax, pruning = true)
+          val exact = new TopKCollector(k)
+          MaxScore.run(mk(), exact, pruning = false)
+          val viaWand = new TopKCollector(k)
+          Wand.run(mk(), None, viaWand, pruning = true)
+          assert(viaMax.results.toSeq == exact.results.toSeq,
+            s"MAXSCORE pruning changed results k=$k bs=$bs")
+          assert(viaMax.results.toSeq == viaWand.results.toSeq,
+            s"MAXSCORE != WAND k=$k bs=$bs")
+        }
+      }
+    }
+  }
+
   test("randomized duel: block-max conjunction == exhaustive") {
     val genCorpus = for {
       nDocs <- Gen.choose(20, 400)
