@@ -7,7 +7,7 @@ import graft.analysis.{StandardAnalyzer, Token}
   * contract: UAX#29-style breaks, codepoint lowercase, stopword position
   * preservation, 255-char chop.
   */
-class AnalysisSpec extends AnyFunSuite {
+class AnalysisSpec extends AnyFunSuite with PropHelpers {
 
   private val an = StandardAnalyzer.Default
   private val en = StandardAnalyzer.English
@@ -92,6 +92,39 @@ class AnalysisSpec extends AnyFunSuite {
       val streamed = scala.collection.mutable.ArrayBuffer[String]()
       a.foreachTerm(s)(streamed += _)
       assert(streamed.toSeq == a.tokens(s).map(_.term), s"input: ${s.take(30)}")
+    }
+  }
+
+  test("random text: foreachTerm == tokens == termFreqs (property)") {
+    import org.scalacheck.Gen
+    val codepoint = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.const(' '),
+      1 -> Gen.oneOf('\'', '.', ',', ';', ':', '_', '-', '!', '?', '\n', '\t'),
+      1 -> Gen.oneOf('中', '文', 'の', 'É', 'ü', 'ß', 'Ω', '€', '’')
+    )
+    val genText = Gen.listOf(codepoint).map(_.mkString)
+    forAll(genText, n = 200) { s =>
+      for (a <- Seq(an, en)) {
+        val toks = a.tokens(s)
+        // streaming path emits the same term sequence
+        val streamed = scala.collection.mutable.ArrayBuffer[String]()
+        a.foreachTerm(s)(streamed += _)
+        assert(streamed.toSeq == toks.map(_.term), s"input: ${s.take(40)}")
+        // per-doc aggregation is consistent with the token stream
+        val (freqs, length) = a.termFreqs(s)
+        assert(length == toks.size)
+        val expect = toks.groupBy(_.term).view.mapValues(_.size).toMap
+        import scala.jdk.CollectionConverters._
+        assert(freqs.asScala.toMap.map { case (k, v) => k -> v.toInt } == expect)
+        // positions strictly increase; offsets are sane
+        toks.sliding(2).foreach {
+          case Seq(x, y) => assert(x.position < y.position)
+          case _ =>
+        }
+        toks.foreach(t => assert(t.startOffset >= 0 && t.endOffset <= s.length &&
+          t.startOffset < t.endOffset))
+      }
     }
   }
 
