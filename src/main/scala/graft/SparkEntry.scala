@@ -167,6 +167,13 @@ object SparkEntry {
       if (terms.isEmpty) Seq.empty[Long].toDF("doc_id")
       else ftMatch(s, d, BoolQuery(terms.map(t => TermQuery(t) -> (Occur.Should: Occur))))
     }),
+    "ft_wildcard_match" -> ((s, d) => {
+      val se = searcherFor(s, d)
+      import s.implicits._
+      val terms = se.expandWildcard("s?ar*", max = 4096)
+      if (terms.isEmpty) Seq.empty[Long].toDF("doc_id")
+      else ftMatch(s, d, BoolQuery(terms.map(t => TermQuery(t) -> (Occur.Should: Occur))))
+    }),
     "ft_phrase_match" -> ((s, d) => {
       val se = searcherFor(s, d)
       import s.implicits._
@@ -486,6 +493,10 @@ object SparkEntry {
     "ft_regex_match" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
         |SELECT DISTINCT doc_id FROM tok WHERE regexp_full_match(term, 'st[a-z]*m')
+        |ORDER BY doc_id""".stripMargin,
+    "ft_wildcard_match" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT DISTINCT doc_id FROM tok WHERE term LIKE 's_ar%'
         |ORDER BY doc_id""".stripMargin,
     "ft_phrase_match" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,

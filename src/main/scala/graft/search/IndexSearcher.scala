@@ -158,6 +158,20 @@ final class IndexSearcher(
   def expandRegex(re: String, max: Int = 1024): Seq[String] =
     expandTerms($"term".rlike(re), max)
 
+  /** Wildcard pattern (`*` = any run, `?` = one char), compiled to an
+    * anchored regex over the dictionary (ref `search/WildcardQuery.java:38`
+    * `toAutomaton`).
+    */
+  def expandWildcard(pattern: String, max: Int = 1024): Seq[String] = {
+    val re = "^" + pattern.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+      case c => c.toString
+    } + "$"
+    expandRegex(re, max)
+  }
+
   /** Scorers for every key a query needs: per-term BM25 scorers plus blended
     * pseudo-term scorers for synonym nodes (docFreq = max over members,
     * ref `search/SynonymQuery.java` stats blending).
