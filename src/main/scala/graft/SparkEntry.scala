@@ -258,6 +258,22 @@ object SparkEntry {
         .select($"doc_id", TextOps.snippet($"text", "data", 2).as("snippet"))
         .orderBy($"doc_id")
     }),
+    "ft_parent_join" -> ((s, d) => {
+      // ToParentBlockJoin re-expression (ref lucene/join
+      // ToParentBlockJoinQuery, ScoreMode.Max): children = docs grouped
+      // under their source parent; a parent scores as the max of its
+      // matching children, carrying the child count
+      val se = searcherFor(s, d)
+      import s.implicits._
+      val scored = se.scoreMatches(se.parse("data OR query"))
+        .join(se.docsTable.select($"docId", $"url"), "docId")
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+      scored.join(docsDf(s, d).select($"doc_id", $"source"), "doc_id")
+        .groupBy($"source")
+        .agg(max($"score").as("parent_score"), count(lit(1)).as("n_children"))
+        .orderBy($"parent_score".desc, $"source".asc)
+        .limit(5)
+    }),
     "ft_expr_rank" -> ((s, d) => {
       // expressions module re-expression: a scalar ranking formula over
       // (score, doc-value) columns — Catalyst codegen instead of the
@@ -567,6 +583,13 @@ object SparkEntry {
          |      greatest(1, list_position(string_split(d.text, ' '), 'data') - 2) + 4),
          |    ' ') AS snippet
          |FROM m JOIN documents d USING (doc_id) ORDER BY m.doc_id""".stripMargin,
+    "ft_parent_join" ->
+      (bm25Scored(Seq("data", "query"), "TRUE") +
+        """
+          |SELECT d.source, max(r.score) AS parent_score, count(*) AS n_children
+          |FROM ranked r JOIN documents d USING (doc_id)
+          |GROUP BY d.source
+          |ORDER BY parent_score DESC, d.source ASC LIMIT 5""".stripMargin),
     "ft_expr_rank" ->
       (bm25Ctes(Seq("data", "query")) +
         """, scored AS (
