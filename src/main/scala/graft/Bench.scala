@@ -43,7 +43,10 @@ object Bench {
           numDocPartitions = 2, storePositions = true))
     }
 
-    // 1. index build (includes tokenize + posting blocks + term dict + commit)
+    // 1. index build (includes tokenize + posting blocks + term dict +
+    //    commit) — cache cleared first so this is a real build, never a
+    //    manifest resume left by a previous process
+    SparkEntry.clearIndexCache(sfDir)
     val (_, buildSec) = timed(SparkEntry.searcherFor(spark, sfDir))
     results += "ft_build" -> buildSec
 

@@ -26,6 +26,24 @@ object SparkEntry {
 
   private val searchers = TrieMap[String, IndexSearcher]()
 
+  private def indexDirFor(sfDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-idx-v3", // vN = segment format rev
+      java.lang.Integer.toHexString(sfDir.hashCode))
+
+  /** Drop the cached index for `sfDir` (benchmarks call this so a timed
+    * build is a real build, never a manifest resume from a prior process).
+    */
+  def clearIndexCache(sfDir: String): Unit = {
+    searchers.remove(sfDir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    val d = indexDirFor(sfDir).toFile
+    if (d.exists()) rm(d)
+  }
+
   /** Build (once per sfDir) an index over the `documents` table. urls are
     * zero-padded doc_ids so docID rank order == doc_id order.
     */
@@ -33,9 +51,7 @@ object SparkEntry {
     searchers.getOrElseUpdate(sfDir, {
       import spark.implicits._
       val dir = java.nio.file.Files
-        .createDirectories(java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft-idx-v3", // vN = segment format rev
-          java.lang.Integer.toHexString(sfDir.hashCode)))
+        .createDirectories(indexDirFor(sfDir))
         .toString
       val pages = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(format_string("doc%012d", $"doc_id").as("url"), $"text")
