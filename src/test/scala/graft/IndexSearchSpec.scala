@@ -431,6 +431,39 @@ class IndexSearchSpec extends SparkTestBase {
     assert(tailBuckets <= blocks.length)
   }
 
+  test("deletes + positions: phrase path hides tombstones; purge keeps positions") {
+    import spark.implicits._
+    val dir = tmpDir("delpos")
+    IndexBuilder.buildSegment(
+      spark.createDataset(pagesLocal.map(p => (p.url, p.text))), dir,
+      cfg.copy(storePositions = true))
+    val phrase = Seq("the", "of")
+    val all = phraseByUrl(phrase)
+    assert(all.nonEmpty)
+    // tombstone half the phrase-matching docs
+    val victims = all.keys.toSeq.sorted.zipWithIndex
+      .collect { case (u, i) if i % 2 == 0 => u }
+    assert(Deletes.deleteByUrls(spark, dir, victims) == victims.size)
+    val se = new IndexSearcher(spark, Seq(Manifest.read(dir).get))
+    val urlOf = se.docsTable.select($"docId", $"url").as[(Long, String)]
+      .collect().toMap
+    val got = se.phraseFreqsIndexed(phrase).collect()
+      .map { case (d, f) => urlOf(d) -> f }.toMap
+    assert(got == all -- victims, "phrase path must hide tombstoned docs")
+
+    // purge merge: positions survive, phrase == brute force on survivors
+    val outDir = tmpDir("delposM")
+    val m = SegmentMerger.merge(spark, Seq(dir), outDir,
+      cfg.copy(storePositions = true))
+    assert(m.hasPositions)
+    val seM = new IndexSearcher(spark, Seq(m))
+    val urlOfM = seM.docsTable.select($"docId", $"url").as[(Long, String)]
+      .collect().toMap
+    val gotM = seM.phraseFreqsIndexed(phrase).collect()
+      .map { case (d, f) => urlOfM(d) -> f }.toMap
+    assert(gotM == all -- victims)
+  }
+
   test("CheckIndex invariants: block order, doc order, stats consistency") {
     import spark.implicits._
     val blocks = spark.read.parquet(s"$segDir/postings").as[PostingBlock].collect()
