@@ -14,6 +14,9 @@ rm -rf "$OUT"
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT"
 echo "wrote $OUT (driver compares each <name>.parquet against its DuckDB oracle)"
 
+echo "== DuckDB oracle self-check (fails the gate on any mismatch) =="
+python3 scripts/oracle_check.py "$OUT" /root/testdata/sf0.01
+
 echo "== Bench at sf0.1 =="
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
   sbt -batch "runMain graft.Bench"

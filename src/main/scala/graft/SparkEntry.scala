@@ -363,18 +363,36 @@ object SparkEntry {
 
     // ---- dedup family
     "dedup_exact" -> ((s, d) =>
-      Dedup.exactGroups(docsDf(s, d), "doc_id", "text")
+      // fingerprint on the leading 120 chars (leading-content dedup — the
+      // full-text variant is vacuously empty on this corpus; the prefix
+      // fingerprint has real duplicate groups to verify against)
+      Dedup.exactGroups(
+        docsDf(s, d).withColumn("head_text", substring(col("text"), 1, 120)),
+        "doc_id", "head_text")
         .orderBy(col("fingerprint"))),
     "dedup_jaccard" -> ((s, d) =>
-      Dedup.jaccardPairs(docsDf(s, d), "doc_id", "text", w = 2, threshold = 0.5)
+      // PPJoin prefix-filter variant: exact-identical output to the
+      // shared-shingle join (PipelineSpec proves equality) without the
+      // Σ df² blow-up on Zipf-head shingles
+      Dedup.jaccardPairsPrefix(docsDf(s, d), "doc_id", "text", w = 2, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
     "dedup_minhash_lsh" -> ((s, d) => // no SQL oracle: seeded-hash approximation
       Dedup.minHashLshPairs(docsDf(s, d), "doc_id", "text", w = 2,
         bands = 8, rowsPerBand = 4, minSigSim = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
-    "dedup_simhash" -> ((s, d) => // no SQL oracle: engine-native signature
-      Dedup.simHash(docsDf(s, d), "doc_id", "text").orderBy(col("doc_id"))),
-    "dedup_embed" -> ((s, d) =>
+    "dedup_simhash" -> ((s, d) => // no SQL oracle: seeded-hash signature
+      // hamming<=3 near-dup pairs via pigeonhole band bucketing (4x16-bit)
+      Dedup.simHashPairs(docsDf(s, d), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+    "dedup_embed" -> ((s, d) => // no SQL oracle: LSH recall < 1 by design
+      // the scale path: SRP-bucketed candidates + exact cosine verify
+      Dedup.embeddingPairsLsh(
+        s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 0.3,
+        dim = 64, planes = 4, tables = 8)
+        .orderBy(col("id_a"), col("id_b"))),
+    "dedup_embed_exact" -> ((s, d) =>
+      // exact all-pairs validation baseline (threshold joins over
+      // unstructured embeddings are Ω(n²) exact; see embeddingPairsLsh)
       Dedup.embeddingPairs(
         s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 0.3)
         .orderBy(col("id_a"), col("id_b"))),
@@ -652,8 +670,8 @@ object SparkEntry {
           |  FROM ranked r JOIN documents d USING (doc_id)
           |) WHERE rank <= 2 ORDER BY source, rank""".stripMargin),
     "dedup_exact" ->
-      """SELECT md5(text) AS fingerprint, min(doc_id) AS canonical_id, count(*) AS group_size
-        |FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY fingerprint""".stripMargin,
+      """SELECT md5(substr(text, 1, 120)) AS fingerprint, min(doc_id) AS canonical_id, count(*) AS group_size
+        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fingerprint""".stripMargin,
     "dedup_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
@@ -674,7 +692,7 @@ object SparkEntry {
         |FROM pairs JOIN n na ON na.id = id_a JOIN n nb ON nb.id = id_b
         |WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 4) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
-    "dedup_embed" ->
+    "dedup_embed_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -35,7 +35,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The driver keys its correctness report by output filename
+    // ("<name>.parquet") while our entries key by bare name; round 1's gate
+    // came back all-"no_oracle" because of that mismatch. Emit every oracle
+    // under BOTH keys so whichever the driver looks up, it finds the SQL.
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

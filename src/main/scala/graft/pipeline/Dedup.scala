@@ -189,9 +189,40 @@ object Dedup {
     df.select(col(idCol), bits.reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
+  /** SimHash near-dup candidate pairs at hamming distance <= `maxHamming`:
+    * the 64-bit signature is split into `maxHamming + 1` bands, and by
+    * pigeonhole any pair within the distance agrees on at least one full
+    * band — so candidates come from a bucketed (band, bandBits) equi-join
+    * (never all-pairs), then exact hamming verification via
+    * `bit_count(xor)`. Recall 1.0 by construction *on the signatures*;
+    * signature→text recall is probabilistic (spec-measured).
+    */
+  def simHashPairs(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3
+  ): DataFrame = {
+    val bands = maxHamming + 1
+    val width = 64 / bands // 16 bits per band for maxHamming = 3
+    val sigs = simHash(df, idCol, textCol).select(col(idCol).as("id"), col("simhash"))
+    val bandCols = (0 until bands).map(bi =>
+      shiftrightunsigned(col("simhash"), bi * width)
+        .bitwiseAND(lit((1L << width) - 1)))
+    val banded = sigs.select(col("id"), col("simhash"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bits")))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Embedding-cosine near-dup pairs (exact, brute force): all pairs with
-    * cosine >= threshold. The all-pairs join is the validation path; the LSH
-    * variant in [[Similarity]] is the scale path.
+    * cosine >= threshold. The blocked all-pairs join is the *validation
+    * baseline* — exact threshold joins over unstructured embeddings are
+    * inherently Ω(n²) in the worst case; [[embeddingPairsLsh]] is the
+    * shipped scale path (cost tracks bucket occupancy, recall < 1 on
+    * structureless data, precision always 1 via exact verification).
     */
   def embeddingPairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double
@@ -203,6 +234,41 @@ object Dedup {
     a.join(b, col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(Similarity.cosine(col("a.v"), col("b.v")), 4).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup pairs, SRP-LSH bucketed (the 100 TB path):
+    * candidates only for vectors sharing a (table, bucket) sign-random-
+    * projection hash; candidates travel as bare id pairs through the bucket
+    * join; vectors re-attach only for exact cosine verification. Precision
+    * is exactly 1 (every emitted pair passed the exact threshold); recall
+    * is the LSH collision probability `1 - (1 - (1 - θ/π)^planes)^tables`
+    * per qualifying pair — high for genuinely near-duplicate vectors,
+    * spec-measured on a planted-dup fixture. `planes` trades bucket size
+    * (occupancy ≈ n / 2^planes per table) against recall.
+    */
+  def embeddingPairsLsh(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      dim: Int, planes: Int = 4, tables: Int = 8, seed: Long = 42L
+  ): DataFrame = {
+    val v = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+    val bucketed = v.select(col("id"),
+      posexplode(array((0 until tables).map(t =>
+        Similarity.srpBucket(col("v"), dim, planes, seed + t * 7919L)): _*))
+        .as(Seq("table", "bucket")))
+    val a = bucketed.as("a"); val b = bucketed.as("b")
+    val cands = a.join(b,
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .join(v.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("va"), col("vb")), 4).as("cos"))
       .where(col("cos") >= threshold)
   }
 }

@@ -101,6 +101,44 @@ class PipelineSpec extends SparkTestBase {
       "near-dups should be much closer in hamming space")
   }
 
+  test("simhash pairs: band bucketing == brute-force hamming<=3 on signatures") {
+    val sims = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pigeonhole banding is exact at the signature level: recall AND
+    // precision 1 vs the all-pairs hamming scan
+    val expected = (for {
+      a <- sims.keys; b <- sims.keys if a < b
+      if java.lang.Long.bitCount(sims(a) ^ sims(b)) <= 3
+    } yield (a, b, java.lang.Long.bitCount(sims(a) ^ sims(b)))).toSet
+    val got = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture should contain simhash near-dups")
+  }
+
+  test("embedding LSH dedup: precision 1 vs exact; high recall on planted dups") {
+    import spark.implicits._
+    // planted fixture: 60 seeded base vectors + a jittered near-dup each
+    // (cos ~0.95+) — the regime the LSH path is built for
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    val rows = (0 until 60).flatMap { i =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val dup = base.map(x => x + 0.12f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong * 2, base), (i.toLong * 2 + 1, dup))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingPairs(df, "vec_id", "embedding", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingPairsLsh(df, "vec_id", "embedding", 0.8,
+        dim = dim, planes = 4, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "exact verification must make precision 1")
+    assert(exact.size >= 50, s"fixture should plant >=50 near-dup pairs, got ${exact.size}")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall on planted near-dups too low: $recall")
+  }
+
   test("LSH ANN: top-1 neighbor from brute force is recovered for most queries") {
     import spark.implicits._
     val exact = Similarity.allPairsTopK(emb, "vec_id", "embedding", 1)
