@@ -74,8 +74,10 @@ object SparkEntry {
     val s = searcherFor(spark, sfDir)
     import spark.implicits._
     val q = s.parse(queryStr)
-    s.topK(q, k + 50)
-      .join(s.docsTable.select($"docId", $"url"), "docId")
+    // collect the ≤(k+50)-row hit list, then point-lookup stored fields
+    // (isin pushdown on the docId-sorted docs table) instead of a full
+    // docs-table scan + join per query
+    s.fetchDocs(s.topK(q, k + 50).collect())
       .select(docIdOf($"url"), round($"score", 6).as("score"))
       .orderBy($"score".desc, $"doc_id".asc)
       .limit(k)
@@ -125,16 +127,14 @@ object SparkEntry {
       val q = BoolQuery(Seq(
         TermQuery("data") -> Occur.Should, TermQuery("query") -> Occur.Should,
         TermQuery("table") -> Occur.Filter))
-      se.topK(q, 60)
-        .join(se.docsTable.select($"docId", $"url"), "docId")
+      se.fetchDocs(se.topK(q, 60).collect())
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc).limit(10)
     }),
     "ft_synonym_topk" -> ((s, d) => {
       val se = searcherFor(s, d)
       import s.implicits._
-      se.topK(SynonymQuery(Seq("data", "stream")), 60)
-        .join(se.docsTable.select($"docId", $"url"), "docId")
+      se.fetchDocs(se.topK(SynonymQuery(Seq("data", "stream")), 60).collect())
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc).limit(10)
     }),
@@ -152,8 +152,8 @@ object SparkEntry {
       val q2 = se.parse("table OR stream")
       val cand = se.topK(q1, 80)
         .orderBy(round($"score", 6).desc, $"docId".asc).limit(30).as[ScoredDoc]
-      se.rescore(cand, q2, 1.0, 2.0)
-        .join(se.docsTable.select($"docId", $"url"), "docId")
+      val rescored = se.rescore(cand, q2, 1.0, 2.0).as[ScoredDoc].collect()
+      se.fetchDocs(rescored)
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc).limit(10)
     }),
@@ -202,8 +202,7 @@ object SparkEntry {
     "ft_phrase_topk" -> ((s, d) => {
       val se = searcherFor(s, d)
       import s.implicits._
-      se.phraseTopK(Seq("data", "query"), textByDocId(s, d), 60)
-        .join(se.docsTable.select($"docId", $"url"), "docId")
+      se.fetchDocs(se.phraseTopK(Seq("data", "query"), textByDocId(s, d), 60).collect())
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc).limit(10)
     }),
@@ -324,7 +323,8 @@ object SparkEntry {
       import s.implicits._
       val cand = se.topK(se.parse("data OR query OR stream"), 80)
         .orderBy(round($"score", 6).desc, $"docId".asc).limit(25)
-      cand.join(se.docsTable.select($"docId", $"url"), "docId")
+        .as[ScoredDoc].collect()
+      se.fetchDocs(cand)
         .select(docIdOf($"url"))
         .join(docsDf(s, d).select($"doc_id", $"source"), "doc_id")
         .groupBy($"source").agg(count(lit(1)).as("votes"))

@@ -34,11 +34,15 @@ object CheckIndex {
     val docCount = docs.count()
     if (docCount != manifest.docCount)
       v += s"docs table has $docCount rows, manifest says ${manifest.docCount}"
-    val idStats = docs.agg(min($"docId"), max($"docId"),
-      count(lit(1)), countDistinct($"docId")).head()
-    if (idStats.getLong(3) != docCount) v += "docIds are not unique"
-    if (idStats.getLong(1) > manifest.maxDocId)
-      v += s"max docId ${idStats.getLong(1)} exceeds manifest ${manifest.maxDocId}"
+    // guard the empty-docs case: min/max aggregate to null there, and an
+    // auditor must report the anomaly, not NPE on it
+    if (docCount > 0) {
+      val idStats = docs.agg(min($"docId"), max($"docId"),
+        count(lit(1)), countDistinct($"docId")).head()
+      if (idStats.getLong(3) != docCount) v += "docIds are not unique"
+      if (idStats.getLong(1) > manifest.maxDocId)
+        v += s"max docId ${idStats.getLong(1)} exceeds manifest ${manifest.maxDocId}"
+    } else v += "segment has zero docs"
 
     val rawBlocks = spark.read.parquet(s"$dir/postings")
     val blocksDs: Dataset[PostingBlock] =
@@ -106,7 +110,10 @@ object CheckIndex {
       .count()
     if (mismatch > 0) v += s"$mismatch terms with stats disagreeing between dictionary and blocks"
 
-    val sttf = blocksDs.agg(sum($"freqSum")).head().getLong(0)
+    // sum() over zero blocks is null — treat as 0 so the manifest comparison
+    // below reports the inconsistency instead of throwing
+    val sttfRow = blocksDs.agg(sum($"freqSum")).head()
+    val sttf = if (sttfRow.isNullAt(0)) 0L else sttfRow.getLong(0)
     if (sttf != manifest.sumTotalTermFreq)
       v += s"sumTotalTermFreq $sttf != manifest ${manifest.sumTotalTermFreq}"
 

@@ -25,9 +25,18 @@ object Deletes {
 
   /** Record segment-local docIds as deleted (new generation, atomic-enough:
     * a generation becomes visible only once its parquet commit completes).
+    * Generation names are a monotonic counter derived from the existing
+    * generations (max + 1) with a random suffix — nanoTime origins are
+    * arbitrary per JVM, so two processes (or a restart) could otherwise
+    * collide or interleave out of order.
     */
   def add(spark: SparkSession, segDir: String, docIds: Dataset[java.lang.Long]): Unit = {
-    val gen = f"$Prefix${System.nanoTime()}%020d"
+    val next = gens(segDir).map { g =>
+      val digits = g.getName.stripPrefix(Prefix).takeWhile(_.isDigit)
+      if (digits.isEmpty) 0L else BigInt(digits).min(BigInt(Long.MaxValue - 1)).toLong
+    }.foldLeft(0L)(math.max) + 1
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val gen = f"$Prefix$next%020d_$suffix"
     docIds.toDF("docId").write.parquet(s"$segDir/$gen")
   }
 
@@ -53,6 +62,35 @@ object Deletes {
         .select(col("docId").cast("long"))
         .distinct()
         .as[Long].collect().sorted
+    }
+  }
+
+  /** Segment tombstones as a compact [[Tombstones]] structure. Sparse
+    * delete sets (< 1/64 of the docId space) collect as a sorted array;
+    * dense sets aggregate to 64-bit bitmap words *distributed*
+    * (`groupBy(docId/64).agg(bit_or)`), so the driver materializes maxDoc/8
+    * bytes of bitmap — never the raw docId list — before broadcasting.
+    */
+  def readTombstones(spark: SparkSession, segDir: String, maxDocId: Long): Tombstones = {
+    val gs = gens(segDir)
+    if (gs.isEmpty) Tombstones.Empty
+    else {
+      import spark.implicits._
+      val ids = gs.map(g => spark.read.parquet(g.getPath))
+        .reduce(_ unionByName _)
+        .select(col("docId").cast("long").as("docId"))
+        .distinct()
+      val n = ids.count()
+      if (n == 0) Tombstones.Empty
+      else if (n * 64 < maxDocId + 1) {
+        Tombstones.ofSorted(ids.as[Long].collect().sorted)
+      } else {
+        val pairs = ids
+          .groupBy((col("docId") / 64).cast("long").as("w"))
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(docId % 64 AS INT)))").as("bits"))
+          .as[(Long, Long)].collect()
+        Tombstones.ofWords(pairs, maxDocId)
+      }
     }
   }
 

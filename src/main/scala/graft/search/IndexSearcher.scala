@@ -86,18 +86,20 @@ final class IndexSearcher(
     sumTotalTermFreq = segments.map(_.sumTotalTermFreq).sum
   )
 
-  /** Per-segment sorted tombstones (the liveDocs complement, ref
+  /** Per-segment tombstones (the liveDocs complement, ref
     * `Lucene90LiveDocsFormat`): deleted docs are hidden from every read
     * path; collection stats intentionally stay stale until a merge purges
-    * (the reference's semantics).
+    * (the reference's semantics). Compact (bitmap above 1/64 density,
+    * sorted array below) and shipped to executors as a Spark broadcast —
+    * one copy per executor, not serialized into every query closure.
     */
-  private val tombstones: Array[Array[Long]] =
-    segments.map(s => graft.index.Deletes.readSorted(spark, s.dir)).toArray
+  private val tombstones: org.apache.spark.broadcast.Broadcast[Array[graft.index.Tombstones]] =
+    spark.sparkContext.broadcast(
+      segments.map(s =>
+        graft.index.Deletes.readTombstones(spark, s.dir, s.maxDocId)).toArray)
 
   /** True when any segment carries un-merged deletes. */
-  def hasDeletes: Boolean = tombstones.exists(_.nonEmpty)
-
-  private def deadIn(seg: Int): Array[Long] = tombstones(seg)
+  def hasDeletes: Boolean = tombstones.value.exists(!_.isEmpty)
 
   def parse(s: String): Query = Query.parse(s, t => {
     val toks = analyzer.tokens(t)
@@ -155,21 +157,77 @@ final class IndexSearcher(
   def expandRange(lo: String, hi: String, max: Int = 1024): Seq[String] =
     expandTerms($"term" >= lo && $"term" < hi, max)
 
-  def expandRegex(re: String, max: Int = 1024): Seq[String] =
-    expandTerms($"term".rlike(re), max)
+  /** Smallest string strictly greater than every string with prefix `p`
+    * (None when every char is Char.MaxValue — then no finite upper bound).
+    */
+  private def prefixUpper(p: String): Option[String] = {
+    var i = p.length - 1
+    while (i >= 0 && p.charAt(i) == Char.MaxValue) i -= 1
+    if (i < 0) None else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+  }
+
+  /** Mandatory literal prefix of an anchored regex (the cheap core of the
+    * reference's automaton "common prefix" — ref
+    * `util/automaton/Operations.getCommonPrefix` used by
+    * `index/AutomatonTermsEnum` to seek the dictionary): literal chars after
+    * `^` up to the first metachar, excluding a literal that a following
+    * quantifier could make optional.
+    */
+  private[search] def literalPrefixOfRegex(re: String): String = {
+    if (!re.startsWith("^")) return ""
+    val sb = new StringBuilder
+    var i = 1
+    var done = false
+    while (i < re.length && !done) {
+      val c = re.charAt(i)
+      if ("\\[](){}.*+?|^$".contains(c)) done = true
+      else if (i + 1 < re.length && "*?{".contains(re.charAt(i + 1))) done = true
+      else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Regex expansion bounded by the pattern's mandatory literal prefix: the
+    * range predicate `[prefix, prefix+)` reaches the Parquet scan
+    * (PushedFilters on the range-sorted dictionary = row-group pruning, the
+    * .tip seek analogue); `rlike` only verifies within the bounded slice.
+    * Unanchored or prefix-free patterns degrade to the full dictionary scan
+    * — exactly the reference's behavior for automata with no common prefix.
+    */
+  def expandRegex(re: String, max: Int = 1024): Seq[String] = {
+    val p = literalPrefixOfRegex(re)
+    val base = $"term".rlike(re)
+    val pred =
+      if (p.isEmpty) base
+      else prefixUpper(p) match {
+        case Some(hi) => $"term" >= p && $"term" < hi && base
+        case None     => $"term".startsWith(p) && base
+      }
+    expandTerms(pred, max)
+  }
 
   /** Wildcard pattern (`*` = any run, `?` = one char), compiled to an
     * anchored regex over the dictionary (ref `search/WildcardQuery.java:38`
-    * `toAutomaton`).
+    * `toAutomaton`); the literal prefix before the first wildcard bounds
+    * the scan. Every non-alphanumeric literal is backslash-escaped
+    * (including backslash itself).
     */
   def expandWildcard(pattern: String, max: Int = 1024): Seq[String] = {
     val re = "^" + pattern.flatMap {
       case '*' => ".*"
       case '?' => "."
-      case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
-      case c => c.toString
+      case c if c.isLetterOrDigit => c.toString
+      case c => "\\" + c
     } + "$"
-    expandRegex(re, max)
+    val litPrefix = pattern.takeWhile(c => c != '*' && c != '?')
+    val base = $"term".rlike(re)
+    val pred =
+      if (litPrefix.isEmpty) base
+      else prefixUpper(litPrefix) match {
+        case Some(hi) => $"term" >= litPrefix && $"term" < hi && base
+        case None     => $"term".startsWith(litPrefix) && base
+      }
+    expandTerms(pred, max)
   }
 
   /** Scorers for every key a query needs: per-term BM25 scorers plus blended
@@ -300,7 +358,7 @@ final class IndexSearcher(
                 bv.posPacked))
           }
         // liveDocs: tombstoned docs never take a top-k slot
-        val collector = new TopKCollector(k, tombs(seg))
+        val collector = new TopKCollector(k, tombs.value(seg))
         Executor.search(q, byTerm, scorers, collector, pruning)
         val base = basesL(seg)
         collector.results.iterator.map { case (d, s) => ScoredDoc(d + base, s) }
@@ -330,7 +388,7 @@ final class IndexSearcher(
               bv.posPacked))
         }
         val base = basesL(seg)
-        val dead = tombs(seg)
+        val dead = tombs.value(seg)
         Executor.build(q, byTerm, scorers) match {
           case None => Iterator.empty
           case Some(sc) =>
@@ -340,8 +398,7 @@ final class IndexSearcher(
               def next(): ScoredDoc = {
                 val r = ScoredDoc(d + base, sc.score); d = sc.nextDoc(); r
               }
-            }.filter(s => dead.length == 0 ||
-              java.util.Arrays.binarySearch(dead, s.docId - base) < 0)
+            }.filter(s => !dead.contains(s.docId - base))
         }
       }
   }
@@ -358,8 +415,20 @@ final class IndexSearcher(
       .select($"docId",
         ($"score1" * lit(w1) + coalesce($"score2", lit(0.0)) * lit(w2)).as("score"))
 
+  /** Fuzzy expansion, bounded: a term within `maxEdits` of the pattern must
+    * have length within ±maxEdits (cheap codegen'd pre-filter), and the
+    * Levenshtein check runs with the early-abort threshold variant (banded
+    * DP that bails once the distance provably exceeds maxEdits — the
+    * Levenshtein-automaton intersection analogue, ref
+    * `index/AutomatonTermsEnum.java` semantics). No sorted-range bound
+    * exists for fuzzy (an edit at position 0 admits any first char), same
+    * as the reference's automaton, which also walks all viable subtrees.
+    */
   def expandFuzzy(term: String, maxEdits: Int = 2, max: Int = 1024): Seq[String] =
-    expandTerms(levenshtein(lit(term), $"term") <= maxEdits, max)
+    expandTerms(
+      length($"term").between(term.length - maxEdits, term.length + maxEdits) &&
+        levenshtein(lit(term), $"term", maxEdits) >= 0,
+      max)
 
   /** All matching docIds (no scoring) — the FILTER/semi-join path feeding
     * facets, grouping, and joins.
@@ -381,10 +450,9 @@ final class IndexSearcher(
               bv.posPacked))
         }
         val base = basesL(seg)
-        val dead = tombs(seg)
+        val dead = tombs.value(seg)
         Executor.matchIds(q, byTerm)
-          .filter(d => dead.length == 0 ||
-            java.util.Arrays.binarySearch(dead, d) < 0)
+          .filter(d => !dead.contains(d))
           .map(_ + base)
       }.toDF("docId").as[Long]
   }
@@ -460,8 +528,7 @@ final class IndexSearcher(
               i += 1
             }
             if (aligned && d != DocScorer.NoMoreDocs) {
-              val live = tombs(seg).length == 0 ||
-                java.util.Arrays.binarySearch(tombs(seg), d) < 0
+              val live = !tombs.value(seg).contains(d)
               if (live) {
                 val slotPos: Array[Array[Int]] = phrase.map(t => scorerOf(t).positions)
                 val p0 = slotPos(0)
@@ -561,17 +628,35 @@ final class IndexSearcher(
     * the query's structural form.
     */
   private val maxCachedFilters = 32
+  // evicted datasets unpersist LAZILY (on the next cache access): an evicted
+  // Dataset may still be mid-iteration in a caller — unpersisting immediately
+  // silently degrades it to recomputation
+  private val pendingUnpersist = new java.util.ArrayDeque[Dataset[Long]]()
   private val filterCache =
     new java.util.LinkedHashMap[String, Dataset[Long]](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, Dataset[Long]]): Boolean =
-        if (size > maxCachedFilters) { e.getValue.unpersist(false); true }
+        if (size > maxCachedFilters) { pendingUnpersist.add(e.getValue); true }
         else false
     }
 
+  /** Structural cache key: clause order is normalized so `a OR b` and
+    * `b OR a` hit the same entry (the reference's cache keys on Query
+    * equality, which is order-insensitive for BooleanQuery clauses of the
+    * same occur).
+    */
+  private def cacheKey(q: Query): String = q match {
+    case TermQuery(t)     => s"t:$t"
+    case sq: SynonymQuery => sq.synonyms.sorted.mkString("syn:", ",", "")
+    case bq: BoolQuery =>
+      bq.clauses.map { case (c, o) => s"$o:${cacheKey(c)}" }
+        .sorted.mkString("b(", ",", ")")
+  }
+
   /** Matching docIds with LRU caching (see [[matching]]). */
   def matchingCached(query: Query): Dataset[Long] = filterCache.synchronized {
-    val key = query.toString
+    while (!pendingUnpersist.isEmpty) pendingUnpersist.poll().unpersist(false)
+    val key = cacheKey(query)
     val hit = filterCache.get(key)
     if (hit != null) hit
     else {
@@ -604,8 +689,37 @@ final class IndexSearcher(
       }
       .reduce(_ unionByName _)
 
+  /** Stored-fields point lookup for a small (top-k-sized) set of global
+    * docIds: each segment's docId-sorted docs table is scanned with an
+    * `isin` pushdown on its local ids, so Parquet min/max prunes to the few
+    * row groups actually containing the hits — the .fdt-seek analogue. A
+    * full docs-table scan + join for a ≤k-row fetch would read the whole
+    * corpus per query at scale (the docs table is the biggest table in the
+    * index); this reads O(hit row groups).
+    */
+  def docsForIds(ids: Seq[Long]): DataFrame = {
+    val parts = segments.zipWithIndex.flatMap { case (s, i) =>
+      val lo = bases(i); val hi = lo + s.maxDocId
+      val local = ids.collect { case d if d >= lo && d <= hi => d - lo }
+      if (local.isEmpty) None
+      else Some(spark.read.parquet(s"${s.dir}/docs")
+        .where($"docId".isin(local: _*))
+        .withColumn("docId", $"docId" + lit(lo)))
+    }
+    if (parts.isEmpty)
+      spark.read.parquet(s"${segments.head.dir}/docs").where(lit(false))
+    else parts.reduce(_ unionByName _)
+  }
+
+  /** (docId, score, url, …stored fields) for an already-collected hit list —
+    * broadcast the tiny hit set against the point-looked-up stored fields.
+    */
+  def fetchDocs(hits: Array[ScoredDoc]): DataFrame =
+    docsForIds(hits.map(_.docId).toSeq)
+      .join(broadcast(spark.createDataset(hits.toSeq).toDF("docId", "score")), "docId")
+
   def searchDocs(query: Query, k: Int): DataFrame =
-    topK(query, k).join(docsTable, "docId")
+    fetchDocs(topK(query, k).collect())
       .orderBy($"score".desc, $"docId".asc)
 }
 

@@ -8,7 +8,7 @@ package graft.search
   */
 final class TopKCollector(
     k: Int,
-    deadDocs: Array[Long] = Array.emptyLongArray // sorted tombstones (liveDocs)
+    deadDocs: graft.index.Tombstones = graft.index.Tombstones.Empty // liveDocs complement
 ) {
   // min-heap of (score, docId): root = weakest entry (lowest score; among
   // equal scores, HIGHEST docId is weakest)
@@ -24,8 +24,7 @@ final class TopKCollector(
     if (size < k) Double.NegativeInfinity else scores(0)
 
   def collect(docId: Long, score: Double): Unit = {
-    if (deadDocs.length > 0 &&
-        java.util.Arrays.binarySearch(deadDocs, docId) >= 0) return
+    if (deadDocs.contains(docId)) return
     if (size < k) {
       var i = size
       scores(i) = score; docs(i) = docId; size += 1
