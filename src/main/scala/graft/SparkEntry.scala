@@ -138,6 +138,19 @@ object SparkEntry {
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc).limit(10)
     }),
+    "ft_boost_topk" -> ((s, d) =>
+      // per-clause boost: weight = boost * idf (ref search/BoostQuery.java)
+      ftTopK(s, d, "data^2 OR query", 10)),
+    "ft_msm_topk" -> ((s, d) => {
+      // minimumShouldMatch=2 of three SHOULD clauses (ref BooleanQuery msm)
+      val se = searcherFor(s, d)
+      import s.implicits._
+      val q = BoolQuery(Seq("data", "query", "stream").map(t =>
+        TermQuery(t) -> (Occur.Should: Occur)), minimumShouldMatch = 2)
+      se.fetchDocs(se.topK(q, 60).collect())
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc).limit(10)
+    }),
     "ft_fuzzy_match" -> ((s, d) => {
       val se = searcherFor(s, d)
       import s.implicits._
@@ -205,6 +218,17 @@ object SparkEntry {
       se.fetchDocs(se.phraseTopK(Seq("data", "query"), textByDocId(s, d), 60).collect())
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc).limit(10)
+    }),
+    "ft_phrase_slop" -> ((s, d) => {
+      // sloppy phrase at slop=2 (ref search/SloppyPhraseMatcher.java —
+      // ordered-window variant; see IndexSearcher.phraseFreqsSloppy)
+      val se = searcherFor(s, d)
+      import s.implicits._
+      se.phraseFreqsSloppy(Seq("data", "query"), slop = 2)
+        .toDF("docId", "sloppy_freq")
+        .join(se.docsTable.select($"docId", $"url"), "docId")
+        .select(docIdOf($"url"), $"sloppy_freq".cast("bigint").as("sloppy_freq"))
+        .orderBy($"doc_id")
     }),
     "ft_sort_topk" -> ((s, d) => {
       val se = searcherFor(s, d)
@@ -513,6 +537,15 @@ object SparkEntry {
          |  FROM syn JOIN qlen ON qlen.doc_id = syn.doc_id
          |)
          |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "ft_boost_topk" ->
+      (bm25Ctes(Seq("data", "query")) +
+        """, scored AS (
+          |  SELECT doc_id, sum(s * CASE WHEN term = 'data' THEN 2.0 ELSE 1.0 END) AS score
+          |  FROM sc GROUP BY doc_id
+          |)
+          |SELECT doc_id, round(score, 6) AS score FROM scored
+          |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin),
+    "ft_msm_topk" -> bm25TopK(Seq("data", "query", "stream"), "nmatch >= 2", 10),
     "ft_fuzzy_match" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
         |SELECT DISTINCT doc_id FROM tok WHERE levenshtein(term, 'quer') <= 2
@@ -579,6 +612,14 @@ object SparkEntry {
          |  FROM pf JOIN qlen ON qlen.doc_id = pf.doc_id)
          |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
     },
+    "ft_phrase_slop" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |                  generate_subscripts(string_split(text, ' '), 1) AS pos
+        |           FROM documents)
+        |SELECT a.doc_id, count(*) AS sloppy_freq
+        |FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.pos - a.pos <= 3
+        |WHERE a.term = 'data' AND b.term = 'query'
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
     "ft_sort_topk" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
          |dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)

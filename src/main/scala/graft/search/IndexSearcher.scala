@@ -235,8 +235,9 @@ final class IndexSearcher(
     * ref `search/SynonymQuery.java` stats blending).
     */
   private def scorerMap(query: Query, ts: Map[String, TermStat]): Map[String, SimScorer] = {
-    def walk(q: Query): Map[String, SimScorer] = q match {
-      case TermQuery(t) => Map(t -> scorerFor(t, ts))
+    def walk(q: Query, boost: Double): Map[String, SimScorer] = q match {
+      case TermQuery(t) => Map(Executor.skey(t, boost) -> scorerFor(t, ts, boost))
+      case BoostQuery(inner, b2) => walk(inner, boost * b2)
       case sq: SynonymQuery =>
         val dfs = sq.synonyms.flatMap(ts.get).map(_.docFreq)
         val df = if (dfs.isEmpty) 0L else dfs.max
@@ -244,28 +245,29 @@ final class IndexSearcher(
           if (df == 0) new ConstScorer(0.0)
           else precision match {
             case Precision.FloatExact =>
+              // boost folds into the float weight, ref BM25Similarity weight
               new Bm25FloatScorer(k1.toFloat, b.toFloat,
-                Bm25.idf(df, stats.docCount), Bm25.avgFieldLength(stats))
+                boost.toFloat * Bm25.idf(df, stats.docCount), Bm25.avgFieldLength(stats))
             case Precision.DoubleOracle =>
               new Bm25DoubleScorer(k1, b,
-                Bm25.idfD(df, stats.docCount), Bm25.avgFieldLengthD(stats))
+                boost * Bm25.idfD(df, stats.docCount), Bm25.avgFieldLengthD(stats))
           }
-        Map(sq.key -> sim)
-      case bq: BoolQuery => bq.clauses.iterator.map(_._1).flatMap(walk).toMap
+        Map(Executor.skey(sq.key, boost) -> sim)
+      case bq: BoolQuery => bq.clauses.iterator.map(_._1).flatMap(walk(_, boost)).toMap
     }
-    walk(query)
+    walk(query, 1.0)
   }
 
-  private def scorerFor(term: String, ts: Map[String, TermStat]): SimScorer =
+  private def scorerFor(term: String, ts: Map[String, TermStat], boost: Double): SimScorer =
     ts.get(term) match {
       case None => new ConstScorer(0.0)
       case Some(t) =>
         precision match {
           case Precision.FloatExact =>
-            val idf = Bm25.idf(t.docFreq, stats.docCount)
+            val idf = boost.toFloat * Bm25.idf(t.docFreq, stats.docCount)
             new Bm25FloatScorer(k1.toFloat, b.toFloat, idf, Bm25.avgFieldLength(stats))
           case Precision.DoubleOracle =>
-            val idf = Bm25.idfD(t.docFreq, stats.docCount)
+            val idf = boost * Bm25.idfD(t.docFreq, stats.docCount)
             new Bm25DoubleScorer(k1, b, idf, Bm25.avgFieldLengthD(stats))
         }
     }
@@ -554,6 +556,108 @@ final class IndexSearcher(
       }
   }
 
+  /** Sloppy-phrase frequencies at proximity `slop` (ref
+    * `search/SloppyPhraseMatcher.java` — our window semantics are the
+    * ordered variant: a match is a strictly increasing position tuple
+    * `p_0 < … < p_{n-1}` with term i at `p_i` and span
+    * `p_{n-1} - p_0 <= (n-1) + slop`; slop = 0 degenerates to the exact
+    * phrase). Runs over the positional index: leapfrog conjunction aligns
+    * candidate docs, then the per-doc sorted position arrays are counted
+    * with a bounded recursive walk (positions decode lazily per block).
+    */
+  def phraseFreqsSloppy(terms: Seq[String], slop: Int): Dataset[(Long, Int)] = {
+    require(terms.nonEmpty, "empty phrase")
+    require(segments.forall(_.hasPositions), "index was built without positions")
+    if (slop == 0) return phraseFreqsIndexed(terms)
+    val phrase = terms.toArray
+    val unique = terms.distinct
+    val basesL = bases
+    val tombs = tombstones
+    val slopL = slop
+    blocksFor(unique)
+      .groupByKey(bk => (bk.seg, bk.bucket))
+      .flatMapGroups { (key: (Int, Long), it: Iterator[QBlock]) =>
+        val seg = key._1
+        val byTerm = it.toArray.groupBy(_.term).map { case (t, arr) =>
+          t -> arr.sortBy(_.firstDocId).map(bv =>
+            BlockView(bv.firstDocId, bv.lastDocId, bv.numDocs,
+              bv.docsPacked, bv.freqsPacked, bv.normsPacked, bv.impacts,
+              bv.posPacked))
+        }
+        if (unique.exists(t => !byTerm.contains(t))) Iterator.empty
+        else {
+          val scorerOf =
+            unique.map(t => t -> new TermScorer(byTerm(t), new ConstScorer(1.0))).toMap
+          val all = scorerOf.values.toArray
+          val base = basesL(seg)
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+          val lead = all.minBy(_.cost)
+          var d = lead.nextDoc()
+          while (d != DocScorer.NoMoreDocs) {
+            var aligned = true
+            var i = 0
+            while (i < all.length && aligned) {
+              val s = all(i)
+              if (s ne lead) {
+                val sd = if (s.docId < d) s.advance(d) else s.docId
+                if (sd != d) {
+                  aligned = false
+                  d = if (sd == DocScorer.NoMoreDocs) DocScorer.NoMoreDocs
+                      else lead.advance(sd)
+                }
+              }
+              i += 1
+            }
+            if (aligned && d != DocScorer.NoMoreDocs) {
+              if (!tombs.value(seg).contains(d)) {
+                val slotPos: Array[Array[Int]] = phrase.map(t => scorerOf(t).positions)
+                val f = IndexSearcher.countSloppy(slotPos, slopL)
+                if (f > 0) out += ((d + base, f))
+              }
+              d = lead.nextDoc()
+            }
+          }
+          out.iterator
+        }
+      }
+  }
+
+  /** Sloppy verification against stored text (duel path for
+    * [[phraseFreqsSloppy]]): re-analyze candidates and count the same
+    * window tuples over analyzer positions.
+    */
+  def phraseFreqsSloppyStored(
+      terms: Seq[String], slop: Int,
+      textByDocId: Dataset[(Long, String)]
+  ): Dataset[(Long, Int)] = {
+    require(terms.nonEmpty, "empty phrase")
+    val cand = matching(
+      BoolQuery(terms.map(t => TermQuery(t) -> (Occur.Must: Occur))))
+    val an = analyzer
+    val phrase = terms.toArray
+    val slopL = slop
+    textByDocId.toDF("docId", "text")
+      .join(cand.toDF("docId"), "docId")
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = an.tokens(text)
+          val byTerm = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+          toks.foreach { t =>
+            var b = byTerm.get(t.term)
+            if (b == null) { b = scala.collection.mutable.ArrayBuffer[Int](); byTerm.put(t.term, b) }
+            b += t.position
+          }
+          if (phrase.exists(t => byTerm.get(t) == null)) None
+          else {
+            val slotPos = phrase.map(t => byTerm.get(t).toArray)
+            val f = IndexSearcher.countSloppy(slotPos, slopL)
+            if (f > 0) Some((id, f)) else None
+          }
+        }
+      }
+  }
+
   /** Two-phase fallback for indexes without positions: conjunction over the
     * index, then adjacency verification against stored text.
     */
@@ -646,11 +750,12 @@ final class IndexSearcher(
     * same occur).
     */
   private def cacheKey(q: Query): String = q match {
-    case TermQuery(t)     => s"t:$t"
-    case sq: SynonymQuery => sq.synonyms.sorted.mkString("syn:", ",", "")
+    case TermQuery(t)        => s"t:$t"
+    case BoostQuery(q2, b2)  => s"boost($b2,${cacheKey(q2)})"
+    case sq: SynonymQuery    => sq.synonyms.sorted.mkString("syn:", ",", "")
     case bq: BoolQuery =>
       bq.clauses.map { case (c, o) => s"$o:${cacheKey(c)}" }
-        .sorted.mkString("b(", ",", ")")
+        .sorted.mkString(s"b${bq.minimumShouldMatch}(", ",", ")")
   }
 
   /** Matching docIds with LRU caching (see [[matching]]). */
@@ -725,6 +830,43 @@ final class IndexSearcher(
 
 object IndexSearcher {
 
+  /** Count ordered sloppy-phrase matches: strictly increasing tuples
+    * `p_0 < … < p_{n-1}` with `p_i ∈ slotPos(i)` and span
+    * `p_{n-1} - p_0 <= (n-1) + slop`. Sorted inputs; bounded recursion —
+    * each level only walks positions inside the remaining window.
+    */
+  private[search] def countSloppy(slotPos: Array[Array[Int]], slop: Int): Int = {
+    val n = slotPos.length
+    if (n == 1) return slotPos(0).length
+    val maxSpan = n - 1 + slop
+    def lowerBound(a: Array[Int], key: Int): Int = {
+      var lo = 0; var hi = a.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (a(mid) < key) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    var total = 0
+    var i0 = 0
+    val p0s = slotPos(0)
+    while (i0 < p0s.length) {
+      val p0 = p0s(i0)
+      def go(slot: Int, prev: Int): Int =
+        if (slot == n) 1
+        else {
+          val ps = slotPos(slot)
+          var c = 0
+          var j = lowerBound(ps, prev + 1)
+          while (j < ps.length && ps(j) - p0 <= maxSpan) { c += go(slot + 1, ps(j)); j += 1 }
+          c
+        }
+      total += go(1, p0)
+      i0 += 1
+    }
+    total
+  }
+
   /** Open all committed segments under an index root (each subdir with a
     * manifest), ordered by directory name.
     */
@@ -752,35 +894,62 @@ object IndexSearcher {
   */
 object Executor {
 
+  /** Scorer-map key for a (term-or-synonym, boost) pair: an unboosted clause
+    * keys by the bare term so every existing path is unchanged; a boosted
+    * clause gets its own SimScorer with the boost folded into the weight.
+    */
+  def skey(term: String, boost: Double): String =
+    if (boost == 1.0) term else s"$term#b=$boost"
+
   /** Build a DocScorer for `query`; None = provably no matches in group. */
   def build(
       query: Query,
       blocks: Map[String, Array[BlockView]],
-      scorers: Map[String, SimScorer]
+      scorers: Map[String, SimScorer],
+      boost: Double = 1.0
   ): Option[DocScorer] = query match {
     case TermQuery(t) =>
-      blocks.get(t).map(bs => new TermScorer(bs, scorers(t)))
+      blocks.get(t).map(bs => new TermScorer(bs, scorers(skey(t, boost))))
+    case BoostQuery(inner, b2) =>
+      build(inner, blocks, scorers, boost * b2)
     case sq: SynonymQuery =>
-      val sim = scorers(sq.key)
+      val sim = scorers(skey(sq.key, boost))
       val children = sq.synonyms.flatMap(blocks.get).map(bs => new TermScorer(bs, sim)).toArray
       if (children.isEmpty) None else Some(new SynonymScorer(children, sim))
     case bq: BoolQuery =>
-      val must = bq.must.map(build(_, blocks, scorers))
-      val filters = bq.filter.map(build(_, blocks, scorers))
+      val must = bq.must.map(build(_, blocks, scorers, boost))
+      val filters = bq.filter.map(build(_, blocks, scorers, boost))
       if (must.exists(_.isEmpty) || filters.exists(_.isEmpty)) return None
-      val should = bq.should.flatMap(build(_, blocks, scorers))
-      val excl = orScorer(bq.mustNot.flatMap(build(_, blocks, scorers)))
-      val req: Option[DocScorer] =
-        if (must.nonEmpty || filters.nonEmpty)
-          Some(new ConjunctionScorer(must.flatten.toArray, filters.flatten.toArray))
-        else None
-      val opt = orScorer(should)
-      val core: Option[DocScorer] = (req, opt) match {
-        case (Some(r), Some(o)) => Some(new ReqOptScorer(r, o))
-        case (Some(r), None)    => Some(r)
-        case (None, Some(o))    => Some(o)
-        case (None, None)       => None
-      }
+      val should = bq.should.flatMap(build(_, blocks, scorers, boost))
+      val excl = orScorer(bq.mustNot.flatMap(build(_, blocks, scorers, boost)))
+      val msm = bq.minimumShouldMatch
+      val core: Option[DocScorer] =
+        if (msm > 0 && bq.should.nonEmpty) {
+          // msm makes the SHOULD group required: doc must match >= msm of
+          // them (ref BooleanWeight; WANDScorer minShouldMatch semantics)
+          if (should.length < msm) None
+          else {
+            val msmScorer: DocScorer =
+              if (msm == 1) orScorer(should).get
+              else new MinShouldMatchScorer(should.toArray, msm)
+            if (must.nonEmpty || filters.nonEmpty)
+              Some(new ConjunctionScorer((must.flatten :+ msmScorer).toArray,
+                filters.flatten.toArray))
+            else Some(msmScorer)
+          }
+        } else {
+          val req: Option[DocScorer] =
+            if (must.nonEmpty || filters.nonEmpty)
+              Some(new ConjunctionScorer(must.flatten.toArray, filters.flatten.toArray))
+            else None
+          val opt = orScorer(should)
+          (req, opt) match {
+            case (Some(r), Some(o)) => Some(new ReqOptScorer(r, o))
+            case (Some(r), None)    => Some(r)
+            case (None, Some(o))    => Some(o)
+            case (None, None)       => None
+          }
+        }
       (core, excl) match {
         case (Some(c), Some(e)) => Some(new ReqExclScorer(c, e))
         case (c, _)             => c
@@ -810,7 +979,10 @@ object Executor {
       }
     case sq: SynonymQuery =>
       build(sq, blocks, scorers).foreach(s => Wand.run(Array(s), None, collector, pruning))
-    case bq: BoolQuery if bq.must.isEmpty && bq.filter.isEmpty =>
+    case bqst: BoostQuery =>
+      build(bqst, blocks, scorers).foreach(s => Wand.run(Array(s), None, collector, pruning))
+    case bq: BoolQuery
+        if bq.must.isEmpty && bq.filter.isEmpty && bq.minimumShouldMatch <= 1 =>
       val should = bq.should.flatMap(build(_, blocks, scorers))
       val excl = orScorer(bq.mustNot.flatMap(build(_, blocks, scorers)))
       if (should.nonEmpty) Wand.run(should.toArray, excl, collector, pruning)
@@ -904,11 +1076,14 @@ object Executor {
     }
   }
 
-  /** All scorer-map keys a query needs (terms + synonym pseudo-terms). */
-  def scorerKeys(q: Query): Set[String] = q match {
-    case TermQuery(t)      => Set(t)
-    case sq: SynonymQuery  => sq.synonyms.toSet + sq.key
-    case bq: BoolQuery     => bq.clauses.iterator.flatMap(c => scorerKeys(c._1)).toSet
+  /** All scorer-map keys a query needs (terms + synonym pseudo-terms, with
+    * boost-qualified keys for boosted clauses).
+    */
+  def scorerKeys(q: Query, boost: Double = 1.0): Set[String] = q match {
+    case TermQuery(t)       => Set(skey(t, boost))
+    case BoostQuery(q2, b2) => scorerKeys(q2, boost * b2)
+    case sq: SynonymQuery   => sq.synonyms.toSet + skey(sq.key, boost)
+    case bq: BoolQuery      => bq.clauses.iterator.flatMap(c => scorerKeys(c._1, boost)).toSet
   }
 
   /** Matching docIds without scoring. */

@@ -34,7 +34,25 @@ final case class SynonymQuery(synonyms: Seq[String]) extends Query {
   def key: String = synonyms.sorted.mkString("syn:", "|", "")
 }
 
-final case class BoolQuery(clauses: Seq[(Query, Occur)]) extends Query {
+/** Score-multiplying wrapper (ref
+  * `/root/reference/lucene/core/src/java/org/apache/lucene/search/BoostQuery.java`):
+  * the wrapped query's weight is `boost * idf`, folded into the SimScorer at
+  * weight-construction time exactly as the reference does (boost multiplies
+  * inside the float weight, not as a post-hoc score multiply).
+  */
+final case class BoostQuery(query: Query, boost: Double) extends Query {
+  def terms: Set[String] = query.terms
+}
+
+/** @param minimumShouldMatch docs must match at least this many SHOULD
+  *   clauses (ref `search/BooleanQuery.java#getMinimumNumberShouldMatch`,
+  *   scorer semantics `search/WANDScorer.java` minShouldMatch mode). 0 keeps
+  *   the default: >=1 SHOULD when no MUST/FILTER present, else optional.
+  */
+final case class BoolQuery(
+    clauses: Seq[(Query, Occur)],
+    minimumShouldMatch: Int = 0
+) extends Query {
   def terms: Set[String] = clauses.iterator.flatMap(_._1.terms).toSet
   def must: Seq[Query] = clauses.collect { case (q, Occur.Must) => q }
   def should: Seq[Query] = clauses.collect { case (q, Occur.Should) => q }
@@ -128,7 +146,14 @@ object Query {
         val (q, rest) = parseOr(t, an)
         require(rest.headOption.contains(")"), "missing )")
         (q, rest.tail)
-      case h :: t => (TermQuery(an(h)), t)
+      case h :: t =>
+        // `term^2.5` = per-clause boost (ref queryparser/classic syntax)
+        val caret = h.lastIndexOf('^')
+        if (caret > 0 && caret < h.length - 1 &&
+            h.substring(caret + 1).matches("""\d+(\.\d+)?""")) {
+          val boost = h.substring(caret + 1).toDouble
+          (BoostQuery(TermQuery(an(h.substring(0, caret))), boost), t)
+        } else (TermQuery(an(h)), t)
       case Nil    => throw new IllegalArgumentException("empty query")
     }
 }

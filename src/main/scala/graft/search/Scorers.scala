@@ -330,6 +330,65 @@ final class DisjunctionSumScorer(children: Array[DocScorer]) extends DocScorer {
   def blockBoundary: Long = children.map(_.blockBoundary).min
 }
 
+/** Disjunction requiring at least `msm` matching children per doc —
+  * minimumShouldMatch semantics (ref `search/WANDScorer.java` minShouldMatch
+  * mode, golden suite `TestWANDScorer.java:264-728`). Score = sum of the
+  * matching children, exactly as the plain disjunction; docs matching fewer
+  * than `msm` children are not emitted at all.
+  */
+final class MinShouldMatchScorer(children: Array[DocScorer], msm: Int)
+    extends DocScorer {
+  import DocScorer.NoMoreDocs
+  require(msm >= 1 && msm <= children.length, s"msm $msm of ${children.length}")
+  private var cur: Long = -1L
+
+  override val cost: Long = children.map(_.cost).sum
+  override lazy val maxScore: Double = children.map(_.maxScore).sum
+
+  def docId: Long = cur
+
+  def nextDoc(): Long = advance(cur + 1)
+
+  def advance(target0: Long): Long = {
+    if (cur == NoMoreDocs) return NoMoreDocs
+    var target = target0
+    while (true) {
+      var min = NoMoreDocs
+      var i = 0
+      while (i < children.length) {
+        val d = if (children(i).docId < target) children(i).advance(target)
+                else children(i).docId
+        if (d < min) min = d
+        i += 1
+      }
+      if (min == NoMoreDocs) { cur = NoMoreDocs; return cur }
+      var n = 0
+      i = 0
+      while (i < children.length) {
+        if (children(i).docId == min) n += 1
+        i += 1
+      }
+      if (n >= msm) { cur = min; return cur }
+      target = min + 1
+    }
+    cur // unreachable
+  }
+
+  def score: Double = {
+    var s = 0.0
+    var i = 0
+    while (i < children.length) {
+      if (children(i).docId == cur) s += children(i).score
+      i += 1
+    }
+    s
+  }
+
+  def advanceShallow(target: Long): Unit = children.foreach(_.advanceShallow(target))
+  def blockMaxScore: Double = children.map(_.blockMaxScore).sum
+  def blockBoundary: Long = children.map(_.blockBoundary).min
+}
+
 /** Required/excluded (MUST_NOT) — iterate `req`, drop docs `excl` matches
   * (ref `search/ReqExclScorer.java`).
   */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.search.{BoolQuery, Occur, Query, TermQuery}
+import graft.search.{BoolQuery, BoostQuery, Occur, Query, SynonymQuery, TermQuery}
 
 /** Streaming surfaces of the engine (SURVEY.md §2.4):
   *
@@ -28,13 +28,20 @@ object Streaming {
   def matchExpr(q: Query, toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     q match {
       case TermQuery(t) => array_contains(toks, t)
+      case BoostQuery(q2, _) => matchExpr(q2, toks) // boost is score-only
+      case sq: SynonymQuery =>
+        sq.synonyms.map(t => array_contains(toks, t)).reduce(_ || _)
       case bq: BoolQuery =>
         val must = bq.must.map(matchExpr(_, toks)) ++ bq.filter.map(matchExpr(_, toks))
         val should = bq.should.map(matchExpr(_, toks))
         val not = bq.mustNot.map(matchExpr(_, toks))
         val mustOk = must.reduceOption(_ && _).getOrElse(lit(true))
         val shouldOk =
-          if (bq.should.isEmpty) lit(true) else should.reduce(_ || _)
+          if (bq.should.isEmpty) lit(true)
+          else if (bq.minimumShouldMatch > 1)
+            should.map(c => when(c, 1).otherwise(0)).reduce(_ + _) >=
+              bq.minimumShouldMatch
+          else should.reduce(_ || _)
         val notOk = not.map(!_).reduceOption(_ && _).getOrElse(lit(true))
         mustOk && shouldOk && notOk
     }

@@ -21,40 +21,44 @@ final class BruteForceOracle(pages: Seq[Page], analyzer: StandardAnalyzer) {
 
   def docFreq(term: String): Long = docTf.count(_._1.containsKey(term)).toLong
 
-  private val scorerCache = scala.collection.mutable.HashMap[String, Bm25FloatScorer]()
-  private def scorer(term: String): Bm25FloatScorer =
-    scorerCache.getOrElseUpdate(term, {
+  private val scorerCache = scala.collection.mutable.HashMap[(String, Double), Bm25FloatScorer]()
+  private def scorer(term: String, boost: Double): Bm25FloatScorer =
+    scorerCache.getOrElseUpdate((term, boost), {
       val df = docFreq(term)
-      new Bm25FloatScorer(1.2f, 0.75f, Bm25.idf(df, docCount), avgdl)
+      // boost folds into the float weight, same expression as the engine
+      new Bm25FloatScorer(1.2f, 0.75f, boost.toFloat * Bm25.idf(df, docCount), avgdl)
     })
 
-  private def synScorer(sq: SynonymQuery): Bm25FloatScorer = {
+  private def synScorer(sq: SynonymQuery, boost: Double): Bm25FloatScorer = {
     val df = sq.synonyms.map(docFreq).max
-    new Bm25FloatScorer(1.2f, 0.75f, Bm25.idf(df, docCount), avgdl)
+    new Bm25FloatScorer(1.2f, 0.75f, boost.toFloat * Bm25.idf(df, docCount), avgdl)
   }
 
   /** None = no match; Some(score). */
   def eval(q: Query, doc: Int): Option[Double] = {
     val (tf, len) = docTf(doc)
     val norm = java.lang.Byte.toUnsignedInt(SmallFloat.intToByte4(len))
-    def go(q: Query): Option[Double] = q match {
+    def go(q: Query, boost: Double): Option[Double] = q match {
       case TermQuery(t) =>
         if (tf.containsKey(t) && docFreq(t) > 0)
-          Some(scorer(t).score(tf.get(t), norm))
+          Some(scorer(t, boost).score(tf.get(t), norm))
         else None
+      case BoostQuery(q2, b2) => go(q2, boost * b2)
       case sq: SynonymQuery =>
         val f = sq.synonyms.map(t => tf.getOrDefault(t, 0)).sum
-        if (f == 0) None else Some(synScorer(sq).score(f, norm))
+        if (f == 0) None else Some(synScorer(sq, boost).score(f, norm))
       case bq: BoolQuery =>
-        val must = bq.must.map(go)
-        val filt = bq.filter.map(go)
+        val must = bq.must.map(go(_, boost))
+        val filt = bq.filter.map(go(_, boost))
         if (must.exists(_.isEmpty) || filt.exists(_.isEmpty)) return None
-        if (bq.mustNot.exists(go(_).isDefined)) return None
-        val shouldScores = bq.should.flatMap(go)
+        if (bq.mustNot.exists(go(_, boost).isDefined)) return None
+        val shouldScores = bq.should.flatMap(go(_, boost))
+        if (bq.minimumShouldMatch > 0 &&
+            shouldScores.size < bq.minimumShouldMatch) return None
         if (bq.must.isEmpty && bq.filter.isEmpty && shouldScores.isEmpty) return None
         Some(must.flatten.sum + shouldScores.sum)
     }
-    go(q)
+    go(q, 1.0)
   }
 
   def matching(q: Query): Seq[Long] =

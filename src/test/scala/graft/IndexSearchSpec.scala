@@ -87,6 +87,46 @@ class IndexSearchSpec extends SparkTestBase {
     }
   }
 
+  test("boost duel: boosted clauses == oracle, pruned == exhaustive") {
+    val queries = Seq(
+      Query.parse("court^2 OR law"),
+      Query.parse("court^0.5 OR law^3 OR state"),
+      Query.parse("court^2 AND law"),
+      BoostQuery(Query.parse("court OR law"), 2.5),
+      BoostQuery(BoostQuery(TermQuery("court"), 2.0), 1.5), // nested boosts multiply
+      Query.parse("court^2 NOT law"))
+    for (q <- queries) {
+      val expected = oracle.topK(q, 10)
+      val pruned = searcher.topK(q, 10, pruning = true).collect()
+        .map(s => (s.docId, s.score)).toSeq
+      val exhaustive = searcher.topK(q, 10, pruning = false).collect()
+        .map(s => (s.docId, s.score)).toSeq
+      assert(pruned == exhaustive, s"pruning changed boosted results for: $q")
+      assert(pruned == expected, s"boosted engine != oracle for: $q")
+    }
+  }
+
+  test("minimumShouldMatch duel: msm filtering == oracle, all msm values") {
+    val shoulds = Seq("court", "law", "state", "time").map(t =>
+      TermQuery(t) -> (Occur.Should: Occur))
+    for (msm <- 1 to 4) {
+      val q = BoolQuery(shoulds, minimumShouldMatch = msm)
+      val expected = oracle.topK(q, 10)
+      val got = searcher.topK(q, 10).collect().map(s => (s.docId, s.score)).toSeq
+      assert(got == expected, s"msm=$msm engine != oracle")
+      // count side: every match has >= msm matching terms
+      val ids = searcher.matching(q).collect().toSet
+      val expIds = oracle.matching(q).toSet
+      assert(ids == expIds, s"msm=$msm matching set")
+    }
+    // msm alongside MUST: doc must match the must AND >= msm shoulds
+    val q = BoolQuery((TermQuery("of") -> (Occur.Must: Occur)) +: shoulds,
+      minimumShouldMatch = 2)
+    val expected = oracle.topK(q, 10)
+    val got = searcher.topK(q, 10).collect().map(s => (s.docId, s.score)).toSeq
+    assert(got == expected, "msm+must engine != oracle")
+  }
+
   test("fuzzy/prefix/range expansion against the term dictionary") {
     val fz = searcher.expandFuzzy("cout", maxEdits = 1)
     assert(fz.contains("court"))
@@ -221,6 +261,27 @@ class IndexSearchSpec extends SparkTestBase {
     val q = Query.parse("court AND law")
     assert(se.topK(q, 10).collect().map(s => (s.docId, s.score)).toSeq ==
       oracle.topK(q, 10))
+
+    // sloppy phrase: indexed path == stored-text duel at every slop; slop=0
+    // degenerates to the exact phrase; counts grow monotonically with slop
+    for (phrase <- Seq(Seq("the", "of"), Seq("court", "law"))) {
+      var prevTotal = -1L
+      for (slop <- 0 to 3) {
+        val indexed = se.phraseFreqsSloppy(phrase, slop).collect()
+          .map { case (d, f) => urlOf(d) -> f }.toMap
+        val stored = se.phraseFreqsSloppyStored(phrase, slop, txt).collect()
+          .map { case (d, f) => urlOf(d) -> f }.toMap
+        assert(indexed == stored, s"sloppy indexed != stored for $phrase slop=$slop")
+        if (slop == 0)
+          assert(indexed == se.phraseFreqsIndexed(phrase).collect()
+            .map { case (d, f) => urlOf(d) -> f }.toMap,
+            s"slop=0 != exact phrase for $phrase")
+        val total = indexed.values.map(_.toLong).sum
+        assert(total >= prevTotal, s"sloppy count not monotone in slop for $phrase")
+        prevTotal = total
+      }
+      assert(prevTotal > 0, s"no sloppy matches at slop=3 for $phrase")
+    }
   }
 
   test("stopword analyzer: rank-identity + position gaps break phrase adjacency") {

@@ -186,10 +186,16 @@ class PipelineSpec extends SparkTestBase {
 
   private def evalQ(q: Query, toks: Set[String]): Boolean = q match {
     case graft.search.TermQuery(t) => toks.contains(t)
+    case graft.search.BoostQuery(q2, _) => evalQ(q2, toks)
+    case sq: graft.search.SynonymQuery => sq.synonyms.exists(toks.contains)
     case bq: graft.search.BoolQuery =>
+      val shouldOk =
+        if (bq.should.isEmpty) true
+        else if (bq.minimumShouldMatch > 1)
+          bq.should.count(evalQ(_, toks)) >= bq.minimumShouldMatch
+        else bq.should.exists(evalQ(_, toks))
       bq.must.forall(evalQ(_, toks)) && bq.filter.forall(evalQ(_, toks)) &&
-        (bq.should.isEmpty || bq.should.exists(evalQ(_, toks))) &&
-        !bq.mustNot.exists(evalQ(_, toks))
+        shouldOk && !bq.mustNot.exists(evalQ(_, toks))
   }
 
   test("quality + langid emit sane ranges") {
