@@ -31,11 +31,38 @@ object SparkEntry {
       sys.props("java.io.tmpdir"), "graft-idx-v3", // vN = segment format rev
       java.lang.Integer.toHexString(sfDir.hashCode))
 
+  private val fieldSearchers = TrieMap[String, IndexSearcher]()
+
+  /** Two-field (title/body) index over `documents`: title = first 8 tokens,
+    * body = the rest — the multi-field engine path (per-field norms + stats).
+    */
+  def fieldSearcherFor(spark: SparkSession, sfDir: String): IndexSearcher =
+    fieldSearchers.getOrElseUpdate(sfDir, {
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createDirectories(indexDirFor(sfDir))
+        .toString
+      val pages = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(format_string("doc%012d", $"doc_id").as("url"), $"text")
+        .as[(String, String)]
+        .map { case (url, text) =>
+          val toks = text.split(" ")
+          (url, Seq("title" -> toks.take(8).mkString(" "),
+            "body" -> toks.drop(8).mkString(" ")))
+        }
+      val cfg = IndexConfig(bucketShift = 8, numPostingPartitions = 8,
+        numDocPartitions = 4)
+      IndexBuilder.buildSegmentFields(pages, s"$dir/segf", cfg)
+      new IndexSearcher(spark, Seq(Manifest.read(s"$dir/segf").get),
+        precision = Precision.DoubleOracle, k1 = K1, b = B)
+    })
+
   /** Drop the cached index for `sfDir` (benchmarks call this so a timed
     * build is a real build, never a manifest resume from a prior process).
     */
   def clearIndexCache(sfDir: String): Unit = {
     searchers.remove(sfDir)
+    fieldSearchers.remove(sfDir)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit
@@ -135,6 +162,15 @@ object SparkEntry {
       val se = searcherFor(s, d)
       import s.implicits._
       se.fetchDocs(se.topK(SynonymQuery(Seq("data", "stream")), 60).collect())
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc).limit(10)
+    }),
+    "ft_field_topk" -> ((s, d) => {
+      // field-scoped BM25: per-field docCount/avgdl/norms (title = first 8
+      // tokens, body = rest); cross-field disjunction sums per-field scores
+      val se = fieldSearcherFor(s, d)
+      import s.implicits._
+      se.fetchDocs(se.topK(se.parse("title:data OR body:query"), 60).collect())
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc).limit(10)
     }),
@@ -537,6 +573,41 @@ object SparkEntry {
          |  FROM syn JOIN qlen ON qlen.doc_id = syn.doc_id
          |)
          |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "ft_field_topk" -> {
+      val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |tfld AS (SELECT doc_id, list_slice(ts, 1, 8) AS toks FROM base),
+         |bfld AS (SELECT doc_id, list_slice(ts, 9, len(ts)) AS toks FROM base),
+         |tlen AS (SELECT doc_id, len(toks) AS dl FROM tfld),
+         |blen AS (SELECT doc_id, len(toks) AS dl FROM bfld),
+         |tq AS (SELECT doc_id, dl, (SELECT max(v) FROM (VALUES $vals) b4(v) WHERE v <= dl) AS qdl FROM tlen),
+         |bq AS (SELECT doc_id, dl, (SELECT max(v) FROM (VALUES $vals) b4(v) WHERE v <= dl) AS qdl FROM blen),
+         |tstats AS (SELECT count(*) FILTER (dl > 0)::DOUBLE AS n,
+         |                  sum(dl)::DOUBLE / count(*) FILTER (dl > 0)::DOUBLE AS avgdl FROM tlen),
+         |bstats AS (SELECT count(*) FILTER (dl > 0)::DOUBLE AS n,
+         |                  sum(dl)::DOUBLE / count(*) FILTER (dl > 0)::DOUBLE AS avgdl FROM blen),
+         |ttf AS (SELECT doc_id, count(*)::DOUBLE AS freq
+         |        FROM (SELECT doc_id, unnest(toks) AS term FROM tfld)
+         |        WHERE term = 'data' GROUP BY doc_id),
+         |btf AS (SELECT doc_id, count(*)::DOUBLE AS freq
+         |        FROM (SELECT doc_id, unnest(toks) AS term FROM bfld)
+         |        WHERE term = 'query' GROUP BY doc_id),
+         |tidf AS (SELECT ln(1 + ((SELECT n FROM tstats) - count(*) + 0.5) / (count(*) + 0.5)) AS idf FROM ttf),
+         |bidf AS (SELECT ln(1 + ((SELECT n FROM bstats) - count(*) + 0.5) / (count(*) + 0.5)) AS idf FROM btf),
+         |tsc AS (SELECT ttf.doc_id,
+         |  (SELECT idf FROM tidf) - (SELECT idf FROM tidf) / (1 + ttf.freq *
+         |    (1.0 / (1.2 * (0.25 + 0.75 * tq.qdl / (SELECT avgdl FROM tstats))))) AS s
+         |  FROM ttf JOIN tq USING (doc_id)),
+         |bsc AS (SELECT btf.doc_id,
+         |  (SELECT idf FROM bidf) - (SELECT idf FROM bidf) / (1 + btf.freq *
+         |    (1.0 / (1.2 * (0.25 + 0.75 * bq.qdl / (SELECT avgdl FROM bstats))))) AS s
+         |  FROM btf JOIN bq USING (doc_id)),
+         |scored AS (SELECT doc_id, sum(s) AS score
+         |           FROM (SELECT * FROM tsc UNION ALL SELECT * FROM bsc)
+         |           GROUP BY doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM scored
+         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
     "ft_boost_topk" ->
       (bm25Ctes(Seq("data", "query")) +
         """, scored AS (

@@ -24,7 +24,8 @@ final case class IndexConfig(
     numDocPartitions: Int = 32,
     stopwords: Set[String] = Set.empty,
     maxTokenLength: Int = 255,
-    storePositions: Boolean = false // index analyzer positions (phrase path)
+    storePositions: Boolean = false, // index analyzer positions (phrase path)
+    multiField: Boolean = false // FieldKey-encoded terms + per-term field norms
 ) {
   def analyzer: StandardAnalyzer = new StandardAnalyzer(stopwords, maxTokenLength)
 }
@@ -139,6 +140,77 @@ object IndexBuilder {
   }
 
 
+  /** Multi-field variant of [[assignAndTokenize]]: each doc is
+    * `(url, Seq((fieldName, fieldText)))`. Every field analyzes
+    * independently (its own length → its own norm byte, ref per-field
+    * `FieldInvertState`); term keys are [[FieldKey]]-encoded so all fields
+    * share one sorted posting space, and the per-TERM norm array carries
+    * each key's field norm into the posting rows. Same one-pass, two-job
+    * docID assignment as the single-field path.
+    */
+  def assignAndTokenizeFields(
+      pages: Dataset[(String, Seq[(String, String)])],
+      cfg: IndexConfig
+  ): Dataset[DocTokens] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val parts = cfg.numDocPartitions
+    val stop = cfg.stopwords
+    val maxLen = cfg.maxTokenLength
+    val sortedRows = pages
+      .toDF("_1", "_2")
+      .repartitionByRange(parts, $"_1")
+      .sortWithinPartitions($"_1")
+      .queryExecution.toRdd
+    val counts = sortedRows
+      .mapPartitionsWithIndex { (pid, it) =>
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator((pid, n))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val docTokens = sortedRows.mapPartitionsWithIndex { (pid, it) =>
+      val analyzer = new StandardAnalyzer(stop, maxLen)
+      var id = offsets(pid)
+      it.map { row =>
+        val url = row.getString(0)
+        val fields = row.getArray(1)
+        val docId = id
+        id += 1
+        val nf = fields.numElements()
+        val termsB = scala.collection.mutable.ArrayBuffer[String]()
+        val freqsB = scala.collection.mutable.ArrayBuffer[Int]()
+        val normsB = scala.collection.mutable.ArrayBuffer[Int]()
+        val fNames = new Array[String](nf)
+        val fLens = new Array[Int](nf)
+        var defLen = 0
+        var f = 0
+        while (f < nf) {
+          val st = fields.getStruct(f, 2)
+          val fname = st.getUTF8String(0).toString
+          val ftext = st.getUTF8String(1).toString
+          val (freqMap, flen) = analyzer.termFreqs(ftext)
+          val fnorm = java.lang.Byte.toUnsignedInt(SmallFloat.intToByte4(flen))
+          if (fname == FieldKey.DefaultField) defLen = flen
+          fNames(f) = fname
+          fLens(f) = flen
+          val iter = freqMap.entrySet().iterator()
+          while (iter.hasNext) {
+            val e = iter.next()
+            termsB += FieldKey.encode(fname, e.getKey)
+            freqsB += e.getValue
+            normsB += fnorm
+          }
+          f += 1
+        }
+        DocTokens(docId, url, defLen,
+          java.lang.Byte.toUnsignedInt(SmallFloat.intToByte4(defLen)),
+          termsB.toArray, freqsB.toArray, null,
+          normsB.toArray, fNames, fLens)
+      }
+    }
+    spark.createDataset(docTokens)
+  }
+
   /** Build posting blocks: the single wide shuffle of the index build. */
   def buildPostings(
       docTokens: Dataset[DocTokens],
@@ -149,7 +221,20 @@ object IndexBuilder {
     val shift = cfg.bucketShift
     // narrow explode: (term, bucket, docId, freq, norm[, positions])
     val tokens =
-      if (cfg.storePositions)
+      if (cfg.multiField)
+        // per-term field norms (FieldKey-encoded terms): the norm column
+        // comes from the zipped termNorms array instead of the doc scalar
+        docTokens
+          .select($"docId",
+            explode(arrays_zip($"terms", $"freqs", $"termNorms")).as("tf"))
+          .select(
+            $"tf.terms".as("term"),
+            shiftright($"docId", shift).as("bucket"),
+            $"docId",
+            $"tf.freqs".as("freq"),
+            $"tf.termNorms".as("norm")
+          )
+      else if (cfg.storePositions)
         docTokens
           .select($"docId", $"norm",
             explode(arrays_zip($"terms", $"freqs", $"positions")).as("tf"))
@@ -354,14 +439,40 @@ object IndexBuilder {
       pages: Dataset[(String, String)],
       dir: String,
       cfg: IndexConfig = IndexConfig()
-  ): SegmentManifest = {
+  ): SegmentManifest =
     Manifest.read(dir) match {
       case Some(m) => m // resume: segment already committed
       case None =>
-        val spark = pages.sparkSession
+        require(!cfg.multiField, "use buildSegmentFields for multiField configs")
+        commitSegment(assignAndTokenize(pages, cfg), dir, cfg)
+    }
+
+  /** Multi-field segment build: docs are `(url, Seq((field, text)))`; the
+    * committed manifest carries per-field BM25 stats (docCount = docs with
+    * >=1 token in the field, sumTotalTermFreq = field token total).
+    */
+  def buildSegmentFields(
+      pages: Dataset[(String, Seq[(String, String)])],
+      dir: String,
+      cfg: IndexConfig
+  ): SegmentManifest =
+    Manifest.read(dir) match {
+      case Some(m) => m
+      case None =>
+        require(!cfg.storePositions, "positions + multiField not supported")
+        commitSegment(assignAndTokenizeFields(pages, cfg),
+          dir, cfg.copy(multiField = true))
+    }
+
+  private def commitSegment(
+      docTokens0: Dataset[DocTokens],
+      dir: String,
+      cfg: IndexConfig
+  ): SegmentManifest = {
+        val spark = docTokens0.sparkSession
         import spark.implicits._
         val t0 = System.nanoTime()
-        val docTokens = assignAndTokenize(pages, cfg)
+        val docTokens = docTokens0
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
           val docsOut = docTokens
@@ -383,10 +494,16 @@ object IndexBuilder {
 
           // ONE pass over the cached docTokens yields the per-partition
           // lineage + metrics (north rule: resumable builds with lineage)
-          // AND the collection stats (docCount, sumTotalTermFreq, maxDocId)
+          // AND the collection stats (docCount, sumTotalTermFreq, maxDocId).
+          // multiField: token totals span ALL fields (blocks' freqSum does),
+          // so the lineage token column sums the per-field lengths.
+          val tokensCol =
+            if (cfg.multiField)
+              expr("aggregate(fieldLengths, 0L, (a, x) -> a + CAST(x AS BIGINT))")
+            else $"length".cast("long")
           val lineage = docTokens
             .groupBy(spark_partition_id().as("partition"))
-            .agg(count(lit(1)).as("rows"), sum($"length").as("tokens"),
+            .agg(count(lit(1)).as("rows"), sum(tokensCol).as("tokens"),
               max($"docId").as("maxId"))
             .as[(Int, Long, Long, Long)]
             .collect()
@@ -396,6 +513,17 @@ object IndexBuilder {
           val maxDocId = if (lineage.isEmpty) -1L else lineage.map(_._4).max
           val blockCount = blocks.count()
           val termCount = spark.read.parquet(s"$dir/terms").count()
+          // per-field BM25 stats (multiField only): docCount counts docs
+          // with >=1 token in the field (ref Terms#getDocCount semantics)
+          val fieldStats: Seq[FieldStat] =
+            if (!cfg.multiField) Seq.empty
+            else docTokens
+              .select(explode(arrays_zip($"fieldNames", $"fieldLengths")).as("f"))
+              .select($"f.fieldNames".as("field"), $"f.fieldLengths".as("len"))
+              .groupBy($"field")
+              .agg(sum(when($"len" > 0, 1L).otherwise(0L)).as("docCount"),
+                sum($"len".cast("long")).as("sumTotalTermFreq"))
+              .as[FieldStat].collect().toSeq.sortBy(_.field)
           blocks.unpersist()
           val manifest = SegmentManifest(
             segmentId = java.util.UUID.nameUUIDFromBytes(dir.getBytes).toString,
@@ -408,11 +536,11 @@ object IndexBuilder {
             bucketShift = cfg.bucketShift,
             buildWallSec = (System.nanoTime() - t0) / 1e9,
             lineage = lineage.map { case (p, r, t, _) => PartitionLineage(p, r, t) }.toSeq,
-            hasPositions = cfg.storePositions
+            hasPositions = cfg.storePositions,
+            fieldStats = fieldStats
           )
           Manifest.commit(dir, manifest)
           manifest
         } finally docTokens.unpersist()
-    }
   }
 }

@@ -23,7 +23,10 @@ final case class SegmentManifest(
     bucketShift: Int,
     buildWallSec: Double,
     lineage: Seq[PartitionLineage],
-    hasPositions: Boolean = false
+    hasPositions: Boolean = false,
+    // per-field BM25 stats for multi-field segments (empty = single default
+    // field; readers fall back to the segment-global stats)
+    fieldStats: Seq[Schema.FieldStat] = Seq.empty
 ) {
   def sizeScore: Long = blockCount // merge-policy size proxy
 }
@@ -44,6 +47,9 @@ object Manifest {
     val lineage = m.lineage
       .map(l => s"""{"partition":${l.partition},"rows":${l.rows},"tokens":${l.tokens}}""")
       .mkString("[", ",", "]")
+    val fieldStats = m.fieldStats
+      .map(f => s"""{"field":"${esc(f.field)}","docCount":${f.docCount},"sumTotalTermFreq":${f.sumTotalTermFreq}}""")
+      .mkString("[", ",", "]")
     s"""{
        |  "segmentId": "${esc(m.segmentId)}",
        |  "dir": "${esc(m.dir)}",
@@ -55,7 +61,8 @@ object Manifest {
        |  "bucketShift": ${m.bucketShift},
        |  "buildWallSec": ${m.buildWallSec},
        |  "hasPositions": ${m.hasPositions},
-       |  "lineage": $lineage
+       |  "lineage": $lineage,
+       |  "fieldStats": $fieldStats
        |}""".stripMargin
   }
 
@@ -93,6 +100,11 @@ object Manifest {
         .findAllMatchIn(arr)
         .map(m => PartitionLineage(m.group(1).toInt, m.group(2).toLong, m.group(3).toLong))
     }
+    val fieldStats = field(json, "fieldStats").toSeq.flatMap { arr =>
+      """\{"field":"([^"]*)","docCount":(\d+),"sumTotalTermFreq":(\d+)\}""".r
+        .findAllMatchIn(arr)
+        .map(m => Schema.FieldStat(m.group(1), m.group(2).toLong, m.group(3).toLong))
+    }
     SegmentManifest(
       segmentId = s("segmentId"), dir = s("dir"), docCount = l("docCount"),
       maxDocId = l("maxDocId"), sumTotalTermFreq = l("sumTotalTermFreq"),
@@ -100,7 +112,8 @@ object Manifest {
       bucketShift = l("bucketShift").toInt,
       buildWallSec = field(json, "buildWallSec").map(_.toDouble).getOrElse(0.0),
       lineage = lineage,
-      hasPositions = field(json, "hasPositions").contains("true")
+      hasPositions = field(json, "hasPositions").contains("true"),
+      fieldStats = fieldStats
     )
   }
 

@@ -6,7 +6,42 @@ package graft.index
   * (`/root/reference/lucene/core/src/java/org/apache/lucene/index/SegmentInfos.java`,
   * `IndexWriter.java:109-133`).
   */
+/** Field-scoped term keys — the per-field posting-space encoding (the
+  * reference keys postings per field via per-field Terms instances,
+  * `/root/reference/lucene/core/src/java/org/apache/lucene/index/IndexingChain.java:553-616`
+  * FieldInfos; our single sorted dictionary gets the same separation by
+  * prefixing non-default fields: field + U+0001 + term). U+0001 cannot occur
+  * in analyzed tokens, and keys of one field cluster contiguously in the
+  * sorted dictionary — per-field ranges prune exactly like the bare layout.
+  * The default field stays un-prefixed, so single-field indexes and queries
+  * are byte-identical to the pre-multi-field format.
+  */
+object FieldKey {
+  val Sep = '\u0001'
+  val DefaultField = "text"
+
+  def encode(field: String, term: String): String =
+    if (field == DefaultField) term else s"$field$Sep$term"
+
+  /** Field of an encoded key ([[DefaultField]] for bare terms). */
+  def fieldOf(key: String): String = {
+    val i = key.indexOf(Sep)
+    if (i < 0) DefaultField else key.substring(0, i)
+  }
+
+  def termOf(key: String): String = {
+    val i = key.indexOf(Sep)
+    if (i < 0) key else key.substring(i + 1)
+  }
+}
+
 object Schema {
+
+  /** Per-field collection statistics (ref `search/similarities/BM25Similarity.java:101-108`
+    * — docCount and sumTotalTermFreq are per-field in the reference's
+    * CollectionStatistics).
+    */
+  final case class FieldStat(field: String, docCount: Long, sumTotalTermFreq: Long)
 
   /** Per-document entry (the docID map + norms table).
     *
@@ -28,7 +63,13 @@ object Schema {
       norm: Int,
       terms: Array[String],
       freqs: Array[Int],
-      positions: Array[Array[Int]] = null // per-term analyzer positions (opt-in)
+      positions: Array[Array[Int]] = null, // per-term analyzer positions (opt-in)
+      // multi-field build: per-term field norm (terms are FieldKey-encoded;
+      // the scalar `norm` above is the default field's) + per-field lengths
+      // for the manifest's FieldStats
+      termNorms: Array[Int] = null,
+      fieldNames: Array[String] = null,
+      fieldLengths: Array[Int] = null
   )
 
   /** One 128-doc posting block for (term, bucket).

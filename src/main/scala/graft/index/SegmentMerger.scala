@@ -126,7 +126,13 @@ object SegmentMerger {
           bucketShift = cfg.bucketShift,
           buildWallSec = (System.nanoTime() - t0) / 1e9,
           lineage = manifests.flatMap(_.lineage),
-          hasPositions = manifests.forall(_.hasPositions)
+          hasPositions = manifests.forall(_.hasPositions),
+          // per-field stats sum across inputs (stale under purged deletes,
+          // same as the reference's merged stats until recomputed)
+          fieldStats = manifests.flatMap(_.fieldStats)
+            .groupBy(_.field).map { case (f, ss) =>
+              Schema.FieldStat(f, ss.map(_.docCount).sum, ss.map(_.sumTotalTermFreq).sum)
+            }.toSeq.sortBy(_.field)
         )
         Manifest.commit(outDir, manifest)
         manifest

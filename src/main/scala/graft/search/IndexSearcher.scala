@@ -86,6 +86,20 @@ final class IndexSearcher(
     sumTotalTermFreq = segments.map(_.sumTotalTermFreq).sum
   )
 
+  /** Per-field collection stats summed across segments (multi-field
+    * manifests); fields without explicit stats fall back to the global
+    * stats (single-field segments, where global == default-field).
+    */
+  private val fieldStatsMap: Map[String, CollectionStats] =
+    segments.flatMap(_.fieldStats).groupBy(_.field).map { case (f, ss) =>
+      f -> CollectionStats(ss.map(_.docCount).sum, ss.map(_.sumTotalTermFreq).sum)
+    }
+
+  /** BM25 stats scope for a FieldKey-encoded term (ref per-field
+    * `CollectionStatistics`, `search/IndexSearcher.java#collectionStatistics`).
+    */
+  def statsFor(field: String): CollectionStats = fieldStatsMap.getOrElse(field, stats)
+
   /** Per-segment tombstones (the liveDocs complement, ref
     * `Lucene90LiveDocsFormat`): deleted docs are hidden from every read
     * path; collection stats intentionally stay stale until a merge purges
@@ -241,16 +255,17 @@ final class IndexSearcher(
       case sq: SynonymQuery =>
         val dfs = sq.synonyms.flatMap(ts.get).map(_.docFreq)
         val df = if (dfs.isEmpty) 0L else dfs.max
+        val st = statsFor(graft.index.FieldKey.fieldOf(sq.synonyms.head))
         val sim: SimScorer =
           if (df == 0) new ConstScorer(0.0)
           else precision match {
             case Precision.FloatExact =>
               // boost folds into the float weight, ref BM25Similarity weight
               new Bm25FloatScorer(k1.toFloat, b.toFloat,
-                boost.toFloat * Bm25.idf(df, stats.docCount), Bm25.avgFieldLength(stats))
+                boost.toFloat * Bm25.idf(df, st.docCount), Bm25.avgFieldLength(st))
             case Precision.DoubleOracle =>
               new Bm25DoubleScorer(k1, b,
-                boost * Bm25.idfD(df, stats.docCount), Bm25.avgFieldLengthD(stats))
+                boost * Bm25.idfD(df, st.docCount), Bm25.avgFieldLengthD(st))
           }
         Map(Executor.skey(sq.key, boost) -> sim)
       case bq: BoolQuery => bq.clauses.iterator.map(_._1).flatMap(walk(_, boost)).toMap
@@ -262,13 +277,14 @@ final class IndexSearcher(
     ts.get(term) match {
       case None => new ConstScorer(0.0)
       case Some(t) =>
+        val st = statsFor(graft.index.FieldKey.fieldOf(term))
         precision match {
           case Precision.FloatExact =>
-            val idf = boost.toFloat * Bm25.idf(t.docFreq, stats.docCount)
-            new Bm25FloatScorer(k1.toFloat, b.toFloat, idf, Bm25.avgFieldLength(stats))
+            val idf = boost.toFloat * Bm25.idf(t.docFreq, st.docCount)
+            new Bm25FloatScorer(k1.toFloat, b.toFloat, idf, Bm25.avgFieldLength(st))
           case Precision.DoubleOracle =>
-            val idf = boost * Bm25.idfD(t.docFreq, stats.docCount)
-            new Bm25DoubleScorer(k1, b, idf, Bm25.avgFieldLengthD(stats))
+            val idf = boost * Bm25.idfD(t.docFreq, st.docCount)
+            new Bm25DoubleScorer(k1, b, idf, Bm25.avgFieldLengthD(st))
         }
     }
 

@@ -147,13 +147,22 @@ object Query {
         require(rest.headOption.contains(")"), "missing )")
         (q, rest.tail)
       case h :: t =>
-        // `term^2.5` = per-clause boost (ref queryparser/classic syntax)
+        // `term^2.5` = per-clause boost; `field:term` = field scope (ref
+        // queryparser/classic syntax) — boost strips first, then field
         val caret = h.lastIndexOf('^')
-        if (caret > 0 && caret < h.length - 1 &&
-            h.substring(caret + 1).matches("""\d+(\.\d+)?""")) {
-          val boost = h.substring(caret + 1).toDouble
-          (BoostQuery(TermQuery(an(h.substring(0, caret))), boost), t)
-        } else (TermQuery(an(h)), t)
+        val (bare, boost) =
+          if (caret > 0 && caret < h.length - 1 &&
+              h.substring(caret + 1).matches("""\d+(\.\d+)?"""))
+            (h.substring(0, caret), Some(h.substring(caret + 1).toDouble))
+          else (h, None)
+        val colon = bare.indexOf(':')
+        val tq =
+          if (colon > 0 && colon < bare.length - 1 &&
+              bare.substring(0, colon).matches("[A-Za-z_][A-Za-z0-9_]*"))
+            TermQuery(graft.index.FieldKey.encode(
+              bare.substring(0, colon), an(bare.substring(colon + 1))))
+          else TermQuery(an(bare))
+        (boost.map(BoostQuery(tq, _)).getOrElse(tq: Query), t)
       case Nil    => throw new IllegalArgumentException("empty query")
     }
 }

@@ -1,0 +1,126 @@
+package graft
+
+import graft.analysis.StandardAnalyzer
+import graft.codec.SmallFloat
+import graft.corpus.Corpus
+import graft.index.{FieldKey, IndexBuilder, IndexConfig, Manifest}
+import graft.search._
+
+/** Multi-field indexing + field-scoped queries: per-field norms, per-field
+  * BM25 collection stats, field-scoped dictionary keys, and rank-identity
+  * duels against a per-field brute force (the reference's per-field
+  * FieldInvertState/CollectionStatistics semantics,
+  * `/root/reference/lucene/core/src/java/org/apache/lucene/index/IndexingChain.java:553-616`).
+  */
+class MultiFieldSpec extends SparkTestBase {
+
+  private val NDocs = 800
+  private val an = StandardAnalyzer.Default
+
+  /** title = first 5 tokens, body = the rest — every doc has both fields. */
+  private lazy val pagesLocal = (0L until NDocs.toLong).map(Corpus.page(_))
+  private def fieldsOf(text: String): Seq[(String, String)] = {
+    val toks = text.split(" ")
+    Seq("title" -> toks.take(5).mkString(" "), "body" -> toks.drop(5).mkString(" "))
+  }
+
+  private lazy val segDir: String = {
+    import spark.implicits._
+    val dir = tmpDir("mfseg")
+    val ds = spark.createDataset(pagesLocal.map(p => (p.url, fieldsOf(p.text))))
+    IndexBuilder.buildSegmentFields(ds, dir,
+      IndexConfig(bucketShift = 9, numPostingPartitions = 8, numDocPartitions = 4))
+    dir
+  }
+
+  private lazy val searcher: IndexSearcher =
+    new IndexSearcher(spark, Seq(Manifest.read(segDir).get))
+
+  // ---- local per-field brute force (float-exact, same formula chain)
+
+  private lazy val sorted = pagesLocal.sortBy(_.url).toVector
+  private lazy val fieldTf: Map[String, Vector[(java.util.HashMap[String, Int], Int)]] =
+    Seq("title", "body").map { f =>
+      f -> sorted.map { p =>
+        an.termFreqs(fieldsOf(p.text).toMap.apply(f))
+      }
+    }.toMap
+
+  private def fDocCount(f: String): Long = fieldTf(f).count(_._2 > 0).toLong
+  private def fSttf(f: String): Long = fieldTf(f).map(_._2.toLong).sum
+  private def fDocFreq(f: String, t: String): Long =
+    fieldTf(f).count(_._1.containsKey(t)).toLong
+
+  private def bruteScore(f: String, t: String, doc: Int): Option[Double] = {
+    val (tf, len) = fieldTf(f)(doc)
+    if (!tf.containsKey(t)) None
+    else {
+      val avgdl = (fSttf(f) / fDocCount(f).toDouble).toFloat
+      val sc = new Bm25FloatScorer(1.2f, 0.75f,
+        Bm25.idf(fDocFreq(f, t), fDocCount(f)), avgdl)
+      val norm = java.lang.Byte.toUnsignedInt(SmallFloat.intToByte4(len))
+      Some(sc.score(tf.get(t), norm))
+    }
+  }
+
+  private def bruteTopK(clauses: Seq[(String, String)], k: Int): Seq[(Long, Double)] =
+    sorted.indices.flatMap { d =>
+      val ss = clauses.flatMap { case (f, t) => bruteScore(f, t, d) }
+      if (ss.isEmpty) None else Some((d.toLong, ss.sum))
+    }.sortBy { case (d, s) => (-s, d) }.take(k)
+
+  test("manifest carries per-field stats matching the corpus") {
+    val m = Manifest.read(segDir).get
+    val fs = m.fieldStats.map(f => f.field -> f).toMap
+    assert(fs.keySet == Set("body", "title"))
+    for (f <- Seq("title", "body")) {
+      assert(fs(f).docCount == fDocCount(f), s"docCount $f")
+      assert(fs(f).sumTotalTermFreq == fSttf(f), s"sttf $f")
+    }
+    assert(m.sumTotalTermFreq == fSttf("title") + fSttf("body"))
+  }
+
+  test("dictionary holds field-scoped keys; expansion stays field-bounded") {
+    val titleTerms = searcher.expandPrefix("title" + FieldKey.Sep + "cou")
+    assert(titleTerms.nonEmpty)
+    assert(titleTerms.forall(_.startsWith("title" + FieldKey.Sep)))
+  }
+
+  test("field-scoped top-k == per-field brute force (rank identity)") {
+    val cases = Seq(
+      Seq("title" -> "court"),
+      Seq("body" -> "court"),
+      Seq("title" -> "court", "body" -> "law"),
+      Seq("title" -> "the", "body" -> "of", "body" -> "state"))
+    for (cl <- cases) {
+      val qs = cl.map { case (f, t) => s"$f:$t" }.mkString(" OR ")
+      val expected = bruteTopK(cl, 10)
+      val got = searcher.topK(searcher.parse(qs), 10).collect()
+        .map(s => (s.docId, s.score)).toSeq
+      assert(got == expected, s"multi-field engine != brute force for: $qs")
+    }
+  }
+
+  test("same term scores differently per field (per-field stats + norms)") {
+    val t = searcher.topK(searcher.parse("title:court"), 5).collect().map(_.score).toSeq
+    val b = searcher.topK(searcher.parse("body:court"), 5).collect().map(_.score).toSeq
+    assert(t.nonEmpty && b.nonEmpty)
+    assert(t != b, "title and body scoring should differ (different stats/norms)")
+  }
+
+  test("cross-field conjunction matches intersection semantics") {
+    val q = searcher.parse("title:court AND body:law")
+    val got = searcher.matching(q).collect().toSet
+    val expected = sorted.indices.filter { d =>
+      fieldTf("title")(d)._1.containsKey("court") && fieldTf("body")(d)._1.containsKey("law")
+    }.map(_.toLong).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "fixture should have cross-field matches")
+  }
+
+  test("unscoped query on a multi-field index hits the default field only") {
+    // bare terms address FieldKey.DefaultField; this index has no default
+    // field, so an unscoped term matches nothing
+    assert(searcher.count(searcher.parse("court")) == 0L)
+  }
+}
