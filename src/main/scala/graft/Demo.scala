@@ -57,26 +57,28 @@ object Demo {
         // then the merge-scheduler loop (the driver-side re-expression of
         // ConcurrentMergeScheduler) replans with TieredMergePolicy until
         // the segment set fits the tier budget
-        import graft.index.{Manifest, SegmentMerger, TieredMergePolicy}
+        import graft.index.{LiveSet, SegmentMerger, TieredMergePolicy}
         val nb = batches.toInt
         val n = perBatch.toLong
         val cfg = IndexConfig(bucketShift = 12, numPostingPartitions = cpus.toInt * 2)
+        LiveSet.gcOrphans(dir) // crash leftovers from an interrupted swap
         for (b <- 0 until nb) {
           val pages = Corpus.pages(spark, n, start = b * n).map(p => (p.url, p.text))
-          val m = IndexBuilder.buildSegment(pages, f"$dir/seg$b%05d", cfg)
+          val segName = f"seg$b%05d"
+          val m = IndexBuilder.buildSegment(pages, s"$dir/$segName", cfg)
+          LiveSet.add(dir, Seq(segName))
           println(s"[demo] batch $b committed: ${m.docCount} docs, ${m.blockCount} blocks")
         }
-        def manifests() = new java.io.File(dir).listFiles()
-          .filter(_.isDirectory).sortBy(_.getName)
-          .flatMap(f => Manifest.read(f.getPath)).toSeq
         var round = 0
-        var plan = TieredMergePolicy.findMerges(manifests())
+        var plan = TieredMergePolicy.findMerges(LiveSet.manifests(dir))
         while (plan.nonEmpty) {
           val group = plan.head
-          val out = f"$dir/merge_$round%03d"
-          val m = SegmentMerger.merge(spark, group, out, cfg)
+          val outName = f"merge_$round%03d"
+          val m = SegmentMerger.merge(spark, group, s"$dir/$outName", cfg)
           println(s"[demo] merge $round: ${group.size} segs -> ${m.docCount} docs, ${m.blockCount} blocks")
-          group.foreach { d => // drop merged inputs from the manifest set
+          // segments_N protocol: swap the live set atomically, THEN delete
+          LiveSet.swap(dir, group.map(d => new java.io.File(d).getName), Seq(outName))
+          group.foreach { d =>
             val p = new java.io.File(d)
             def rm(f: java.io.File): Unit = {
               if (f.isDirectory) f.listFiles().foreach(rm)
@@ -85,9 +87,9 @@ object Demo {
             rm(p)
           }
           round += 1
-          plan = TieredMergePolicy.findMerges(manifests())
+          plan = TieredMergePolicy.findMerges(LiveSet.manifests(dir))
         }
-        val finalSegs = manifests()
+        val finalSegs = LiveSet.manifests(dir)
         println(s"[demo] ingest done: ${finalSegs.size} segments, " +
           s"${finalSegs.map(_.docCount).sum} docs total")
       case "search" :: dir :: rest if rest.nonEmpty =>
@@ -120,6 +122,11 @@ object Demo {
       case "explain" :: dir :: rest if rest.nonEmpty =>
         val searcher = IndexSearcher.open(spark, dir)
         val q = searcher.parse(rest.mkString(" "))
+        println("=== score explanations (top 3) ===")
+        searcher.topK(q, 3).collect().foreach { hit =>
+          println(s"--- doc ${hit.docId} ---")
+          println(searcher.explain(q, hit.docId).format())
+        }
         println("=== topK plan ===")
         searcher.topK(q, 10).explain("formatted")
         println("=== stats lookup plan ===")

@@ -740,6 +740,109 @@ final class IndexSearcher(
       .limit(k)
   }
 
+  // ------------------------------------------------------------ explain
+
+  /** (freq, norm) of each term at one (segment, local docId) — a point
+    * lookup on the postings table (term IN + bucket + block-range pushdown
+    * prunes to the ≤1 block per term actually containing the doc).
+    */
+  private def freqNormAt(
+      terms: Seq[String], seg: Int, local: Long
+  ): Map[String, (Int, Int)] = {
+    import graft.codec.BlockCodec
+    if (terms.isEmpty) return Map.empty
+    val b = local >>> segments(seg).bucketShift
+    spark.read.parquet(s"${segments(seg).dir}/postings")
+      .where($"term".isin(terms: _*) && $"bucket" === b &&
+        $"firstDocId" <= local && $"lastDocId" >= local)
+      .select($"term", $"firstDocId", $"docsPacked", $"freqsPacked", $"normsPacked")
+      .collect()
+      .flatMap { r =>
+        val ids = BlockCodec.deltaDecode(
+          BlockCodec.forDecode(r.getAs[Array[Byte]]("docsPacked")), r.getAs[Long]("firstDocId"))
+        val idx = java.util.Arrays.binarySearch(ids, local)
+        if (idx < 0) None
+        else {
+          val fs = BlockCodec.pforDecode(r.getAs[Array[Byte]]("freqsPacked"))
+          val ns = BlockCodec.forDecode(r.getAs[Array[Byte]]("normsPacked"))
+          Some(r.getString(0) -> (fs(idx).toInt, ns(idx).toInt))
+        }
+      }.toMap
+  }
+
+  /** Score breakdown for one (query, doc) — the re-expression of the
+    * reference's `Weight#explain` (`search/Explanation.java`): the root
+    * value equals exactly what [[topK]]/[[scoreMatches]] produce for the
+    * doc (same SimScorer objects), with idf/tf/norm inputs spelled out.
+    */
+  def explain(query: Query, docId: Long): Explanation = {
+    val seg = {
+      var i = bases.length - 1
+      while (i > 0 && bases(i) > docId) i -= 1
+      i
+    }
+    val local = docId - bases(seg)
+    if (tombstones.value(seg).contains(local))
+      return Explanation.noMatch(s"doc $docId is deleted")
+    val qTerms = query.terms.toSeq.sorted
+    val ts = aggStats(segTermRows(qTerms))
+    val fn = freqNormAt(qTerms, seg, local)
+    def walk(q: Query, boost: Double): Explanation = q match {
+      case TermQuery(t) =>
+        fn.get(t) match {
+          case None => Explanation.noMatch(s"no occurrence of '$t' in doc $docId")
+          case Some((freq, norm)) =>
+            val cs = statsFor(graft.index.FieldKey.fieldOf(t))
+            val v = scorerFor(t, ts, boost).score(freq, norm)
+            val idf = Bm25.idfD(ts(t).docFreq, cs.docCount)
+            Explanation(v, s"weight($t in $docId) [BM25 k1=$k1 b=$b]", details = Seq(
+              Explanation(boost, "boost"),
+              Explanation(idf,
+                s"idf = ln(1 + (N - n + 0.5)/(n + 0.5)), n = ${ts(t).docFreq} (docFreq), N = ${cs.docCount} (docCount)"),
+              Explanation(freq.toDouble, s"freq, occurrences of '$t'"),
+              Explanation(graft.codec.SmallFloat.lengthTable(norm & 0xff).toDouble,
+                s"dl, quantized field length (norm byte $norm)"),
+              Explanation(Bm25.avgFieldLengthD(cs), "avgdl, average field length")))
+        }
+      case BoostQuery(q2, b2) => walk(q2, boost * b2)
+      case sq: SynonymQuery =>
+        val freqs = sq.synonyms.flatMap(fn.get)
+        if (freqs.isEmpty) Explanation.noMatch(s"no synonym of ${sq.synonyms.mkString("/")} present")
+        else {
+          val f = freqs.map(_._1).sum
+          val norm = freqs.head._2
+          val sim = scorerMap(sq, ts)(Executor.skey(sq.key, boost))
+          Explanation(sim.score(f, norm),
+            s"synonym(${sq.synonyms.mkString(", ")}) summed freq = $f", details =
+              sq.synonyms.flatMap(t => fn.get(t).map(p =>
+                Explanation(p._1.toDouble, s"freq of '$t'"))))
+        }
+      case bq: BoolQuery =>
+        val mustE = bq.must.map(walk(_, boost))
+        val filtE = bq.filter.map(walk(_, boost))
+        val notMatched = bq.mustNot.map(walk(_, boost)).filter(_.matched)
+        val shouldE = bq.should.map(walk(_, boost))
+        val shouldMatched = shouldE.filter(_.matched)
+        val msm = bq.minimumShouldMatch
+        if (mustE.exists(!_.matched))
+          Explanation(0, "failure to match a MUST clause", matched = false, details = mustE)
+        else if (filtE.exists(!_.matched))
+          Explanation(0, "failure to match a FILTER clause", matched = false, details = filtE)
+        else if (notMatched.nonEmpty)
+          Explanation(0, "excluded by a MUST_NOT clause", matched = false, details = notMatched)
+        else if (msm > 0 && shouldMatched.size < msm)
+          Explanation(0, s"only ${shouldMatched.size} of required $msm SHOULD clauses matched",
+            matched = false, details = shouldE)
+        else if (bq.must.isEmpty && bq.filter.isEmpty && shouldMatched.isEmpty)
+          Explanation(0, "no SHOULD clause matched", matched = false, details = shouldE)
+        else
+          Explanation(mustE.map(_.value).sum + shouldMatched.map(_.value).sum,
+            "sum of:", details = mustE ++ shouldMatched ++
+              filtE.map(f => Explanation(0, s"FILTER (non-scoring): ${f.description}")))
+    }
+    walk(query, 1.0)
+  }
+
   // ------------------------------------------------------------ caching
 
   /** LRU cache of filter (non-scoring) match sets — the re-expression of the
@@ -892,12 +995,9 @@ object IndexSearcher {
       analyzer: StandardAnalyzer = StandardAnalyzer.Default,
       precision: Precision = Precision.FloatExact
   ): IndexSearcher = {
-    val root = new java.io.File(indexDir)
-    val segs = root.listFiles()
-      .filter(f => f.isDirectory && Manifest.read(f.getPath).isDefined)
-      .sortBy(_.getName)
-      .flatMap(f => Manifest.read(f.getPath))
-      .toSeq
+    // the live set (segments_N commit point) decides visibility; legacy
+    // single-build layouts without one fall back to the directory listing
+    val segs = graft.index.LiveSet.manifests(indexDir)
     require(segs.nonEmpty, s"no committed segments under $indexDir")
     new IndexSearcher(spark, segs, analyzer, precision)
   }

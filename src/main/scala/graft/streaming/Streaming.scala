@@ -120,32 +120,38 @@ object Streaming {
       checkpointDir: String,
       maxFilesPerTrigger: Int = 8
   ): Int = {
-    import graft.index.{IndexBuilder, Manifest, SegmentMerger, TieredMergePolicy}
+    import graft.index.{IndexBuilder, LiveSet, SegmentMerger, TieredMergePolicy}
     val srcDir = asStreamDir(srcParquetDir0)
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
     val batches = new java.util.concurrent.atomic.AtomicInteger(0)
-    def manifests() = {
-      val root = new java.io.File(indexDir)
-      if (!root.isDirectory) Seq.empty
-      else root.listFiles().filter(_.isDirectory).sortBy(_.getName)
-        .flatMap(f => Manifest.read(f.getPath)).toSeq
-    }
+    // crash leftovers (segments outside the live set) from an interrupted
+    // merge swap — safe to drop before the checkpoint replay starts: a
+    // replayed batch rebuilds its segment deterministically
+    LiveSet.gcOrphans(indexDir)
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
         import org.apache.spark.sql.functions.col
         import spark.implicits._
         val pages = batch.select(col("url"), col("text")).as[(String, String)]
-        val m = IndexBuilder.buildSegment(pages, f"$indexDir/seg$id%09d", cfg)
+        val segName = f"seg$id%09d"
+        val m = IndexBuilder.buildSegment(pages, s"$indexDir/$segName", cfg)
+        LiveSet.add(indexDir, Seq(segName)) // idempotent on replay
         batches.incrementAndGet()
-        // merge-scheduler pass (driver-side, after each commit)
-        var plan = TieredMergePolicy.findMerges(manifests())
+        // merge-scheduler pass (driver-side, after each commit): the live
+        // set — not the directory listing — feeds the policy, and each
+        // merge swaps the live set atomically BEFORE deleting its inputs
+        // (the reference's segments_N protocol; any crash leaves either
+        // the old or the new set fully intact)
+        var plan = TieredMergePolicy.findMerges(LiveSet.manifests(indexDir))
         var round = 0
         while (plan.nonEmpty) {
-          val out = f"$indexDir/merge_${id}%09d_$round%02d"
-          SegmentMerger.merge(spark, plan.head, out, cfg)
+          val outName = f"merge_${id}%09d_$round%02d"
+          SegmentMerger.merge(spark, plan.head, s"$indexDir/$outName", cfg)
+          val inputNames = plan.head.map(d => new java.io.File(d).getName)
+          LiveSet.swap(indexDir, inputNames, Seq(outName))
           plan.head.foreach { d =>
             def rm(f: java.io.File): Unit = {
               if (f.isDirectory) f.listFiles().foreach(rm)
@@ -154,7 +160,7 @@ object Streaming {
             rm(new java.io.File(d))
           }
           round += 1
-          plan = TieredMergePolicy.findMerges(manifests())
+          plan = TieredMergePolicy.findMerges(LiveSet.manifests(indexDir))
         }
         val _ = m
       }

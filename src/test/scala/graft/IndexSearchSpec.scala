@@ -127,6 +127,32 @@ class IndexSearchSpec extends SparkTestBase {
     assert(got == expected, "msm+must engine != oracle")
   }
 
+  test("explain: root value equals the search score for every top-10 hit") {
+    val queries = Seq("court", "court AND law", "court OR law OR state",
+      "court^2 OR law", "court NOT law", "(court OR law) AND state")
+    for (qs <- queries) {
+      val q = Query.parse(qs)
+      for (hit <- searcher.topK(q, 10).collect()) {
+        val e = searcher.explain(q, hit.docId)
+        assert(e.matched, s"explain says no-match for a hit: $qs doc ${hit.docId}")
+        assert(e.value == hit.score,
+          s"explain value ${e.value} != score ${hit.score} for $qs doc ${hit.docId}")
+        assert(e.format().nonEmpty)
+      }
+    }
+    // a non-matching doc explains as no-match with zero value
+    val q = Query.parse("zzzznothere")
+    val e = searcher.explain(q, 0L)
+    assert(!e.matched && e.value == 0.0)
+    // msm failure is explained
+    val msmQ = BoolQuery(Seq("court", "law", "state").map(t =>
+      TermQuery(t) -> (Occur.Should: Occur)), minimumShouldMatch = 3)
+    searcher.matching(Query.parse("court NOT law")).collect().headOption.foreach { d =>
+      val em = searcher.explain(msmQ, d)
+      assert(!em.matched && em.description.contains("SHOULD"))
+    }
+  }
+
   test("fuzzy/prefix/range expansion against the term dictionary") {
     val fz = searcher.expandFuzzy("cout", maxEdits = 1)
     assert(fz.contains("court"))
