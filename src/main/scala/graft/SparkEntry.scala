@@ -470,6 +470,19 @@ object SparkEntry {
         "vec_id", "embedding", dim = 64, k = 5)
         .select(col("id"), col("nbr"), col("sim"), col("rank"))
         .orderBy(col("id"), col("rank"))),
+    "ann_ivf_topk" -> ((s, d) => { // no SQL oracle: nprobe < nCenters approximation
+      // persistent IVF index: built once per corpus, queries probe 4/16
+      // cells with a cell IN pushdown (row-group pruning)
+      import s.implicits._
+      val idx = indexDirFor(d).resolve("ann_ivf").toString
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(idx))
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      graft.pipeline.AnnIndex.build(emb, "vec_id", "embedding", dim = 64,
+        outDir = idx, nCenters = 16, lloydIters = 2)
+      val qv = emb.where($"vec_id" === 0).select($"embedding")
+        .as[Array[Float]].head()
+      graft.pipeline.AnnIndex.topK(s, idx, qv, k = 10, nprobe = 4, excludeId = Some(0L))
+    }),
 
     // ---- text analysis
     "text_tokens" -> ((s, d) =>

@@ -208,17 +208,21 @@ final class IndexSearcher(
     * Unanchored or prefix-free patterns degrade to the full dictionary scan
     * — exactly the reference's behavior for automata with no common prefix.
     */
-  def expandRegex(re: String, max: Int = 1024): Seq[String] = {
+  /** The bounded predicate [[expandRegex]] scans with (public so plans can
+    * be audited: the range conjuncts land in the Parquet PushedFilters).
+    */
+  def regexPredicate(re: String): org.apache.spark.sql.Column = {
     val p = literalPrefixOfRegex(re)
     val base = $"term".rlike(re)
-    val pred =
-      if (p.isEmpty) base
-      else prefixUpper(p) match {
-        case Some(hi) => $"term" >= p && $"term" < hi && base
-        case None     => $"term".startsWith(p) && base
-      }
-    expandTerms(pred, max)
+    if (p.isEmpty) base
+    else prefixUpper(p) match {
+      case Some(hi) => $"term" >= p && $"term" < hi && base
+      case None     => $"term".startsWith(p) && base
+    }
   }
+
+  def expandRegex(re: String, max: Int = 1024): Seq[String] =
+    expandTerms(regexPredicate(re), max)
 
   /** Wildcard pattern (`*` = any run, `?` = one char), compiled to an
     * anchored regex over the dictionary (ref `search/WildcardQuery.java:38`

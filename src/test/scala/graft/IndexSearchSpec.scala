@@ -162,6 +162,28 @@ class IndexSearchSpec extends SparkTestBase {
     assert(rng == Seq("court"))
   }
 
+  test("pushdown: point lookups and bounded expansions reach the parquet scan") {
+    import org.apache.spark.sql.execution.ExplainMode
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // stored-fields point lookup: docId IN (...) pushed to the docs scan
+    val docsPlan = planOf(searcher.docsForIds(Seq(3L, 17L, 42L)))
+    assert(docsPlan.contains("PushedFilters") && docsPlan.contains("In(docId"),
+      s"docs point lookup not pushed down:\n$docsPlan")
+    // regex expansion: the literal-prefix range bounds the dictionary scan
+    val termsPlan = planOf(
+      spark.read.parquet(s"$segDir/terms")
+        .where(searcher.regexPredicate("^st[a-z]*m$")))
+    assert(termsPlan.contains("GreaterThanOrEqual(term,st") &&
+      termsPlan.contains("LessThan(term,su"),
+      s"regex range not pushed down:\n$termsPlan")
+    // term stats lookup: IN pushdown on the sorted dictionary
+    import org.apache.spark.sql.functions.{col => c}
+    val statsPlan = planOf(
+      spark.read.parquet(s"$segDir/terms").where(c("term").isin("court", "law")))
+    assert(statsPlan.contains("In(term"), s"stats IN not pushed down:\n$statsPlan")
+  }
+
   test("rescore combines first and second pass scores") {
     import spark.implicits._
     val q1 = Query.parse("court OR law")

@@ -155,6 +155,47 @@ class PipelineSpec extends SparkTestBase {
     assert(recall > 0.6, s"LSH top-1-in-top-5 recall too low: $recall")
   }
 
+  test("IVF ANN index: full probe == exact; partial probe recalls planted clusters") {
+    import graft.pipeline.AnnIndex
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    // 8 well-separated cluster prototypes, 40 members each
+    val protos = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = (0 until 320).map { i =>
+      val p = protos(i % 8)
+      (i.toLong, p.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val idx = tmpDir("ivf")
+    AnnIndex.build(df, "vec_id", "embedding", dim, idx, nCenters = 8, lloydIters = 2)
+    // idempotent rebuild
+    AnnIndex.build(df, "vec_id", "embedding", dim, idx, nCenters = 8, lloydIters = 2)
+
+    def localTopK(q: Array[Float], k: Int, exclude: Long): Seq[Long] = {
+      def norm(a: Array[Double]) = { val n = math.sqrt(a.map(x => x * x).sum); a.map(_ / n) }
+      val qn = norm(q.map(_.toDouble))
+      rows.filter(_._1 != exclude).map { case (id, v) =>
+        val vn = norm(v.map(_.toDouble))
+        var d = 0.0; var j = 0
+        while (j < dim) { d += vn(j) * qn(j); j += 1 }
+        (id, BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
+    }
+
+    val q0 = rows.head._2
+    // full probe degenerates to exact brute force
+    val full = AnnIndex.topK(spark, idx, q0, 10, nprobe = 8, excludeId = Some(0L))
+      .select($"id").as[Long].collect().toSeq
+    assert(full == localTopK(q0, 10, 0L), "nprobe = nCenters must be exact")
+    // single-cell probe still recovers the planted cluster (top-10 are all
+    // same-cluster members: ids ≡ 0 mod 8)
+    val one = AnnIndex.topK(spark, idx, q0, 10, nprobe = 1, excludeId = Some(0L))
+      .select($"id").as[Long].collect().toSeq
+    val sameCluster = one.count(_ % 8 == 0)
+    assert(sameCluster >= 9, s"1-probe should stay in-cluster, got $sameCluster/10")
+  }
+
   test("multimodal: binary plumbing + stub decode matches formula") {
     val meta = Multimodal.extractMeta(spark,
       Multimodal.withBinary(docs, "text", "payload"), "doc_id", "payload").collect()
