@@ -431,10 +431,10 @@ object SparkEntry {
         "doc_id", "head_text")
         .orderBy(col("fingerprint"))),
     "dedup_jaccard" -> ((s, d) =>
-      // PPJoin prefix-filter variant: exact-identical output to the
-      // shared-shingle join (PipelineSpec proves equality) without the
-      // Σ df² blow-up on Zipf-head shingles
-      Dedup.jaccardPairsPrefix(docsDf(s, d), "doc_id", "text", w = 2, threshold = 0.5)
+      // adaptive exact join: sampled Σdf² sketch picks count-based (uniform
+      // corpora) vs PPJoin prefix-filter (Zipf heads) — identical results
+      // either way (PipelineSpec proves variant equality)
+      Dedup.jaccardPairsAuto(docsDf(s, d), "doc_id", "text", w = 2, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
     "dedup_minhash_lsh" -> ((s, d) => // no SQL oracle: seeded-hash approximation
       Dedup.minHashLshPairs(docsDf(s, d), "doc_id", "text", w = 2,
@@ -448,7 +448,7 @@ object SparkEntry {
       // the scale path: SRP-bucketed candidates + exact cosine verify
       Dedup.embeddingPairsLsh(
         s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 0.3,
-        dim = 64, planes = 4, tables = 8)
+        dim = 64, planes = 6, tables = 8)
         .orderBy(col("id_a"), col("id_b"))),
     "dedup_embed_exact" -> ((s, d) =>
       // exact all-pairs validation baseline (threshold joins over

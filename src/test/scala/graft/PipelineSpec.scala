@@ -74,6 +74,35 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("jaccard auto-selection: candidate estimate routes correctly, results identical") {
+    import spark.implicits._
+    // full-sample estimate on the fixture equals the true candidate volume
+    val est = Dedup.jaccardCandidateEstimate(docs, "text", w = 2, sampleFraction = 1.0)
+    val truePairs = {
+      val dfs = docs.select(explode(Dedup.shingles(col("text"), 2)).as("s"))
+        .groupBy(col("s")).count().collect().map(_.getLong(1))
+      dfs.map(d => d * (d - 1) / 2.0).sum
+    }
+    assert(math.abs(est - truePairs) < 1e-6, s"est $est != true $truePairs")
+    // Zipf-head fixture: every doc shares a run of head shingles — the
+    // candidate volume explodes past a small budget and routes to prefix
+    val head = (1 to 30).map(i => s"head$i").mkString(" ")
+    val skewed = (0 until 300).map(i =>
+      (i.toLong, s"$head unique${i}a unique${i}b unique${i}c")).toDF("doc_id", "text")
+    val estSkew = Dedup.jaccardCandidateEstimate(skewed, "text", w = 2, sampleFraction = 1.0)
+    assert(estSkew > 1e5, s"skewed corpus candidate volume should be large, got $estSkew")
+    // auto == count-based on both corpora, whichever branch it takes
+    // (force each branch with the budget knob)
+    for ((d, budget) <- Seq((docs, 1e12), (docs, 1.0), (skewed, 1e5))) {
+      def collectPairs(x: org.apache.spark.sql.DataFrame) =
+        x.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val auto = collectPairs(Dedup.jaccardPairsAuto(d, "doc_id", "text", 2, 0.5,
+        sampleFraction = 1.0, maxCandidatePairs = budget))
+      val cnt = collectPairs(Dedup.jaccardPairs(d, "doc_id", "text", 2, 0.5))
+      assert(auto == cnt)
+    }
+  }
+
   test("minhash-LSH recovers all high-jaccard pairs (recall vs exact)") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", w = 2, threshold = 0.8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
