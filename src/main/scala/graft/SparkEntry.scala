@@ -97,14 +97,41 @@ object SparkEntry {
     * (rounded score desc, doc_id asc) on BOTH sides so rounding ties cut
     * identically.
     */
+  /** Top-k hits with VERIFIED rounding-tie slack: the oracle compares
+    * 6-dp-rounded scores, so the engine must fetch enough raw hits that no
+    * uncollected doc could round into the top k. Sufficiency check: the
+    * weakest collected raw score, rounded, must fall strictly below the
+    * k-th rounded score (every uncollected doc scores <= the weakest
+    * collected). On failure the slack escalates 10x instead of silently
+    * diverging.
+    */
+  private def topKVerified(
+      se: IndexSearcher, q: Query, k: Int
+  ): Array[ScoredDoc] = {
+    var slack = 50
+    while (slack <= 500000) {
+      val hits = se.topK(q, k + slack).collect()
+      if (hits.length < k + slack) return hits // collector exhausted all matches
+      val kthRounded = hits
+        .map(h => (BigDecimal(h.score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, h.docId))
+        .sortBy { case (s, d) => (-s, d) }
+        .apply(k - 1)._1
+      val weakest = BigDecimal(hits.map(_.score).min)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (weakest < kthRounded) return hits
+      slack *= 10
+    }
+    throw new IllegalStateException(s"tie slack insufficient at $slack for $q")
+  }
+
   private def ftTopK(spark: SparkSession, sfDir: String, queryStr: String, k: Int): DataFrame = {
     val s = searcherFor(spark, sfDir)
     import spark.implicits._
     val q = s.parse(queryStr)
-    // collect the ≤(k+50)-row hit list, then point-lookup stored fields
+    // collect the verified-slack hit list, then point-lookup stored fields
     // (isin pushdown on the docId-sorted docs table) instead of a full
     // docs-table scan + join per query
-    s.fetchDocs(s.topK(q, k + 50).collect())
+    s.fetchDocs(topKVerified(s, q, k))
       .select(docIdOf($"url"), round($"score", 6).as("score"))
       .orderBy($"score".desc, $"doc_id".asc)
       .limit(k)
@@ -154,14 +181,14 @@ object SparkEntry {
       val q = BoolQuery(Seq(
         TermQuery("data") -> Occur.Should, TermQuery("query") -> Occur.Should,
         TermQuery("table") -> Occur.Filter))
-      se.fetchDocs(se.topK(q, 60).collect())
+      se.fetchDocs(topKVerified(se, q, 10))
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc).limit(10)
     }),
     "ft_synonym_topk" -> ((s, d) => {
       val se = searcherFor(s, d)
       import s.implicits._
-      se.fetchDocs(se.topK(SynonymQuery(Seq("data", "stream")), 60).collect())
+      se.fetchDocs(topKVerified(se, SynonymQuery(Seq("data", "stream")), 10))
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc).limit(10)
     }),
@@ -170,7 +197,7 @@ object SparkEntry {
       // tokens, body = rest); cross-field disjunction sums per-field scores
       val se = fieldSearcherFor(s, d)
       import s.implicits._
-      se.fetchDocs(se.topK(se.parse("title:data OR body:query"), 60).collect())
+      se.fetchDocs(topKVerified(se, se.parse("title:data OR body:query"), 10))
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc).limit(10)
     }),
@@ -183,7 +210,7 @@ object SparkEntry {
       import s.implicits._
       val q = BoolQuery(Seq("data", "query", "stream").map(t =>
         TermQuery(t) -> (Occur.Should: Occur)), minimumShouldMatch = 2)
-      se.fetchDocs(se.topK(q, 60).collect())
+      se.fetchDocs(topKVerified(se, q, 10))
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc).limit(10)
     }),

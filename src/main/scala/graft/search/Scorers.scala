@@ -349,27 +349,35 @@ final class MinShouldMatchScorer(children: Array[DocScorer], msm: Int)
 
   def nextDoc(): Long = advance(cur + 1)
 
+  private val sortedDocs = new Array[Long](children.length)
+
   def advance(target0: Long): Long = {
     if (cur == NoMoreDocs) return NoMoreDocs
     var target = target0
     while (true) {
-      var min = NoMoreDocs
       var i = 0
       while (i < children.length) {
-        val d = if (children(i).docId < target) children(i).advance(target)
-                else children(i).docId
-        if (d < min) min = d
+        sortedDocs(i) =
+          if (children(i).docId < target) children(i).advance(target)
+          else children(i).docId
         i += 1
       }
-      if (min == NoMoreDocs) { cur = NoMoreDocs; return cur }
+      // pivot: the msm-th smallest current docId — no doc below it can
+      // have >= msm matching clauses, so the msm-1 leading iterators skip
+      // straight to it (the WANDScorer minShouldMatch count-pruning idea)
+      java.util.Arrays.sort(sortedDocs)
+      val pivot = sortedDocs(msm - 1)
+      if (pivot == NoMoreDocs) { cur = NoMoreDocs; return cur }
       var n = 0
       i = 0
       while (i < children.length) {
-        if (children(i).docId == min) n += 1
+        val d = if (children(i).docId < pivot) children(i).advance(pivot)
+                else children(i).docId
+        if (d == pivot) n += 1
         i += 1
       }
-      if (n >= msm) { cur = min; return cur }
-      target = min + 1
+      if (n >= msm) { cur = pivot; return cur }
+      target = pivot + 1
     }
     cur // unreachable
   }
