@@ -56,7 +56,7 @@ object AnnIndex {
       val cells = centro.map { case (cid, cv) =>
         val cArr = array(cv.map(lit): _*)
         struct(lit(cid).as("cell"),
-          aggregate(zip_with(col("v"), cArr, (x, y) => x * y), lit(0.0d), (a, x) => a + x).as("dot"))
+          graft.functions.VecExpressions.vecDot(col("v"), cArr).as("dot"))
       }
       element_at(array_sort(array(cells: _*),
         (a, b) => when(a("dot") > b("dot"), -1).when(a("dot") < b("dot"), 1)
@@ -120,8 +120,7 @@ object AnnIndex {
     spark.read.parquet(s"$indexDir/vectors")
       .where(col("cell").isin(probes: _*))
       .select(col("id"),
-        round(aggregate(zip_with(col("v"), qArr, (x, y) => x * y),
-          lit(0.0d), (a, x) => a + x), 4).as("sim"))
+        round(graft.functions.VecExpressions.vecDot(col("v"), qArr), 4).as("sim"))
       .where(excludeId.map(e => col("id") =!= e).getOrElse(lit(true)))
       .orderBy(col("sim").desc, col("id").asc)
       .limit(k)

@@ -14,13 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two double-array columns (left-fold sums — same
-    * evaluation order as a scalar loop).
+  /** Cosine similarity of two double-array columns. Dot products run
+    * through the codegen'd [[graft.functions.VecDot]] native expression
+    * (left-fold order, bit-identical to the interpreted
+    * `aggregate`/`zip_with` form it replaces — spec-asserted — but inside
+    * whole-stage codegen instead of per-element lambda interpretation).
     */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (acc, x) => acc + x))
+    import graft.functions.VecExpressions.vecDot
+    val dot = vecDot(a, b)
+    val na = sqrt(vecDot(a, a))
+    val nb = sqrt(vecDot(b, b))
     dot / (na * nb)
   }
 
@@ -72,7 +76,7 @@ object Similarity {
   def srpBucket(vec: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
     val bits = (0 until nPlanes).map { p =>
       val plane = array((0 until dim).map(j => lit(planeComponent(seed, p, j))): _*)
-      val dot = aggregate(zip_with(vec, plane, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+      val dot = graft.functions.VecExpressions.vecDot(vec, plane)
       when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
