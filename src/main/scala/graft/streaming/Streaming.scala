@@ -49,12 +49,16 @@ object Streaming {
   /** Percolate a (static or streaming) document frame against stored
     * queries: emits (query_id, doc id) for every match. One narrow pass per
     * doc batch — the query set is folded into a single generated predicate
-    * stage, no shuffle.
+    * stage, no shuffle. Plan size grows with the query set; beyond
+    * [[FoldedPlanLimit]] queries this dispatches to [[percolateBroadcast]]
+    * (O(1) plan, term-indexed candidate pruning).
     */
   def percolate(
       docs: DataFrame, idCol: String, textCol: String,
       queries: Seq[(String, Query)]
   ): DataFrame = {
+    if (queries.length > FoldedPlanLimit)
+      return percolateBroadcast(docs, idCol, textCol, queries)
     val toks = split(col(textCol), " ")
     val matchStructs = queries.map { case (qid, q) =>
       when(matchExpr(q, toks), lit(qid)).otherwise(lit(null))
@@ -62,6 +66,88 @@ object Streaming {
     docs.select(col(idCol).as("doc"),
         array_compact(array(matchStructs: _*)).as("qids"))
       .select(explode(col("qids")).as("query_id"), col("doc"))
+  }
+
+  /** Codegen'd-plan percolation stays pleasant up to this many stored
+    * queries; larger sets broadcast instead.
+    */
+  val FoldedPlanLimit = 64
+
+  /** Driver-side boolean evaluation of a query against a doc's token set —
+    * the same semantics `matchExpr` folds into the plan (spec
+    * cross-checked).
+    */
+  def evalQuery(q: Query, toks: Set[String]): Boolean = q match {
+    case TermQuery(t)       => toks.contains(t)
+    case BoostQuery(q2, _)  => evalQuery(q2, toks)
+    case sq: SynonymQuery   => sq.synonyms.exists(toks.contains)
+    case bq: BoolQuery =>
+      val shouldOk =
+        if (bq.should.isEmpty) true
+        else if (bq.minimumShouldMatch > 1)
+          bq.should.count(evalQuery(_, toks)) >= bq.minimumShouldMatch
+        else bq.should.exists(evalQuery(_, toks))
+      bq.must.forall(evalQuery(_, toks)) && bq.filter.forall(evalQuery(_, toks)) &&
+        shouldOk && !bq.mustNot.exists(evalQuery(_, toks))
+  }
+
+  /** A term the query REQUIRES to match (any MUST/FILTER term clause, else
+    * None) — the Monitor's pre-filter idea
+    * (ref `/root/reference/lucene/monitor/src/java/org/apache/lucene/monitor/QueryIndex.java`:
+    * stored queries are themselves indexed, and a doc only evaluates
+    * queries whose required terms it contains).
+    */
+  private def requiredTerm(q: Query): Option[String] = q match {
+    case TermQuery(t)      => Some(t)
+    case BoostQuery(q2, _) => requiredTerm(q2)
+    case _: SynonymQuery   => None
+    case bq: BoolQuery =>
+      (bq.must ++ bq.filter).iterator.flatMap(requiredTerm(_).iterator)
+        .nextOption()
+  }
+
+  /** Large-query-set percolation: the compiled query set ships once per
+    * executor as a broadcast (plan size O(1) regardless of count), with a
+    * required-term index so each doc only evaluates queries whose required
+    * term it actually contains (queries without one — pure disjunctions,
+    * negations — are always checked). Cost per doc ≈ |tokens| map probes +
+    * |candidates| boolean evaluations.
+    */
+  def percolateBroadcast(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(String, Query)]
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val indexed: Map[String, Array[Int]] = queries.zipWithIndex
+      .flatMap { case ((_, q), i) => requiredTerm(q).map(_ -> i) }
+      .groupBy(_._1).map { case (t, g) => t -> g.map(_._2).toArray }
+    val always: Array[Int] = queries.zipWithIndex
+      .collect { case ((_, q), i) if requiredTerm(q).isEmpty => i }.toArray
+    val bcQueries = spark.sparkContext.broadcast(queries.toArray)
+    val bcIndex = spark.sparkContext.broadcast(indexed)
+    val bcAlways = spark.sparkContext.broadcast(always)
+    docs.select(col(idCol).cast("long").as("doc"), split(col(textCol), " ").as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val qs = bcQueries.value
+        val idx = bcIndex.value
+        val alw = bcAlways.value
+        it.flatMap { case (id, toks) =>
+          val set = toks.toSet
+          val cands = new java.util.TreeSet[Integer]()
+          alw.foreach(cands.add(_))
+          set.foreach(t => idx.get(t).foreach(_.foreach(cands.add(_))))
+          val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+          val iter = cands.iterator()
+          while (iter.hasNext) {
+            val i = iter.next()
+            val (qid, q) = qs(i)
+            if (evalQuery(q, set)) out += ((qid, id))
+          }
+          out
+        }
+      }.toDF("query_id", "doc")
   }
 
   /** Stream the documents of a parquet directory through the percolator and

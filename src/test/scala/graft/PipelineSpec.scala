@@ -268,6 +268,40 @@ class PipelineSpec extends SparkTestBase {
         shouldOk && !bq.mustNot.exists(evalQ(_, toks))
   }
 
+  test("broadcast percolation == folded-plan percolation on a large query set") {
+    import graft.search.{BoolQuery, BoostQuery, Occur, SynonymQuery, TermQuery}
+    val words = Seq("spark", "data", "query", "court", "law", "state", "vector",
+      "merge", "batch", "customer", "stream", "table", "web", "time")
+    // 90 queries of varied shape (> FoldedPlanLimit forces the dispatch too)
+    val stored: Seq[(String, Query)] = (0 until 90).map { i =>
+      val a = words(i % words.length); val b = words((i + 3) % words.length)
+      val c = words((i + 7) % words.length)
+      val q: Query = i % 6 match {
+        case 0 => TermQuery(a)
+        case 1 => Query.and(a, b)
+        case 2 => Query.or(a, b, c)
+        case 3 => BoolQuery(Seq(TermQuery(a) -> Occur.Must, TermQuery(b) -> Occur.MustNot))
+        case 4 => BoolQuery(Seq(a, b, c).map(t => TermQuery(t) -> (Occur.Should: Occur)),
+          minimumShouldMatch = 2)
+        case 5 => BoolQuery(Seq(BoostQuery(TermQuery(a), 2.0) -> Occur.Should,
+          SynonymQuery(Seq(b, c)) -> Occur.Should))
+      }
+      s"q$i" -> q
+    }
+    val viaBroadcast = Streaming.percolateBroadcast(docs, "doc_id", "text", stored)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val viaPlan = stored.grouped(30).map { chunk => // folded plan per chunk
+      Streaming.percolate(docs, "doc_id", "text", chunk)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    }.reduce(_ ++ _)
+    assert(viaBroadcast == viaPlan)
+    assert(viaBroadcast.nonEmpty)
+    // the public percolate() dispatches to broadcast above the plan limit
+    val dispatched = Streaming.percolate(docs, "doc_id", "text", stored)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(dispatched == viaPlan)
+  }
+
   test("quality + langid emit sane ranges") {
     val q = TextOps.quality(docs, "doc_id", "text").collect()
     q.foreach { r =>
