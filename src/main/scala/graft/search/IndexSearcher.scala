@@ -1012,6 +1012,39 @@ object IndexSearcher {
   * `search/BooleanScorerSupplier.java:187-247` picking WAND vs conjunction by
   * clause shape.
   */
+/** NRT reader management — the re-expression of the reference's
+  * `search/SearcherManager.java` + `index/DirectoryReader.openIfChanged`:
+  * callers `acquire()` a stable searcher; `maybeRefresh()` swaps in a new
+  * one only when the index's live-set generation has advanced (a cheap
+  * metadata read — no segment data touched on the no-change path).
+  */
+final class SearcherManager(
+    spark: SparkSession,
+    indexDir: String,
+    analyzer: StandardAnalyzer = StandardAnalyzer.Default,
+    precision: Precision = Precision.FloatExact
+) {
+  private def currentGen: Long =
+    graft.index.LiveSet.read(indexDir).map(_._1).getOrElse(-1L)
+
+  private def load(): (Long, IndexSearcher) = {
+    val g = currentGen
+    (g, IndexSearcher.open(spark, indexDir, analyzer, precision))
+  }
+
+  @volatile private var cached: (Long, IndexSearcher) = load()
+
+  /** The current searcher (stable until the next successful refresh). */
+  def acquire(): IndexSearcher = cached._2
+
+  /** Re-open if the live set advanced since the cached searcher was
+    * opened; returns true when a new searcher was installed.
+    */
+  def maybeRefresh(): Boolean = synchronized {
+    if (currentGen != cached._1) { cached = load(); true } else false
+  }
+}
+
 object Executor {
 
   /** Scorer-map key for a (term-or-synonym, boost) pair: an unboosted clause

@@ -99,6 +99,24 @@ class LiveSetSpec extends SparkTestBase {
     assert(se2.matching(Query.parse("zzupdated")).collect().length == 3)
   }
 
+  test("SearcherManager: acquire is stable; maybeRefresh follows the live set") {
+    val dir = tmpDir("sm")
+    buildSeg(dir, "seg00", 0, 300)
+    LiveSet.add(dir, Seq("seg00"))
+    val mgr = new graft.search.SearcherManager(spark, dir)
+    val s1 = mgr.acquire()
+    assert(s1.stats.docCount == 300)
+    assert(!mgr.maybeRefresh(), "no live-set change -> no refresh")
+    assert(mgr.acquire() eq s1)
+
+    buildSeg(dir, "seg01", 300, 200)
+    LiveSet.add(dir, Seq("seg01"))
+    assert(mgr.acquire() eq s1, "acquire stays stable until refresh")
+    assert(mgr.maybeRefresh(), "live-set advanced -> refresh")
+    assert(mgr.acquire().stats.docCount == 500)
+    assert(!mgr.maybeRefresh())
+  }
+
   test("legacy fallback: no segments_N file -> directory listing") {
     val dir = tmpDir("liveset-legacy")
     buildSeg(dir, "seg0", 0, 300)

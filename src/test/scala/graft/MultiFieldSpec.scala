@@ -118,6 +118,15 @@ class MultiFieldSpec extends SparkTestBase {
     assert(expected.nonEmpty, "fixture should have cross-field matches")
   }
 
+  test("explain on field-scoped queries matches the search score") {
+    val q = searcher.parse("title:court OR body:law")
+    for (hit <- searcher.topK(q, 5).collect()) {
+      val e = searcher.explain(q, hit.docId)
+      assert(e.matched && e.value == hit.score,
+        s"field explain ${e.value} != ${hit.score} for doc ${hit.docId}")
+    }
+  }
+
   test("unscoped query on a multi-field index hits the default field only") {
     // bare terms address FieldKey.DefaultField; this index has no default
     // field, so an unscoped term matches nothing
