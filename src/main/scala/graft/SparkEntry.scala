@@ -204,6 +204,31 @@ object SparkEntry {
     "ft_boost_topk" -> ((s, d) =>
       // per-clause boost: weight = boost * idf (ref search/BoostQuery.java)
       ftTopK(s, d, "data^2 OR query", 10)),
+    "ft_dismax_topk" -> ((s, d) => {
+      // dismax: best clause + 0.3 x the rest (ref DisjunctionMaxQuery)
+      val se = searcherFor(s, d)
+      import s.implicits._
+      val q = DisMaxQuery(Seq("data", "query", "stream").map(TermQuery(_)), 0.3)
+      se.fetchDocs(topKVerified(se, q, 10))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc).limit(10)
+    }),
+    "ft_constscore" -> ((s, d) => {
+      // constant-score wrapper: every match scores 2.5 (ref ConstantScoreQuery)
+      val se = searcherFor(s, d)
+      import s.implicits._
+      val q = ConstScoreQuery(se.parse("data AND query"), 2.5)
+      se.scoreMatches(q).toDF("docId", "score")
+        .join(se.docsTable.select($"docId", $"url"), "docId")
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"doc_id")
+    }),
+    "ft_spell" -> ((s, d) => {
+      // spell correction (ref suggest/spell/DirectSpellChecker): dictionary
+      // candidates within 2 edits of the misspelling, ranked by
+      // (distance, docFreq desc, term)
+      searcherFor(s, d).spellCorrect("parl", maxEdits = 2, n = 5)
+    }),
     "ft_msm_topk" -> ((s, d) => {
       // minimumShouldMatch=2 of three SHOULD clauses (ref BooleanQuery msm)
       val se = searcherFor(s, d)
@@ -657,6 +682,26 @@ object SparkEntry {
           |SELECT doc_id, round(score, 6) AS score FROM scored
           |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin),
     "ft_msm_topk" -> bm25TopK(Seq("data", "query", "stream"), "nmatch >= 2", 10),
+    "ft_dismax_topk" ->
+      (bm25Ctes(Seq("data", "query", "stream")) +
+        """, scored AS (
+          |  SELECT doc_id, max(s) + 0.3 * (sum(s) - max(s)) AS score
+          |  FROM sc GROUP BY doc_id
+          |)
+          |SELECT doc_id, round(score, 6) AS score FROM scored
+          |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin),
+    "ft_constscore" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |d AS (SELECT DISTINCT doc_id FROM documents)
+         |SELECT doc_id, 2.5 AS score FROM d
+         |WHERE ${hasTerm("data")} AND ${hasTerm("query")}
+         |ORDER BY doc_id""".stripMargin,
+    "ft_spell" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY term)
+        |SELECT term, levenshtein(term, 'parl')::BIGINT AS distance, doc_freq
+        |FROM df WHERE levenshtein(term, 'parl') <= 2
+        |ORDER BY distance ASC, doc_freq DESC, term ASC LIMIT 5""".stripMargin,
     "ft_fuzzy_match" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
         |SELECT DISTINCT doc_id FROM tok WHERE levenshtein(term, 'quer') <= 2

@@ -272,6 +272,8 @@ final class IndexSearcher(
                 boost * Bm25.idfD(df, st.docCount), Bm25.avgFieldLengthD(st))
           }
         Map(Executor.skey(sq.key, boost) -> sim)
+      case dm: DisMaxQuery => dm.disjuncts.iterator.flatMap(walk(_, boost)).toMap
+      case cs: ConstScoreQuery => walk(cs.query, boost)
       case bq: BoolQuery => bq.clauses.iterator.map(_._1).flatMap(walk(_, boost)).toMap
     }
     walk(query, 1.0)
@@ -451,6 +453,22 @@ final class IndexSearcher(
       length($"term").between(term.length - maxEdits, term.length + maxEdits) &&
         levenshtein(lit(term), $"term", maxEdits) >= 0,
       max)
+
+  /** Spelling corrections for a (possibly misspelled) term — the
+    * re-expression of `suggest/spell/DirectSpellChecker`: dictionary
+    * candidates within `maxEdits` (length-banded, early-abort threshold
+    * Levenshtein) ranked by (edit distance asc, docFreq desc, term asc).
+    */
+  def spellCorrect(term: String, maxEdits: Int = 2, n: Int = 5): DataFrame =
+    segments.map(s => spark.read.parquet(s"${s.dir}/terms"))
+      .reduce(_ unionByName _)
+      .where(length($"term").between(term.length - maxEdits, term.length + maxEdits) &&
+        levenshtein(lit(term), $"term", maxEdits) >= 0)
+      .groupBy($"term").agg(sum($"docFreq").as("doc_freq"))
+      .select($"term", levenshtein(lit(term), $"term").cast("bigint").as("distance"),
+        $"doc_freq")
+      .orderBy($"distance".asc, $"doc_freq".desc, $"term".asc)
+      .limit(n)
 
   /** All matching docIds (no scoring) — the FILTER/semi-join path feeding
     * facets, grouping, and joins.
@@ -821,6 +839,21 @@ final class IndexSearcher(
               sq.synonyms.flatMap(t => fn.get(t).map(p =>
                 Explanation(p._1.toDouble, s"freq of '$t'"))))
         }
+      case dm: DisMaxQuery =>
+        val kids = dm.disjuncts.map(walk(_, boost))
+        val matched = kids.filter(_.matched)
+        if (matched.isEmpty)
+          Explanation(0, "no dismax disjunct matched", matched = false, details = kids)
+        else {
+          val best = matched.map(_.value).max
+          val v = best + dm.tieBreaker * (matched.map(_.value).sum - best)
+          Explanation(v, s"max plus ${dm.tieBreaker} times others of:", details = matched)
+        }
+      case cs: ConstScoreQuery =>
+        val inner = walk(cs.query, 1.0)
+        if (!inner.matched) inner
+        else Explanation(cs.score * boost,
+          s"ConstantScore(${cs.score * boost})", details = Seq(inner))
       case bq: BoolQuery =>
         val mustE = bq.must.map(walk(_, boost))
         val filtE = bq.filter.map(walk(_, boost))
@@ -876,6 +909,9 @@ final class IndexSearcher(
     case TermQuery(t)        => s"t:$t"
     case BoostQuery(q2, b2)  => s"boost($b2,${cacheKey(q2)})"
     case sq: SynonymQuery    => sq.synonyms.sorted.mkString("syn:", ",", "")
+    case dm: DisMaxQuery =>
+      dm.disjuncts.map(cacheKey).sorted.mkString(s"dm${dm.tieBreaker}(", ",", ")")
+    case cs: ConstScoreQuery => s"const(${cs.score},${cacheKey(cs.query)})"
     case bq: BoolQuery =>
       bq.clauses.map { case (c, o) => s"$o:${cacheKey(c)}" }
         .sorted.mkString(s"b${bq.minimumShouldMatch}(", ",", ")")
@@ -1069,6 +1105,15 @@ object Executor {
       val sim = scorers(skey(sq.key, boost))
       val children = sq.synonyms.flatMap(blocks.get).map(bs => new TermScorer(bs, sim)).toArray
       if (children.isEmpty) None else Some(new SynonymScorer(children, sim))
+    case dm: DisMaxQuery =>
+      val children = dm.disjuncts.flatMap(build(_, blocks, scorers, boost))
+      if (children.isEmpty) None
+      else Some(new DisMaxScorer(children.toArray, dm.tieBreaker))
+    case cs: ConstScoreQuery =>
+      // outer boost multiplies the constant (the reference's
+      // ConstantScoreQuery weight semantics); inner scores are discarded
+      build(cs.query, blocks, scorers, boost)
+        .map(new ConstWrapScorer(_, cs.score * boost))
     case bq: BoolQuery =>
       val must = bq.must.map(build(_, blocks, scorers, boost))
       val filters = bq.filter.map(build(_, blocks, scorers, boost))
@@ -1134,6 +1179,10 @@ object Executor {
       build(sq, blocks, scorers).foreach(s => Wand.run(Array(s), None, collector, pruning))
     case bqst: BoostQuery =>
       build(bqst, blocks, scorers).foreach(s => Wand.run(Array(s), None, collector, pruning))
+    case dm: DisMaxQuery =>
+      build(dm, blocks, scorers).foreach(s => Wand.run(Array(s), None, collector, pruning))
+    case cs: ConstScoreQuery =>
+      build(cs, blocks, scorers).foreach(s => Wand.run(Array(s), None, collector, pruning))
     case bq: BoolQuery
         if bq.must.isEmpty && bq.filter.isEmpty && bq.minimumShouldMatch <= 1 =>
       val should = bq.should.flatMap(build(_, blocks, scorers))
@@ -1233,10 +1282,12 @@ object Executor {
     * boost-qualified keys for boosted clauses).
     */
   def scorerKeys(q: Query, boost: Double = 1.0): Set[String] = q match {
-    case TermQuery(t)       => Set(skey(t, boost))
-    case BoostQuery(q2, b2) => scorerKeys(q2, boost * b2)
-    case sq: SynonymQuery   => sq.synonyms.toSet + skey(sq.key, boost)
-    case bq: BoolQuery      => bq.clauses.iterator.flatMap(c => scorerKeys(c._1, boost)).toSet
+    case TermQuery(t)        => Set(skey(t, boost))
+    case BoostQuery(q2, b2)  => scorerKeys(q2, boost * b2)
+    case sq: SynonymQuery    => sq.synonyms.toSet + skey(sq.key, boost)
+    case dm: DisMaxQuery     => dm.disjuncts.iterator.flatMap(scorerKeys(_, boost)).toSet
+    case cs: ConstScoreQuery => scorerKeys(cs.query, boost)
+    case bq: BoolQuery       => bq.clauses.iterator.flatMap(c => scorerKeys(c._1, boost)).toSet
   }
 
   /** Matching docIds without scoring. */

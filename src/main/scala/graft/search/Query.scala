@@ -44,6 +44,24 @@ final case class BoostQuery(query: Query, boost: Double) extends Query {
   def terms: Set[String] = query.terms
 }
 
+/** Disjunction scored by the BEST clause plus `tieBreaker` times the rest
+  * (ref `/root/reference/lucene/core/src/java/org/apache/lucene/search/DisjunctionMaxQuery.java`
+  * — the "dismax" combiner: prevents multi-field term stacking from
+  * drowning the strongest field).
+  */
+final case class DisMaxQuery(disjuncts: Seq[Query], tieBreaker: Double = 0.0)
+    extends Query {
+  require(disjuncts.nonEmpty)
+  def terms: Set[String] = disjuncts.iterator.flatMap(_.terms).toSet
+}
+
+/** Every match scores the constant `score` regardless of tf/idf (ref
+  * `search/ConstantScoreQuery.java`).
+  */
+final case class ConstScoreQuery(query: Query, score: Double = 1.0) extends Query {
+  def terms: Set[String] = query.terms
+}
+
 /** @param minimumShouldMatch docs must match at least this many SHOULD
   *   clauses (ref `search/BooleanQuery.java#getMinimumNumberShouldMatch`,
   *   scorer semantics `search/WANDScorer.java` minShouldMatch mode). 0 keeps

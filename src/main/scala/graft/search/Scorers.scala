@@ -330,6 +330,75 @@ final class DisjunctionSumScorer(children: Array[DocScorer]) extends DocScorer {
   def blockBoundary: Long = children.map(_.blockBoundary).min
 }
 
+/** Dismax combiner: score = best matching child + tieBreaker × (sum of the
+  * other matching children) — ref `search/DisjunctionMaxQuery.java`,
+  * `DisjunctionMaxScorer`. Upper bounds use maxChild + tie×(sumAll −
+  * maxChild), which never underestimates any achievable combination.
+  */
+final class DisMaxScorer(children: Array[DocScorer], tie: Double)
+    extends DocScorer {
+  import DocScorer.NoMoreDocs
+  private var cur: Long = -1L
+
+  override val cost: Long = children.map(_.cost).sum
+  private def combineMax(vals: Array[Double]): Double = {
+    val m = vals.max
+    m + tie * (vals.sum - m)
+  }
+  override lazy val maxScore: Double = combineMax(children.map(_.maxScore))
+
+  def docId: Long = cur
+  def nextDoc(): Long = advance(cur + 1)
+
+  def advance(target: Long): Long = {
+    if (cur == NoMoreDocs) return NoMoreDocs
+    var min = NoMoreDocs
+    var i = 0
+    while (i < children.length) {
+      val d = if (children(i).docId < target) children(i).advance(target)
+              else children(i).docId
+      if (d < min) min = d
+      i += 1
+    }
+    cur = min
+    cur
+  }
+
+  def score: Double = {
+    var best = Double.NegativeInfinity
+    var sum = 0.0
+    var i = 0
+    while (i < children.length) {
+      if (children(i).docId == cur) {
+        val s = children(i).score
+        sum += s
+        if (s > best) best = s
+      }
+      i += 1
+    }
+    best + tie * (sum - best)
+  }
+
+  def advanceShallow(target: Long): Unit = children.foreach(_.advanceShallow(target))
+  def blockMaxScore: Double = combineMax(children.map(_.blockMaxScore))
+  def blockBoundary: Long = children.map(_.blockBoundary).min
+}
+
+/** Constant-score wrapper: delegates iteration, scores `value` for every
+  * match (ref `search/ConstantScoreQuery.java`).
+  */
+final class ConstWrapScorer(inner: DocScorer, value: Double) extends DocScorer {
+  override val cost: Long = inner.cost
+  override val maxScore: Double = value
+  def docId: Long = inner.docId
+  def nextDoc(): Long = inner.nextDoc()
+  def advance(target: Long): Long = inner.advance(target)
+  def score: Double = value
+  def advanceShallow(target: Long): Unit = inner.advanceShallow(target)
+  def blockMaxScore: Double = value
+  def blockBoundary: Long = inner.blockBoundary
+}
+
 /** Disjunction requiring at least `msm` matching children per doc —
   * minimumShouldMatch semantics (ref `search/WANDScorer.java` minShouldMatch
   * mode, golden suite `TestWANDScorer.java:264-728`). Score = sum of the

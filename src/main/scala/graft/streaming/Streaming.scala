@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.search.{BoolQuery, BoostQuery, Occur, Query, SynonymQuery, TermQuery}
+import graft.search.{BoolQuery, BoostQuery, ConstScoreQuery, DisMaxQuery, Occur, Query, SynonymQuery, TermQuery}
 
 /** Streaming surfaces of the engine (SURVEY.md §2.4):
   *
@@ -29,6 +29,9 @@ object Streaming {
     q match {
       case TermQuery(t) => array_contains(toks, t)
       case BoostQuery(q2, _) => matchExpr(q2, toks) // boost is score-only
+      case dm: DisMaxQuery =>
+        dm.disjuncts.map(matchExpr(_, toks)).reduce(_ || _)
+      case cs: ConstScoreQuery => matchExpr(cs.query, toks)
       case sq: SynonymQuery =>
         sq.synonyms.map(t => array_contains(toks, t)).reduce(_ || _)
       case bq: BoolQuery =>
@@ -78,9 +81,11 @@ object Streaming {
     * cross-checked).
     */
   def evalQuery(q: Query, toks: Set[String]): Boolean = q match {
-    case TermQuery(t)       => toks.contains(t)
-    case BoostQuery(q2, _)  => evalQuery(q2, toks)
-    case sq: SynonymQuery   => sq.synonyms.exists(toks.contains)
+    case TermQuery(t)        => toks.contains(t)
+    case BoostQuery(q2, _)   => evalQuery(q2, toks)
+    case dm: DisMaxQuery     => dm.disjuncts.exists(evalQuery(_, toks))
+    case cs: ConstScoreQuery => evalQuery(cs.query, toks)
+    case sq: SynonymQuery    => sq.synonyms.exists(toks.contains)
     case bq: BoolQuery =>
       val shouldOk =
         if (bq.should.isEmpty) true
@@ -98,9 +103,11 @@ object Streaming {
     * queries whose required terms it contains).
     */
   private def requiredTerm(q: Query): Option[String] = q match {
-    case TermQuery(t)      => Some(t)
-    case BoostQuery(q2, _) => requiredTerm(q2)
-    case _: SynonymQuery   => None
+    case TermQuery(t)        => Some(t)
+    case BoostQuery(q2, _)   => requiredTerm(q2)
+    case _: DisMaxQuery      => None // any one disjunct suffices
+    case cs: ConstScoreQuery => requiredTerm(cs.query)
+    case _: SynonymQuery     => None
     case bq: BoolQuery =>
       (bq.must ++ bq.filter).iterator.flatMap(requiredTerm(_).iterator)
         .nextOption()

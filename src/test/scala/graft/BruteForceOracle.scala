@@ -47,6 +47,12 @@ final class BruteForceOracle(pages: Seq[Page], analyzer: StandardAnalyzer) {
       case sq: SynonymQuery =>
         val f = sq.synonyms.map(t => tf.getOrDefault(t, 0)).sum
         if (f == 0) None else Some(synScorer(sq, boost).score(f, norm))
+      case dm: DisMaxQuery =>
+        val kids = dm.disjuncts.flatMap(go(_, boost))
+        if (kids.isEmpty) None
+        else Some(kids.max + dm.tieBreaker * (kids.sum - kids.max))
+      case cs: ConstScoreQuery =>
+        go(cs.query, 1.0).map(_ => cs.score * boost)
       case bq: BoolQuery =>
         val must = bq.must.map(go(_, boost))
         val filt = bq.filter.map(go(_, boost))

@@ -127,6 +127,36 @@ class IndexSearchSpec extends SparkTestBase {
     assert(got == expected, "msm+must engine != oracle")
   }
 
+  test("dismax duel: max + tieBreaker combine == oracle, pruned == exhaustive") {
+    val queries = Seq(
+      DisMaxQuery(Seq(TermQuery("court"), TermQuery("law")), 0.0),
+      DisMaxQuery(Seq(TermQuery("court"), TermQuery("law"), TermQuery("state")), 0.3),
+      DisMaxQuery(Seq(Query.and("court", "law"), TermQuery("state")), 0.5),
+      DisMaxQuery(Seq(BoostQuery(TermQuery("court"), 2.0), TermQuery("law")), 0.1))
+    for (q <- queries) {
+      val expected = oracle.topK(q, 10)
+      val pruned = searcher.topK(q, 10, pruning = true).collect()
+        .map(s => (s.docId, s.score)).toSeq
+      val exhaustive = searcher.topK(q, 10, pruning = false).collect()
+        .map(s => (s.docId, s.score)).toSeq
+      assert(pruned == exhaustive, s"pruning changed dismax results for: $q")
+      assert(pruned == expected, s"dismax engine != oracle for: $q")
+    }
+  }
+
+  test("constant-score duel: every match scores the constant") {
+    val queries = Seq(
+      ConstScoreQuery(Query.parse("court AND law"), 1.0),
+      ConstScoreQuery(Query.parse("court OR law"), 2.5),
+      BoostQuery(ConstScoreQuery(TermQuery("court"), 1.0), 3.0))
+    for (q <- queries) {
+      val expected = oracle.topK(q, 10)
+      val got = searcher.topK(q, 10).collect().map(s => (s.docId, s.score)).toSeq
+      assert(got == expected, s"const-score engine != oracle for: $q")
+      assert(got.map(_._2).distinct.size == 1, "all matches share the constant")
+    }
+  }
+
   test("explain: root value equals the search score for every top-10 hit") {
     val queries = Seq("court", "court AND law", "court OR law OR state",
       "court^2 OR law", "court NOT law", "(court OR law) AND state")
