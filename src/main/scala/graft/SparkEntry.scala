@@ -385,6 +385,17 @@ object SparkEntry {
         .select($"doc_id", TextOps.snippet($"text", "data", 2).as("snippet"))
         .orderBy($"doc_id")
     }),
+    "ft_highlight_best" -> ((s, d) => {
+      // best-passage highlighter: window with the most query-term hits
+      // (ref UnifiedHighlighter passage selection), not just the first hit
+      import s.implicits._
+      ftMatch(s, d, Query.parse("data AND query"))
+        .orderBy($"doc_id").limit(20)
+        .join(docsDf(s, d).select($"doc_id", $"text"), "doc_id")
+        .select($"doc_id",
+          TextOps.bestSnippet($"text", Seq("data", "query"), 7).as("snippet"))
+        .orderBy($"doc_id")
+    }),
     "ft_parent_join" -> ((s, d) => {
       // ToParentBlockJoin re-expression (ref lucene/join
       // ToParentBlockJoinQuery, ScoreMode.Max): children = docs grouped
@@ -814,6 +825,29 @@ object SparkEntry {
          |      greatest(1, list_position(string_split(d.text, ' '), 'data') - 2) + 4),
          |    ' ') AS snippet
          |FROM m JOIN documents d USING (doc_id) ORDER BY m.doc_id""".stripMargin,
+    "ft_highlight_best" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |tokp AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         |                generate_subscripts(string_split(text, ' '), 1) AS pos
+         |         FROM documents),
+         |m AS (SELECT doc_id FROM (SELECT DISTINCT doc_id FROM documents
+         |      WHERE ${hasTerm("data")} AND ${hasTerm("query")}) ORDER BY doc_id LIMIT 20),
+         |dlen AS (SELECT doc_id, count(*) AS dl FROM tokp GROUP BY doc_id),
+         |hits AS (SELECT t.doc_id, t.pos FROM tokp t JOIN m USING (doc_id)
+         |         WHERE t.term IN ('data', 'query')),
+         |starts AS (SELECT m.doc_id, unnest(generate_series(1, greatest(1, d.dl - 6))) AS i
+         |           FROM m JOIN dlen d USING (doc_id)),
+         |counts AS (SELECT s.doc_id, s.i, count(h.pos) AS c
+         |           FROM starts s LEFT JOIN hits h
+         |             ON h.doc_id = s.doc_id AND h.pos >= s.i AND h.pos < s.i + 7
+         |           GROUP BY s.doc_id, s.i),
+         |best AS (SELECT doc_id, min(i) AS i FROM (
+         |           SELECT doc_id, i, c, max(c) OVER (PARTITION BY doc_id) AS mc
+         |           FROM counts) WHERE c = mc AND mc > 0 GROUP BY doc_id)
+         |SELECT b.doc_id,
+         |  array_to_string(list_slice(string_split(d.text, ' '), b.i, b.i + 6), ' ') AS snippet
+         |FROM best b JOIN documents d ON d.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
     "ft_parent_join" ->
       (bm25Scored(Seq("data", "query"), "TRUE") +
         """

@@ -93,6 +93,30 @@ object TextOps {
       .otherwise(lit(null))
   }
 
+  /** Best-passage snippet (the `UnifiedHighlighter` passage-selection
+    * shape): among all `window`-token windows, pick the one containing the
+    * MOST query-term occurrences (earliest start on ties) — not merely the
+    * first hit. Pure array column ops: a prefix-sum of per-token match
+    * flags turns every window count into two array reads, then
+    * `array_position(counts, max)` is the earliest argmax. Null when no
+    * query term occurs.
+    */
+  def bestSnippet(text: Column, terms: Seq[String], window: Int = 7): Column = {
+    val toks = tokensCol(text)
+    val qArr = array(terms.map(lit): _*)
+    val flags = transform(toks, t => when(array_contains(qArr, t), 1).otherwise(0))
+    // ps(i+1) = matches in toks[1..i]; ps(1) = 0
+    val ps = aggregate(flags, array(lit(0)),
+      (acc, x) => concat(acc, array(element_at(acc, size(acc)) + x)))
+    val nStarts = greatest(lit(1), size(toks) - lit(window - 1))
+    val counts = transform(sequence(lit(1), nStarts), i =>
+      element_at(ps, least(i + lit(window - 1), size(toks)) + 1) - element_at(ps, i))
+    val best = array_position(counts, array_max(counts))
+    when(array_max(counts) > 0,
+      concat_ws(" ", slice(toks, best.cast("int"), lit(window))))
+      .otherwise(lit(null))
+  }
+
   /** Content fingerprint (md5) — exact-dup key; codegen'd. */
   def fingerprintMd5(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), md5(col(textCol)).as("fingerprint"))

@@ -302,6 +302,26 @@ class PipelineSpec extends SparkTestBase {
     assert(dispatched == viaPlan)
   }
 
+  test("best-passage snippet == brute-force window argmax") {
+    val w = 7
+    val terms = Set("data", "query")
+    val got = docs.select(col("doc_id"),
+        TextOps.bestSnippet(col("text"), terms.toSeq, w).as("s"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    docs.select("doc_id", "text").collect().foreach { r =>
+      val id = r.getLong(0)
+      val toks = r.getString(1).split(" ")
+      val nStarts = math.max(1, toks.length - w + 1)
+      val counts = (0 until nStarts).map(i =>
+        toks.slice(i, math.min(i + w, toks.length)).count(terms.contains))
+      val expected =
+        if (counts.max == 0) None
+        else Some(toks.slice(counts.indexOf(counts.max),
+          math.min(counts.indexOf(counts.max) + w, toks.length)).mkString(" "))
+      assert(got(id) == expected, s"doc $id")
+    }
+  }
+
   test("quality + langid emit sane ranges") {
     val q = TextOps.quality(docs, "doc_id", "text").collect()
     q.foreach { r =>
