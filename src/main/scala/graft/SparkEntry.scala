@@ -577,10 +577,51 @@ object SparkEntry {
         "doc_id", "text", stored, ckpt)
         .orderBy(col("query_id"), col("doc"))
     }),
+    "stream_session" -> ((s, d) => {
+      // per-user session windows at a 30-minute inactivity gap
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+      Streaming.sessionWindows(s, s"$d/events.parquet", "30 minutes", "0 seconds", ckpt)
+        .orderBy(col("user_id"), col("session_start"))
+    }),
     "stream_window_agg" -> ((s, d) => {
       val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
       Streaming.windowedEventCounts(s, s"$d/events.parquet", "1 hour", "0 seconds", ckpt)
         .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    "ft_facet_range" -> ((s, d) => {
+      // range facets (ref facet LongRangeFacetCounts): doc-length buckets
+      // over the match set of a drill-down query
+      val se = searcherFor(s, d)
+      import s.implicits._
+      val m = se.matchingCached(se.parse("data")).toDF("docId")
+      val bucket = when($"length" < 30, "short")
+        .when($"length" < 60, "medium").otherwise("long")
+      m.join(se.docsTable.select($"docId", $"length"), "docId")
+        .groupBy(bucket.as("len_range")).agg(count(lit(1)).as("n_docs"))
+        .orderBy($"len_range")
+    }),
+    "ft_suggest_infix" -> ((s, d) => {
+      // infix autocomplete (ref suggest AnalyzingInfixSuggester shape):
+      // dictionary terms CONTAINING the fragment, ranked by docFreq
+      val se = searcherFor(s, d)
+      import s.implicits._
+      se.segments.map(m => s.read.parquet(s"${m.dir}/terms"))
+        .reduce(_ unionByName _)
+        .where($"term".contains("ar"))
+        .groupBy($"term").agg(sum($"docFreq").as("doc_freq"))
+        .orderBy($"doc_freq".desc, $"term".asc)
+        .limit(10)
+    }),
+    "rel_json" -> ((s, d) => {
+      // JSON property extraction over the event props column
+      import s.implicits._
+      s.read.parquet(s"$d/events.parquet")
+        .select($"event_type",
+          get_json_object($"props", "$.k").cast("bigint").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"))
+        .orderBy($"event_type")
     }),
 
     // ---- relational parity (facets/grouping/join modules, SURVEY.md §2.3)
@@ -964,6 +1005,37 @@ object SparkEntry {
          |UNION ALL
          |SELECT 'alert_vm', doc_id FROM d WHERE ${hasTerm("vector")} OR ${hasTerm("merge")}
          |ORDER BY query_id, doc""".stripMargin,
+    "ft_facet_range" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |m AS (SELECT DISTINCT doc_id FROM documents WHERE ${hasTerm("data")}),
+         |dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
+         |SELECT CASE WHEN dl < 30 THEN 'short' WHEN dl < 60 THEN 'medium' ELSE 'long' END AS len_range,
+         |       count(*) AS n_docs
+         |FROM m JOIN dlen USING (doc_id)
+         |GROUP BY 1 ORDER BY len_range""".stripMargin,
+    "ft_suggest_infix" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok
+        |WHERE term LIKE '%ar%' GROUP BY term
+        |ORDER BY doc_freq DESC, term ASC LIMIT 10""".stripMargin,
+    "rel_json" ->
+      """SELECT event_type, count(*) AS n, sum(json_extract(props, '$.k')::BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_session" ->
+      """WITH d AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+        |  FROM d
+        |)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |       round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
     "stream_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       count(*) AS n, round(sum(value), 4) AS sum_value

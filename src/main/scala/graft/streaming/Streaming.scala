@@ -264,6 +264,36 @@ object Streaming {
     batches.get()
   }
 
+  /** Event-time session windows over a parquet stream: per-user sessions
+    * split at `gap` of inactivity (`session_window` stateful aggregation —
+    * the Structured Streaming sessionization shape).
+    */
+  def sessionWindows(
+      spark: SparkSession, parquetDir0: String, gap: String,
+      watermark: String, checkpointDir: String
+  ): DataFrame = {
+    val parquetDir = asStreamDir(parquetDir0)
+    val schema = spark.read.parquet(parquetDir).schema
+    val stream = spark.readStream.schema(schema).parquet(parquetDir)
+    val agg = stream
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+    val sink = s"sess_${System.nanoTime()}"
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("complete")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   /** Event-time tumbling-window aggregation with a watermark over a parquet
     * stream: (window_start, event_type) -> count, sum(value).
     */
