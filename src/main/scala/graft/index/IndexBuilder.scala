@@ -168,6 +168,7 @@ object IndexBuilder {
       }
       .collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
+    val withPositions = cfg.storePositions
     val docTokens = sortedRows.mapPartitionsWithIndex { (pid, it) =>
       val analyzer = new StandardAnalyzer(stop, maxLen)
       var id = offsets(pid)
@@ -180,6 +181,9 @@ object IndexBuilder {
         val termsB = scala.collection.mutable.ArrayBuffer[String]()
         val freqsB = scala.collection.mutable.ArrayBuffer[Int]()
         val normsB = scala.collection.mutable.ArrayBuffer[Int]()
+        val posB =
+          if (withPositions) scala.collection.mutable.ArrayBuffer[Array[Int]]()
+          else null
         val fNames = new Array[String](nf)
         val fLens = new Array[Int](nf)
         var defLen = 0
@@ -188,23 +192,49 @@ object IndexBuilder {
           val st = fields.getStruct(f, 2)
           val fname = st.getUTF8String(0).toString
           val ftext = st.getUTF8String(1).toString
-          val (freqMap, flen) = analyzer.termFreqs(ftext)
-          val fnorm = java.lang.Byte.toUnsignedInt(SmallFloat.intToByte4(flen))
-          if (fname == FieldKey.DefaultField) defLen = flen
-          fNames(f) = fname
-          fLens(f) = flen
-          val iter = freqMap.entrySet().iterator()
-          while (iter.hasNext) {
-            val e = iter.next()
-            termsB += FieldKey.encode(fname, e.getKey)
-            freqsB += e.getValue
-            normsB += fnorm
+          if (withPositions) {
+            // per-field analyzer positions (positions restart per field —
+            // the reference's per-field FieldInvertState)
+            val toks = analyzer.tokens(ftext)
+            val byTerm = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+            toks.foreach { t =>
+              var b = byTerm.get(t.term)
+              if (b == null) { b = new scala.collection.mutable.ArrayBuffer[Int](2); byTerm.put(t.term, b) }
+              b += t.position
+            }
+            val flen = toks.size
+            val fnorm = java.lang.Byte.toUnsignedInt(SmallFloat.intToByte4(flen))
+            if (fname == FieldKey.DefaultField) defLen = flen
+            fNames(f) = fname
+            fLens(f) = flen
+            val iter = byTerm.entrySet().iterator()
+            while (iter.hasNext) {
+              val e = iter.next()
+              termsB += FieldKey.encode(fname, e.getKey)
+              freqsB += e.getValue.size
+              normsB += fnorm
+              posB += e.getValue.toArray
+            }
+          } else {
+            val (freqMap, flen) = analyzer.termFreqs(ftext)
+            val fnorm = java.lang.Byte.toUnsignedInt(SmallFloat.intToByte4(flen))
+            if (fname == FieldKey.DefaultField) defLen = flen
+            fNames(f) = fname
+            fLens(f) = flen
+            val iter = freqMap.entrySet().iterator()
+            while (iter.hasNext) {
+              val e = iter.next()
+              termsB += FieldKey.encode(fname, e.getKey)
+              freqsB += e.getValue
+              normsB += fnorm
+            }
           }
           f += 1
         }
         DocTokens(docId, url, defLen,
           java.lang.Byte.toUnsignedInt(SmallFloat.intToByte4(defLen)),
-          termsB.toArray, freqsB.toArray, null,
+          termsB.toArray, freqsB.toArray,
+          if (withPositions) posB.toArray else null,
           normsB.toArray, fNames, fLens)
       }
     }
@@ -221,7 +251,19 @@ object IndexBuilder {
     val shift = cfg.bucketShift
     // narrow explode: (term, bucket, docId, freq, norm[, positions])
     val tokens =
-      if (cfg.multiField)
+      if (cfg.multiField && cfg.storePositions)
+        docTokens
+          .select($"docId",
+            explode(arrays_zip($"terms", $"freqs", $"termNorms", $"positions")).as("tf"))
+          .select(
+            $"tf.terms".as("term"),
+            shiftright($"docId", shift).as("bucket"),
+            $"docId",
+            $"tf.freqs".as("freq"),
+            $"tf.termNorms".as("norm"),
+            $"tf.positions".as("pos")
+          )
+      else if (cfg.multiField)
         // per-term field norms (FieldKey-encoded terms): the norm column
         // comes from the zipped termNorms array instead of the doc scalar
         docTokens
@@ -459,8 +501,7 @@ object IndexBuilder {
     Manifest.read(dir) match {
       case Some(m) => m
       case None =>
-        require(!cfg.storePositions, "positions + multiField not supported")
-        commitSegment(assignAndTokenizeFields(pages, cfg),
+        commitSegment(assignAndTokenizeFields(pages, cfg.copy(multiField = true)),
           dir, cfg.copy(multiField = true))
     }
 

@@ -127,6 +127,44 @@ class MultiFieldSpec extends SparkTestBase {
     }
   }
 
+  test("field-scoped phrase over a positional multi-field index") {
+    import spark.implicits._
+    val dir = tmpDir("mfpos")
+    val n = 400
+    val ds = spark.createDataset(pagesLocal.take(n).map(p => (p.url, fieldsOf(p.text))))
+    IndexBuilder.buildSegmentFields(ds, dir,
+      IndexConfig(bucketShift = 9, numPostingPartitions = 4, numDocPartitions = 2,
+        storePositions = true))
+    val se = new IndexSearcher(spark, Seq(Manifest.read(dir).get))
+    assert(se.segments.head.hasPositions)
+
+    val phrase = Seq("the", "of")
+    val encoded = phrase.map(FieldKey.encode("body", _))
+    val got = se.phraseFreqsIndexed(encoded).collect().toMap
+    // brute force: adjacency over the BODY field's analyzer positions only
+    val sortedN = pagesLocal.take(n).sortBy(_.url).toVector
+    val expected = sortedN.zipWithIndex.flatMap { case (p, d) =>
+      val toks = an.tokens(fieldsOf(p.text).toMap.apply("body"))
+      val byPos = toks.map(t => t.position -> t.term).toMap
+      val f = toks.count(t => t.term == phrase.head &&
+        byPos.get(t.position + 1).contains(phrase(1)))
+      if (f > 0) Some(d.toLong -> f) else None
+    }.toMap
+    assert(got == expected)
+    assert(expected.nonEmpty, "fixture should contain body phrases")
+    // a title-scoped phrase never matches body adjacency spilling over
+    val titleGot = se.phraseFreqsIndexed(phrase.map(FieldKey.encode("title", _)))
+      .collect().toMap
+    val titleExpected = sortedN.zipWithIndex.flatMap { case (p, d) =>
+      val toks = an.tokens(fieldsOf(p.text).toMap.apply("title"))
+      val byPos = toks.map(t => t.position -> t.term).toMap
+      val f = toks.count(t => t.term == phrase.head &&
+        byPos.get(t.position + 1).contains(phrase(1)))
+      if (f > 0) Some(d.toLong -> f) else None
+    }.toMap
+    assert(titleGot == titleExpected)
+  }
+
   test("unscoped query on a multi-field index hits the default field only") {
     // bare terms address FieldKey.DefaultField; this index has no default
     // field, so an unscoped term matches nothing

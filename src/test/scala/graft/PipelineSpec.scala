@@ -322,6 +322,10 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("driver flagship entry: rows > 0 at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("quality + langid emit sane ranges") {
     val q = TextOps.quality(docs, "doc_id", "text").collect()
     q.foreach { r =>
