@@ -54,11 +54,12 @@ object Bench {
     val headline = Seq(
       "ft_term_topk", "ft_and_topk", "ft_or_topk", "ft_nested_topk",
       "ft_phrase_topk", "ft_phrase_slop", "ft_group_top2",
-      "ft_field_topk", "ft_msm_topk", "ft_boost_topk",
+      "ft_field_topk", "ft_msm_topk", "ft_boost_topk", "ft_dismax_topk",
+      "ft_facet_range", "ft_highlight_best",
       "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_embed",
       "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
       "text_quality", "text_termstats",
-      "mm_meta", "rel_agg", "rel_window_top2"
+      "mm_meta", "rel_agg", "rel_window_top2", "rel_json"
     )
     val qs = SparkEntry.queries
     headline.foreach { name =>

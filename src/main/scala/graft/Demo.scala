@@ -29,15 +29,31 @@ object Demo {
     import spark.implicits._
 
     args.toList match {
-      case "index" :: dir :: n :: rest if rest.isEmpty || rest == List("--positions") =>
-        val pages = Corpus.pages(spark, n.toLong).map(p => (p.url, p.text))
+      case "index" :: dir :: n :: rest
+          if rest.forall(Set("--positions", "--fields").contains) =>
         val cfg = IndexConfig(bucketShift = 12, numPostingPartitions = cpus.toInt * 2,
-          storePositions = rest.nonEmpty)
-        val m = IndexBuilder.buildSegment(pages, s"$dir/seg0", cfg)
+          storePositions = rest.contains("--positions"))
+        val m =
+          if (rest.contains("--fields")) {
+            // two-field corpus: title = first 5 tokens, body = the rest;
+            // search with `title:term` / `body:term`
+            val pages = Corpus.pages(spark, n.toLong).map { p =>
+              val toks = p.text.split(" ")
+              (p.url, Seq("title" -> toks.take(5).mkString(" "),
+                "body" -> toks.drop(5).mkString(" ")))
+            }
+            IndexBuilder.buildSegmentFields(pages, s"$dir/seg0", cfg)
+          } else {
+            val pages = Corpus.pages(spark, n.toLong).map(p => (p.url, p.text))
+            IndexBuilder.buildSegment(pages, s"$dir/seg0", cfg)
+          }
         println(s"[demo] indexed ${m.docCount} docs, ${m.termCount} terms, " +
           f"${m.blockCount} blocks in ${m.buildWallSec}%.1fs " +
           f"(${m.docCount / m.buildWallSec}%.0f docs/sec)" +
-          (if (m.hasPositions) " [positions]" else ""))
+          (if (m.hasPositions) " [positions]" else "") +
+          (if (m.fieldStats.nonEmpty)
+             m.fieldStats.map(f => s"${f.field}:${f.docCount}").mkString(" [fields ", " ", "]")
+           else ""))
       case "phrase" :: dir :: rest if rest.nonEmpty =>
         val searcher = IndexSearcher.open(spark, dir)
         val terms = rest.map(t => searcher.parse(t).terms.head)
