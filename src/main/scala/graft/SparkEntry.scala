@@ -601,6 +601,21 @@ object SparkEntry {
         .groupBy(bucket.as("len_range")).agg(count(lit(1)).as("n_docs"))
         .orderBy($"len_range")
     }),
+    "ft_facet_hierarchy" -> ((s, d) => {
+      // taxonomy-style hierarchical facet counts (ref lucene/facet taxonomy
+      // rollup): every prefix of the source/lang path gets a count
+      val se = searcherFor(s, d)
+      import s.implicits._
+      val m = se.matchingCached(se.parse("data")).toDF("docId")
+        .join(se.docsTable.select($"docId", $"url"), "docId")
+        .select(docIdOf($"url"))
+        .join(docsDf(s, d).select($"doc_id", $"source", $"lang"), "doc_id")
+      val level1 = m.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        .select($"source".as("path"), $"n_docs")
+      val level2 = m.groupBy($"source", $"lang").agg(count(lit(1)).as("n_docs"))
+        .select(concat_ws("/", $"source", $"lang").as("path"), $"n_docs")
+      level1.unionByName(level2).orderBy($"path")
+    }),
     "ft_suggest_infix" -> ((s, d) => {
       // infix autocomplete (ref suggest AnalyzingInfixSuggester shape):
       // dictionary terms CONTAINING the fragment, ranked by docFreq
@@ -1013,6 +1028,14 @@ object SparkEntry {
          |       count(*) AS n_docs
          |FROM m JOIN dlen USING (doc_id)
          |GROUP BY 1 ORDER BY len_range""".stripMargin,
+    "ft_facet_hierarchy" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |m AS (SELECT d.doc_id, d.source, d.lang FROM documents d
+         |      WHERE d.doc_id IN (SELECT doc_id FROM tok WHERE term = 'data'))
+         |SELECT source AS path, count(*) AS n_docs FROM m GROUP BY source
+         |UNION ALL
+         |SELECT source || '/' || lang, count(*) FROM m GROUP BY source, lang
+         |ORDER BY path""".stripMargin,
     "ft_suggest_infix" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
         |SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok

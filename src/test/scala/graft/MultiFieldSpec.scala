@@ -165,6 +165,39 @@ class MultiFieldSpec extends SparkTestBase {
     assert(titleGot == titleExpected)
   }
 
+  test("multi-field merge: per-field stats sum; field ranking == single-segment") {
+    import spark.implicits._
+    val cfg2 = IndexConfig(bucketShift = 9, numPostingPartitions = 4, numDocPartitions = 2)
+    val root = tmpDir("mfmerge")
+    // two segments over disjoint halves of the corpus
+    val (h1, h2) = pagesLocal.splitAt(pagesLocal.length / 2)
+    // url-disjoint halves: docIDs remain the sorted-url rank within each seg
+    IndexBuilder.buildSegmentFields(
+      spark.createDataset(h1.map(p => (p.url, fieldsOf(p.text)))), s"$root/a", cfg2)
+    IndexBuilder.buildSegmentFields(
+      spark.createDataset(h2.map(p => (p.url, fieldsOf(p.text)))), s"$root/b", cfg2)
+    val merged = graft.index.SegmentMerger.merge(spark,
+      Seq(s"$root/a", s"$root/b"), s"$root/m", cfg2)
+    // fieldStats merged by summation
+    val fs = merged.fieldStats.map(f => f.field -> f).toMap
+    for (f <- Seq("title", "body")) {
+      assert(fs(f).docCount == fDocCount(f), s"merged docCount $f")
+      assert(fs(f).sumTotalTermFreq == fSttf(f), s"merged sttf $f")
+    }
+    // field-scoped ranking on the merged segment == the one-segment index
+    // (compare by url — docID layouts differ between the two builds)
+    val seM = new IndexSearcher(spark, Seq(Manifest.read(s"$root/m").get))
+    val q = "title:court OR body:law"
+    def byUrl(se: IndexSearcher): Seq[(String, Double)] = {
+      val hits = se.topK(se.parse(q), 10).collect()
+      val urls = se.docsForIds(hits.map(_.docId).toSeq)
+        .select("docId", "url").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      hits.map(h => urls(h.docId) -> h.score).toSeq
+    }
+    assert(byUrl(seM) == byUrl(searcher), "merged ranking != single-segment ranking")
+  }
+
   test("unscoped query on a multi-field index hits the default field only") {
     // bare terms address FieldKey.DefaultField; this index has no default
     // field, so an unscoped term matches nothing
