@@ -23,9 +23,21 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
+    spark.stop()
+  }
+
+  /** The driver-facing oracle map as JSON. Two load-bearing properties
+    * (spec-locked — round 1's correctness gate went dark over the first):
+    *
+    *  - every oracle is emitted under BOTH its bare entry name and
+    *    "<name>.parquet", because the driver keys its report by output
+    *    filename while entries key by bare name;
+    *  - ALL control chars (<0x20), quotes, and backslashes are escaped — a
+    *    tab or CR in builder-authored SQL would otherwise make the driver's
+    *    json.load fail and silently zero the round.
+    */
+  def oracleJson: String = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -35,14 +47,8 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // The driver keys its correctness report by output filename
-    // ("<name>.parquet") while our entries key by bare name; round 1's gate
-    // came back all-"no_oracle" because of that mismatch. Emit every oracle
-    // under BOTH keys so whichever the driver looks up, it finds the SQL.
-    val json = SparkEntry.oracleSql
+    SparkEntry.oracleSql
       .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }
