@@ -601,6 +601,17 @@ object SparkEntry {
         .groupBy(bucket.as("len_range")).agg(count(lit(1)).as("n_docs"))
         .orderBy($"len_range")
     }),
+    "ft_mlt_topk" -> ((s, d) => {
+      // MoreLikeThis: top tf-idf terms of doc 0's text drive a disjunction
+      val se = searcherFor(s, d)
+      import s.implicits._
+      val srcText = docsDf(s, d).where($"doc_id" === 0)
+        .select($"text").as[String].head()
+      val q = se.moreLikeThis(srcText, maxTerms = 5)
+      se.fetchDocs(topKVerified(se, q, 10))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc).limit(10)
+    }),
     "ft_facet_hierarchy" -> ((s, d) => {
       // taxonomy-style hierarchical facet counts (ref lucene/facet taxonomy
       // rollup): every prefix of the source/lang path gets a count
@@ -1028,6 +1039,32 @@ object SparkEntry {
          |       count(*) AS n_docs
          |FROM m JOIN dlen USING (doc_id)
          |GROUP BY 1 ORDER BY len_range""".stripMargin,
+    "ft_mlt_topk" -> {
+      val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |qlen AS (SELECT doc_id, dl,
+         |  (SELECT max(v) FROM (VALUES $vals) b4(v) WHERE v <= dl) AS qdl FROM dlen),
+         |stats AS (SELECT count(*)::DOUBLE AS n,
+         |                 sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dlen),
+         |doc0 AS (SELECT term, count(*)::DOUBLE AS tf0 FROM tok WHERE doc_id = 0 GROUP BY term),
+         |alldf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term),
+         |mlt AS (SELECT d.term,
+         |          round(d.tf0 * ln(1 + ((SELECT n FROM stats) - a.df + 0.5) / (a.df + 0.5)), 6) AS w
+         |        FROM doc0 d JOIN alldf a USING (term)
+         |        ORDER BY w DESC, d.term ASC LIMIT 5),
+         |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM tok
+         |       WHERE term IN (SELECT term FROM mlt) GROUP BY doc_id, term),
+         |idf AS (SELECT term, ln(1 + ((SELECT n FROM stats) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+         |        FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |  idf.idf - idf.idf / (1 + tf.freq *
+         |    (1.0 / (1.2 * (0.25 + 0.75 * qlen.qdl / (SELECT avgdl FROM stats))))) AS s
+         |  FROM tf JOIN idf USING (term) JOIN qlen ON qlen.doc_id = tf.doc_id),
+         |scored AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM scored
+         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
     "ft_facet_hierarchy" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
          |m AS (SELECT d.doc_id, d.source, d.lang FROM documents d

@@ -454,6 +454,33 @@ final class IndexSearcher(
         levenshtein(lit(term), $"term", maxEdits) >= 0,
       max)
 
+  /** MoreLikeThis query from a source document's text (ref
+    * `/root/reference/lucene/queries/src/java/org/apache/lucene/queries/mlt/MoreLikeThis.java`):
+    * analyze the text, rank its terms by tf × idf (6-dp rounded so an
+    * independent double-math oracle selects identically), and build a
+    * disjunction of the top `maxTerms` informative terms. Term stats come
+    * from pruned dictionary point lookups — no corpus scan.
+    */
+  def moreLikeThis(text: String, maxTerms: Int = 10): Query = {
+    val (tf, _) = analyzer.termFreqs(text)
+    val terms = {
+      val it = tf.keySet().iterator()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    val ts = termStats(terms)
+    val ranked = terms.flatMap { t =>
+      ts.get(t).filter(_.docFreq > 0).map { st =>
+        val w = tf.get(t) * Bm25.idfD(st.docFreq, stats.docCount)
+        val rounded = BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (t, rounded)
+      }
+    }.sortBy { case (t, w) => (-w, t) }.take(maxTerms).map(_._1)
+    require(ranked.nonEmpty, "no indexable terms in MLT source text")
+    Query.or(ranked: _*)
+  }
+
   /** Spelling corrections for a (possibly misspelled) term — the
     * re-expression of `suggest/spell/DirectSpellChecker`: dictionary
     * candidates within `maxEdits` (length-banded, early-abort threshold
