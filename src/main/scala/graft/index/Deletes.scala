@@ -81,8 +81,12 @@ object Deletes {
         .select(col("docId").cast("long").as("docId"))
         .distinct()
       val n = ids.count()
+      // dense bitmap only while it stays driver-reasonable (maxDoc/8 bytes;
+      // 2^34 docIds = 2 GB cap) — segments are built 10^8-10^9 docs each,
+      // far inside; a degenerate giant segment keeps the sorted array
+      val denseCapBits = 1L << 34
       if (n == 0) Tombstones.Empty
-      else if (n * 64 < maxDocId + 1) {
+      else if (n * 64 < maxDocId + 1 || maxDocId + 1 > denseCapBits) {
         Tombstones.ofSorted(ids.as[Long].collect().sorted)
       } else {
         val pairs = ids
