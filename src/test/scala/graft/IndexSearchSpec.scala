@@ -155,6 +155,23 @@ class IndexSearchSpec extends SparkTestBase {
       assert(got == expected, s"const-score engine != oracle for: $q")
       assert(got.map(_._2).distinct.size == 1, "all matches share the constant")
     }
+    // nested combinators inside booleans: const-score as a MUST conjunct
+    // (scores 2.0 + BM25 rider), dismax as a SHOULD clause
+    val nested = Seq(
+      BoolQuery(Seq(
+        ConstScoreQuery(TermQuery("court"), 2.0) -> Occur.Must,
+        TermQuery("law") -> Occur.Should)),
+      BoolQuery(Seq(
+        DisMaxQuery(Seq(TermQuery("court"), TermQuery("law")), 0.2) -> Occur.Should,
+        TermQuery("state") -> Occur.Should)),
+      BoolQuery(Seq(
+        ConstScoreQuery(Query.parse("court OR law"), 1.5) -> Occur.Filter,
+        TermQuery("state") -> Occur.Must)))
+    for (q <- nested) {
+      val expected = oracle.topK(q, 10)
+      val got = searcher.topK(q, 10).collect().map(s => (s.docId, s.score)).toSeq
+      assert(got == expected, s"nested combinator engine != oracle for: $q")
+    }
   }
 
   test("explain: root value equals the search score for every top-10 hit") {
