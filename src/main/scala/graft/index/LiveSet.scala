@@ -23,6 +23,11 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * Any crash leaves either the old or the new live set fully intact.
   * Indexes without a `segments_N` file (single-build layouts) fall back to
   * the directory listing.
+  *
+  * Single-writer assumption (the reference's `IndexWriter` lock): one
+  * ingest/merge driver owns an index at a time — concurrent committers
+  * could both claim generation N+1 and the later rename would win.
+  * Readers are unrestricted (they only ever read committed generations).
   */
 object LiveSet {
 
