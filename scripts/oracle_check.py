@@ -30,7 +30,10 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        # fixed 6-dp repr (not %.6g): both pipelines round scores to 6
+        # decimal places, so any 6-dp difference must fail the hash even
+        # for values >= 10 where %.6g would compare fewer decimals
+        return repr(round(v, 6))
     return str(v)
 
 def table_hash(cols, rows):

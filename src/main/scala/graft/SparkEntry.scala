@@ -546,6 +546,20 @@ object SparkEntry {
         .as[Array[Float]].head()
       graft.pipeline.AnnIndex.topK(s, idx, qv, k = 10, nprobe = 4, excludeId = Some(0L))
     }),
+    "ann_ivf_exact" -> ((s, d) => {
+      // IVF with nprobe = nCenters: exact by construction (probes every
+      // cell) — gives the AnnIndex build/topK path an official SQL oracle
+      import s.implicits._
+      val idx = indexDirFor(d).resolve("ann_ivf").toString
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(idx))
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      graft.pipeline.AnnIndex.build(emb, "vec_id", "embedding", dim = 64,
+        outDir = idx, nCenters = 16, lloydIters = 2)
+      val qv = emb.where($"vec_id" === 0).select($"embedding")
+        .as[Array[Float]].head()
+      graft.pipeline.AnnIndex.topK(s, idx, qv, k = 10, nprobe = 16, excludeId = Some(0L))
+        .select(col("id").as("vec_id"), col("sim"))
+    }),
 
     // ---- text analysis
     "text_tokens" -> ((s, d) =>
@@ -1002,6 +1016,12 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON b.vec_id <> 0
         |WHERE a.vec_id = 0
         |ORDER BY sim DESC, b.vec_id ASC LIMIT 10""".stripMargin,
+    "ann_ivf_exact" ->
+      """SELECT b.vec_id,
+        |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+        |FROM embeddings a JOIN embeddings b ON b.vec_id <> 0
+        |WHERE a.vec_id = 0
+        |ORDER BY sim DESC, b.vec_id ASC LIMIT 10""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
         |       len(list_distinct(string_split(text, ' '))) AS n_unique,
@@ -1079,13 +1099,14 @@ object SparkEntry {
         |WHERE term LIKE '%ar%' GROUP BY term
         |ORDER BY doc_freq DESC, term ASC LIMIT 10""".stripMargin,
     "rel_json" ->
-      """SELECT event_type, count(*) AS n, sum(json_extract(props, '$.k')::BIGINT) AS sum_k
+      """SELECT event_type, count(*) AS n,
+        |       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_session" ->
       """WITH d AS (
         |  SELECT user_id, event_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), s AS (
         |  SELECT user_id, ts, value,

@@ -71,15 +71,28 @@ object LiveSet {
     gen
   }
 
+  /** Current live names; on a legacy layout (committed segment dirs, no
+    * `segments_N`) falls back to the directory listing — the same fallback
+    * [[manifests]] uses — so the FIRST generational commit over a legacy
+    * index carries the pre-existing segments instead of hiding them (and
+    * exposing them to [[gcOrphans]]).
+    */
+  private def currentOrLegacy(indexDir: String): Seq[String] =
+    read(indexDir).map(_._2).getOrElse {
+      val root = new java.io.File(indexDir)
+      if (!root.isDirectory) Seq.empty
+      else root.listFiles()
+        .filter(f => f.isDirectory && Manifest.read(f.getPath).isDefined)
+        .map(_.getName).sorted.toSeq
+    }
+
   /** Add segments to the live set (no-op for already-live names). */
-  def add(indexDir: String, segNames: Seq[String]): Long = {
-    val cur = read(indexDir).map(_._2).getOrElse(Seq.empty)
-    commit(indexDir, (cur ++ segNames).distinct)
-  }
+  def add(indexDir: String, segNames: Seq[String]): Long =
+    commit(indexDir, (currentOrLegacy(indexDir) ++ segNames).distinct)
 
   /** Swap: live − removed + added, in one atomic generation. */
   def swap(indexDir: String, removed: Seq[String], added: Seq[String]): Long = {
-    val cur = read(indexDir).map(_._2).getOrElse(Seq.empty)
+    val cur = currentOrLegacy(indexDir)
     commit(indexDir, ((cur.toSet -- removed) ++ added).toSeq)
   }
 

@@ -265,8 +265,15 @@ object Dedup {
     * structureless data, precision always 1 via exact verification).
     */
   def embeddingPairs(
-      df: DataFrame, idCol: String, vecCol: String, threshold: Double
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      maxRows: Long = 100000L
   ): DataFrame = {
+    // Scale guard: this entry exists to validate embeddingPairsLsh at test
+    // scale. Fail fast rather than let the Ω(n²) join run on real data.
+    val n = df.count()
+    require(n <= maxRows,
+      s"embeddingPairs is the Ω(n²) exact validation baseline — refusing " +
+        s"$n vectors (max $maxRows); use embeddingPairsLsh at scale")
     val v = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))

@@ -189,6 +189,11 @@ final class IndexSearcher(
     */
   private[search] def literalPrefixOfRegex(re: String): String = {
     if (!re.startsWith("^")) return ""
+    // A top-level '|' (lowest precedence) makes the whole pattern an
+    // alternation — any literal collected before it is NOT mandatory
+    // (`^ab|cd` matches bare "cd"). The reference's automaton common-prefix
+    // handles this structurally; here we refuse the prefix outright.
+    if (hasTopLevelAlternation(re)) return ""
     val sb = new StringBuilder
     var i = 1
     var done = false
@@ -199,6 +204,26 @@ final class IndexSearcher(
       else { sb += c; i += 1 }
     }
     sb.toString
+  }
+
+  /** True when an unescaped `|` occurs at paren depth 0 outside a char
+    * class anywhere in the pattern.
+    */
+  private def hasTopLevelAlternation(re: String): Boolean = {
+    var i = 0; var depth = 0; var inClass = false
+    while (i < re.length) {
+      re.charAt(i) match {
+        case '\\' => i += 1 // skip escaped char
+        case '[' if !inClass => inClass = true
+        case ']' if inClass => inClass = false
+        case '(' if !inClass => depth += 1
+        case ')' if !inClass && depth > 0 => depth -= 1
+        case '|' if !inClass && depth == 0 => return true
+        case _ =>
+      }
+      i += 1
+    }
+    false
   }
 
   /** Regex expansion bounded by the pattern's mandatory literal prefix: the
@@ -860,7 +885,11 @@ final class IndexSearcher(
         else {
           val f = freqs.map(_._1).sum
           val norm = freqs.head._2
-          val sim = scorerMap(sq, ts)(Executor.skey(sq.key, boost))
+          // fold the boost in via a wrapping BoostQuery so the map is keyed
+          // (and the weight built) with the same boost topK used
+          val sim = scorerMap(
+            if (boost == 1.0) sq else BoostQuery(sq, boost),
+            ts)(Executor.skey(sq.key, boost))
           Explanation(sim.score(f, norm),
             s"synonym(${sq.synonyms.mkString(", ")}) summed freq = $f", details =
               sq.synonyms.flatMap(t => fn.get(t).map(p =>

@@ -174,6 +174,31 @@ class IndexSearchSpec extends SparkTestBase {
     }
   }
 
+  test("regex with top-level alternation expands BOTH branches (no prefix bound)") {
+    // '^court$|^law$' — the old literal-prefix extraction bounded the scan
+    // to [court, couru) and silently dropped the second branch
+    val both = searcher.expandRegex("^court$|^law$")
+    assert(both.contains("court") && both.contains("law"), s"got $both")
+    // alternation inside parens does not disable a preceding literal prefix
+    val plan = spark.read.parquet(s"$segDir/terms")
+      .where(searcher.regexPredicate("^st[a-z]*m$"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("GreaterThanOrEqual(term,st"), "prefix pushdown regressed")
+  }
+
+  test("explain: boosted SynonymQuery root equals the search score") {
+    val q = BoostQuery(SynonymQuery(Seq("court", "law")), 2.0)
+    val hits = searcher.topK(q, 5).collect()
+    assert(hits.nonEmpty)
+    for (hit <- hits) {
+      val e = searcher.explain(q, hit.docId)
+      assert(e.matched, s"boosted synonym explain no-match for doc ${hit.docId}")
+      assert(e.value == hit.score,
+        s"boosted synonym explain ${e.value} != score ${hit.score}")
+    }
+  }
+
   test("explain: root value equals the search score for every top-10 hit") {
     val queries = Seq("court", "court AND law", "court OR law OR state",
       "court^2 OR law", "court NOT law", "(court OR law) AND state")

@@ -117,6 +117,23 @@ class LiveSetSpec extends SparkTestBase {
     assert(!mgr.maybeRefresh())
   }
 
+  test("legacy seed: first generational commit keeps pre-existing segments") {
+    val dir = tmpDir("liveset-legacy-seed")
+    buildSeg(dir, "seg0", 0, 300) // legacy layout: committed dir, no segments_N
+    assert(LiveSet.read(dir).isEmpty)
+    buildSeg(dir, "seg1", 300, 200)
+    LiveSet.add(dir, Seq("seg1")) // must seed from the legacy listing
+    assert(LiveSet.read(dir).get._2.toSet == Set("seg0", "seg1"))
+    assert(LiveSet.gcOrphans(dir).isEmpty, "seg0 must not become GC-able")
+    assert(IndexSearcher.open(spark, dir).stats.docCount == 500)
+    // swap over a legacy layout seeds too
+    val dir2 = tmpDir("liveset-legacy-swap")
+    buildSeg(dir2, "segA", 0, 100)
+    buildSeg(dir2, "segB", 100, 100)
+    LiveSet.swap(dir2, Seq("segB"), Seq.empty)
+    assert(LiveSet.read(dir2).get._2 == Seq("segA"))
+  }
+
   test("legacy fallback: no segments_N file -> directory listing") {
     val dir = tmpDir("liveset-legacy")
     buildSeg(dir, "seg0", 0, 300)

@@ -168,6 +168,17 @@ class PipelineSpec extends SparkTestBase {
     assert(recall >= 0.9, s"LSH recall on planted near-dups too low: $recall")
   }
 
+  test("embeddingPairs scale guard refuses corpora above maxRows") {
+    import spark.implicits._
+    val df = (0L until 20L).map(i => (i, Array.fill(4)(i.toFloat + 1f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingPairs(df, "vec_id", "embedding", 0.3, maxRows = 10)
+    }
+    assert(e.getMessage.contains("embeddingPairsLsh"))
+    // under the ceiling it runs
+    assert(Dedup.embeddingPairs(df, "vec_id", "embedding", 0.99, maxRows = 20).count() >= 0)
+  }
+
   test("LSH ANN: top-1 neighbor from brute force is recovered for most queries") {
     import spark.implicits._
     val exact = Similarity.allPairsTopK(emb, "vec_id", "embedding", 1)
