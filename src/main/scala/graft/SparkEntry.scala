@@ -28,7 +28,7 @@ object SparkEntry {
 
   private def indexDirFor(sfDir: String): java.nio.file.Path =
     java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-idx-v3", // vN = segment format rev
+      sys.props("java.io.tmpdir"), "graft-idx-v4", // vN = segment format rev
       java.lang.Integer.toHexString(sfDir.hashCode))
 
   private val fieldSearchers = TrieMap[String, IndexSearcher]()
@@ -791,12 +791,12 @@ object SparkEntry {
     "ft_spell" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |df AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY term)
-        |SELECT term, levenshtein(term, 'parl')::BIGINT AS distance, doc_freq
-        |FROM df WHERE levenshtein(term, 'parl') <= 2
+        |SELECT term, damerau_levenshtein(term, 'parl')::BIGINT AS distance, doc_freq
+        |FROM df WHERE damerau_levenshtein(term, 'parl') <= 2
         |ORDER BY distance ASC, doc_freq DESC, term ASC LIMIT 5""".stripMargin,
     "ft_fuzzy_match" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
-        |SELECT DISTINCT doc_id FROM tok WHERE levenshtein(term, 'quer') <= 2
+        |SELECT DISTINCT doc_id FROM tok WHERE damerau_levenshtein(term, 'quer') <= 2
         |ORDER BY doc_id""".stripMargin,
     "ft_rescore" ->
       (bm25Ctes(Seq("data", "query", "stream", "table")) +

@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -454,8 +454,16 @@ object IndexBuilder {
 
   /** Term dictionary from block metadata (128× smaller than raw tokens;
     * partial aggregation makes the head-term agg skew-safe).
+    *
+    * Persists a `len` column (codepoint length of the term) so the
+    * fuzzy/spell length band `|len(t) - len(q)| <= maxEdits` is a plain
+    * column predicate that reaches the Parquet scan as a PushedFilter —
+    * `length($"term")` computed at read time cannot. The dictionary stays
+    * term-sorted (term point/range pruning dominates); at extreme
+    * dictionary scale a (len, term)-sorted replica would strengthen the
+    * fuzzy row-group pruning further.
     */
-  def buildTermStats(blocks: Dataset[PostingBlock]): Dataset[TermStat] = {
+  def buildTermStats(blocks: Dataset[PostingBlock]): DataFrame = {
     val spark = blocks.sparkSession
     import spark.implicits._
     blocks
@@ -469,7 +477,7 @@ object IndexBuilder {
           .cast("int").as("singletonFreq"),
         when(sum($"numDocs") === 1, min($"minNorm")).otherwise(0)
           .cast("int").as("singletonNorm"))
-      .as[TermStat]
+      .withColumn("len", length($"term"))
   }
 
   /** End-to-end: build and atomically commit one segment at `dir`. Resumable:

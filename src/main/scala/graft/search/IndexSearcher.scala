@@ -464,20 +464,43 @@ final class IndexSearcher(
       .select($"docId",
         ($"score1" * lit(w1) + coalesce($"score2", lit(0.0)) * lit(w2)).as("score"))
 
-  /** Fuzzy expansion, bounded: a term within `maxEdits` of the pattern must
-    * have length within ±maxEdits (cheap codegen'd pre-filter), and the
-    * Levenshtein check runs with the early-abort threshold variant (banded
-    * DP that bails once the distance provably exceeds maxEdits — the
-    * Levenshtein-automaton intersection analogue, ref
-    * `index/AutomatonTermsEnum.java` semantics). No sorted-range bound
-    * exists for fuzzy (an edit at position 0 admits any first char), same
-    * as the reference's automaton, which also walks all viable subtrees.
+  /** Per-segment dictionary union with the persisted `len` column (written
+    * by `IndexBuilder.buildTermStats` since round 3) so the fuzzy/spell
+    * length band is a plain column predicate that reaches the Parquet scan
+    * as a PushedFilter. Pre-`len` segments compute it at read time — same
+    * results, no pushdown.
     */
-  def expandFuzzy(term: String, maxEdits: Int = 2, max: Int = 1024): Seq[String] =
-    expandTerms(
-      length($"term").between(term.length - maxEdits, term.length + maxEdits) &&
-        levenshtein(lit(term), $"term", maxEdits) >= 0,
-      max)
+  private def termsDictWithLen: org.apache.spark.sql.DataFrame =
+    segments.map { s =>
+      val raw = spark.read.parquet(s"${s.dir}/terms")
+      if (raw.columns.contains("len")) raw
+      else raw.withColumn("len", length($"term"))
+    }.reduce(_ unionByName _)
+
+  /** Fuzzy expansion, bounded: a term within `maxEdits` of the pattern must
+    * have length within ±maxEdits — the persisted `len` column makes that
+    * band a PushedFilter (no full-dictionary decode). The edit distance is
+    * Damerau–Levenshtein by default (a transposition is ONE edit), matching
+    * the reference's `FuzzyQuery` `transpositions=true` default (ref
+    * `search/FuzzyQuery.java`, `util/automaton/LevenshteinAutomata`);
+    * `transpositions=false` falls back to plain Levenshtein. No sorted-range
+    * bound exists for fuzzy (an edit at position 0 admits any first char),
+    * same as the reference's automaton, which also walks all viable
+    * subtrees.
+    */
+  def expandFuzzy(
+      term: String, maxEdits: Int = 2, max: Int = 1024,
+      transpositions: Boolean = true): Seq[String] = {
+    val dist =
+      if (transpositions) graft.functions.EditDistance.damerauLe(lit(term), $"term", maxEdits)
+      else levenshtein(lit(term), $"term", maxEdits)
+    termsDictWithLen
+      .where($"len".between(term.length - maxEdits, term.length + maxEdits) &&
+        dist >= 0)
+      .select($"term").distinct()
+      .orderBy($"term").limit(max)
+      .as[String].collect().toSeq
+  }
 
   /** MoreLikeThis query from a source document's text (ref
     * `/root/reference/lucene/queries/src/java/org/apache/lucene/queries/mlt/MoreLikeThis.java`):
@@ -508,19 +531,22 @@ final class IndexSearcher(
 
   /** Spelling corrections for a (possibly misspelled) term — the
     * re-expression of `suggest/spell/DirectSpellChecker`: dictionary
-    * candidates within `maxEdits` (length-banded, early-abort threshold
-    * Levenshtein) ranked by (edit distance asc, docFreq desc, term asc).
+    * candidates within `maxEdits` Damerau–Levenshtein edits (the reference
+    * spell checker also counts a transposition as one edit), length-banded
+    * via the persisted `len` column (PushedFilter), ranked by
+    * (edit distance asc, docFreq desc, term asc).
     */
-  def spellCorrect(term: String, maxEdits: Int = 2, n: Int = 5): DataFrame =
-    segments.map(s => spark.read.parquet(s"${s.dir}/terms"))
-      .reduce(_ unionByName _)
-      .where(length($"term").between(term.length - maxEdits, term.length + maxEdits) &&
-        levenshtein(lit(term), $"term", maxEdits) >= 0)
-      .groupBy($"term").agg(sum($"docFreq").as("doc_freq"))
-      .select($"term", levenshtein(lit(term), $"term").cast("bigint").as("distance"),
-        $"doc_freq")
+  def spellCorrect(term: String, maxEdits: Int = 2, n: Int = 5): DataFrame = {
+    val dist = graft.functions.EditDistance.damerauLe(lit(term), $"term", maxEdits)
+    termsDictWithLen
+      .where($"len".between(term.length - maxEdits, term.length + maxEdits))
+      .select($"term", $"docFreq", dist.as("dist"))
+      .where($"dist" >= 0)
+      .groupBy($"term").agg(sum($"docFreq").as("doc_freq"), min($"dist").as("dist"))
+      .select($"term", $"dist".cast("bigint").as("distance"), $"doc_freq")
       .orderBy($"distance".asc, $"doc_freq".desc, $"term".asc)
       .limit(n)
+  }
 
   /** All matching docIds (no scoring) — the FILTER/semi-join path feeding
     * facets, grouping, and joins.

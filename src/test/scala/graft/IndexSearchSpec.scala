@@ -234,6 +234,19 @@ class IndexSearchSpec extends SparkTestBase {
     assert(rng == Seq("court"))
   }
 
+  test("fuzzy counts a transposition as ONE edit (reference FuzzyQuery default)") {
+    // 'ocurt' is one transposition from 'court' — plain Levenshtein says 2
+    val dam = searcher.expandFuzzy("ocurt", maxEdits = 1)
+    assert(dam.contains("court"), s"Damerau expansion missed the transposed term: $dam")
+    val lev = searcher.expandFuzzy("ocurt", maxEdits = 1, transpositions = false)
+    assert(!lev.contains("court"), "transpositions=false should be plain Levenshtein")
+    // spellCorrect ranks the transposed term at distance 1
+    val sc = searcher.spellCorrect("ocurt", maxEdits = 2, n = 5).collect()
+    val court = sc.find(_.getString(0) == "court")
+    assert(court.exists(_.getLong(1) == 1L),
+      s"spellCorrect should rank 'court' at Damerau distance 1: ${sc.mkString(", ")}")
+  }
+
   test("pushdown: point lookups and bounded expansions reach the parquet scan") {
     import org.apache.spark.sql.execution.ExplainMode
     def planOf(df: org.apache.spark.sql.DataFrame): String =
@@ -250,10 +263,18 @@ class IndexSearchSpec extends SparkTestBase {
       termsPlan.contains("LessThan(term,su"),
       s"regex range not pushed down:\n$termsPlan")
     // term stats lookup: IN pushdown on the sorted dictionary
-    import org.apache.spark.sql.functions.{col => c}
+    import org.apache.spark.sql.functions.{col => c, lit => l}
     val statsPlan = planOf(
       spark.read.parquet(s"$segDir/terms").where(c("term").isin("court", "law")))
     assert(statsPlan.contains("In(term"), s"stats IN not pushed down:\n$statsPlan")
+    // fuzzy/spell length band: the persisted `len` column is a PushedFilter
+    val fuzzyPlan = planOf(
+      spark.read.parquet(s"$segDir/terms")
+        .where(c("len").between(2, 6) &&
+          graft.functions.EditDistance.damerauLe(l("quer"), c("term"), 2) >= 0))
+    assert(fuzzyPlan.contains("GreaterThanOrEqual(len,2") &&
+      fuzzyPlan.contains("LessThanOrEqual(len,6"),
+      s"fuzzy len band not pushed down:\n$fuzzyPlan")
   }
 
   test("rescore combines first and second pass scores") {
