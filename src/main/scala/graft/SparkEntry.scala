@@ -318,6 +318,44 @@ object SparkEntry {
         .select(docIdOf($"url"), $"sloppy_freq".cast("bigint").as("sloppy_freq"))
         .orderBy($"doc_id")
     }),
+    "ft_near_topk" -> ((s, d) => {
+      // interval query: unordered near(data, query) within a width-8 window
+      // (ref queries/intervals/Intervals.java), ranked by best proximity —
+      // min_width is identical over minimal intervals and over all pairs,
+      // so DuckDB reproduces it independently
+      val se = searcherFor(s, d)
+      import s.implicits._
+      import graft.search.Intervals._
+      se.intervalHits(MaxWidth(Unordered(Seq(Term("data"), Term("query"))), 8))
+        .toDF("docId", "n", "minWidth")
+        .join(se.docsTable.select($"docId", $"url"), "docId")
+        .select(docIdOf($"url"), $"minWidth".cast("bigint").as("min_width"))
+        .orderBy($"min_width".asc, $"doc_id".asc).limit(15)
+    }),
+    "ft_near_ordered" -> ((s, d) => {
+      // ordered near: 'data' before 'stream' within a width-10 window
+      val se = searcherFor(s, d)
+      import s.implicits._
+      import graft.search.Intervals._
+      se.intervalHits(MaxWidth(Ordered(Seq(Term("data"), Term("stream"))), 10))
+        .toDF("docId", "n", "minWidth")
+        .join(se.docsTable.select($"docId", $"url"), "docId")
+        .select(docIdOf($"url")).distinct()
+        .orderBy($"doc_id")
+    }),
+    "ft_near_phrase" -> ((s, d) => {
+      // composed intervals: near(phrase(data query), stream) within width 12
+      // — the combinator nesting a flat sloppy phrase cannot express
+      val se = searcherFor(s, d)
+      import s.implicits._
+      import graft.search.Intervals._
+      se.intervalHits(MaxWidth(Unordered(Seq(
+          Phrase(Seq(Term("data"), Term("query"))), Term("stream"))), 12))
+        .toDF("docId", "n", "minWidth")
+        .join(se.docsTable.select($"docId", $"url"), "docId")
+        .select(docIdOf($"url")).distinct()
+        .orderBy($"doc_id")
+    }),
     "ft_sort_topk" -> ((s, d) => {
       val se = searcherFor(s, d)
       import s.implicits._
@@ -868,6 +906,38 @@ object SparkEntry {
         |FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.pos - a.pos <= 3
         |WHERE a.term = 'data' AND b.term = 'query'
         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+    "ft_near_topk" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |                  generate_subscripts(string_split(text, ' '), 1) AS pos
+        |           FROM documents),
+        |p AS (SELECT a.doc_id,
+        |             greatest(a.pos, b.pos) - least(a.pos, b.pos) + 1 AS w
+        |      FROM t a JOIN t b ON b.doc_id = a.doc_id
+        |      WHERE a.term = 'data' AND b.term = 'query'
+        |        AND greatest(a.pos, b.pos) - least(a.pos, b.pos) + 1 <= 8)
+        |SELECT doc_id, min(w)::BIGINT AS min_width FROM p GROUP BY doc_id
+        |ORDER BY min_width ASC, doc_id ASC LIMIT 15""".stripMargin,
+    "ft_near_ordered" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |                  generate_subscripts(string_split(text, ' '), 1) AS pos
+        |           FROM documents)
+        |SELECT DISTINCT a.doc_id AS doc_id
+        |FROM t a JOIN t b ON b.doc_id = a.doc_id
+        |WHERE a.term = 'data' AND b.term = 'stream'
+        |  AND b.pos > a.pos AND b.pos - a.pos + 1 <= 10
+        |ORDER BY 1""".stripMargin,
+    "ft_near_phrase" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |                  generate_subscripts(string_split(text, ' '), 1) AS pos
+        |           FROM documents),
+        |ph AS (SELECT a.doc_id, a.pos AS s, b.pos AS e
+        |       FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |       WHERE a.term = 'data' AND b.term = 'query'),
+        |c AS (SELECT doc_id, pos FROM t WHERE term = 'stream')
+        |SELECT DISTINCT ph.doc_id AS doc_id
+        |FROM ph JOIN c ON c.doc_id = ph.doc_id
+        |WHERE greatest(ph.e, c.pos) - least(ph.s, c.pos) + 1 <= 12
+        |ORDER BY 1""".stripMargin,
     "ft_sort_topk" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
          |dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)

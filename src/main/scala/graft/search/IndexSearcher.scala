@@ -774,6 +774,121 @@ final class IndexSearcher(
       }
   }
 
+  /** Interval (span) query evaluation over the positional index — the
+    * distributed re-expression of the reference's intervals module (ref
+    * `lucene/queries/src/java/org/apache/lucene/queries/intervals/IntervalsSource.java`):
+    * candidate docs align via the leapfrog conjunction of the source's
+    * required terms (or a disjunctive sweep when the source is a pure OR),
+    * then each doc's decoded position lists feed the minimal-interval
+    * combiners locally.
+    *
+    * @return (docId, nIntervals, minWidth): the count of minimal matching
+    *         intervals and the narrowest match width — `minWidth` is the
+    *         proximity-ranking key (identical whether computed over
+    *         minimal intervals or all matching tuples, so an independent
+    *         SQL oracle can reproduce it).
+    */
+  def intervalHits(src: Intervals.Source): Dataset[(Long, Int, Int)] = {
+    require(segments.forall(_.hasPositions), "index was built without positions")
+    val unique = src.terms.distinct
+    val required = src.required.distinct
+    val basesL = bases
+    val tombs = tombstones
+    val srcL = src
+    blocksFor(unique)
+      .groupByKey(bk => (bk.seg, bk.bucket))
+      .flatMapGroups { (key: (Int, Long), it: Iterator[QBlock]) =>
+        val seg = key._1
+        val byTerm = it.toArray.groupBy(_.term).map { case (t, arr) =>
+          t -> arr.sortBy(_.firstDocId).map(bv =>
+            BlockView(bv.firstDocId, bv.lastDocId, bv.numDocs,
+              bv.docsPacked, bv.freqsPacked, bv.normsPacked, bv.impacts,
+              bv.posPacked))
+        }
+        if (required.exists(t => !byTerm.contains(t)) ||
+            unique.forall(t => !byTerm.contains(t))) Iterator.empty
+        else {
+          val scorerOf = unique.filter(byTerm.contains)
+            .map(t => t -> new TermScorer(byTerm(t), new ConstScorer(1.0))).toMap
+          val base = basesL(seg)
+          val dead = tombs.value(seg)
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Int)]()
+          val emptyPos = Array.emptyIntArray
+          def emit(d: Long): Unit =
+            if (!dead.contains(d)) {
+              val posOf: String => Array[Int] = t => scorerOf.get(t) match {
+                case Some(s) if s.docId == d => s.positions
+                case _ => emptyPos
+              }
+              val ivs = Intervals.eval(srcL, posOf)
+              if (ivs.nonEmpty) {
+                var minW = Int.MaxValue
+                var i = 0
+                while (i < ivs.length) {
+                  val w = Intervals.endOf(ivs(i)) - Intervals.startOf(ivs(i)) + 1
+                  if (w < minW) minW = w
+                  i += 1
+                }
+                out += ((d + base, ivs.length, minW))
+              }
+            }
+          if (required.nonEmpty) {
+            val req = required.map(scorerOf).toArray
+            val opt = scorerOf.filterNot { case (t, _) => required.contains(t) }
+              .values.toArray
+            val lead = req.minBy(_.cost)
+            var d = lead.nextDoc()
+            while (d != DocScorer.NoMoreDocs) {
+              var aligned = true
+              var i = 0
+              while (i < req.length && aligned) {
+                val s = req(i)
+                if (s ne lead) {
+                  val sd = if (s.docId < d) s.advance(d) else s.docId
+                  if (sd != d) {
+                    aligned = false
+                    d = if (sd == DocScorer.NoMoreDocs) DocScorer.NoMoreDocs
+                        else lead.advance(sd)
+                  }
+                }
+                i += 1
+              }
+              if (aligned && d != DocScorer.NoMoreDocs) {
+                var j = 0
+                while (j < opt.length) {
+                  if (opt(j).docId < d) opt(j).advance(d)
+                  j += 1
+                }
+                emit(d)
+                d = lead.nextDoc()
+              }
+            }
+          } else {
+            // pure disjunction: sweep the union of the present terms' docs
+            val all = scorerOf.values.toArray
+            all.foreach(_.nextDoc())
+            var d = all.iterator.map(_.docId).min
+            while (d != DocScorer.NoMoreDocs) {
+              emit(d)
+              all.foreach(s => if (s.docId == d) s.nextDoc())
+              d = all.iterator.map(_.docId).min
+            }
+          }
+          out.iterator
+        }
+      }
+  }
+
+  /** Interval matches intersected with a boolean query's match set — spans
+    * compose with the boolean algebra at the document level (the reference
+    * wraps an `IntervalsSource` in `IntervalQuery` and feeds it to
+    * `BooleanQuery` the same way).
+    */
+  def intervalHitsFiltered(src: Intervals.Source, filter: Query): Dataset[(Long, Int, Int)] =
+    intervalHits(src).toDF("docId", "n", "minWidth")
+      .join(matching(filter).toDF("docId"), "docId")
+      .as[(Long, Int, Int)]
+
   /** Two-phase fallback for indexes without positions: conjunction over the
     * index, then adjacency verification against stored text.
     */
