@@ -665,31 +665,29 @@ object SparkEntry {
         .orderBy($"score".desc, $"doc_id".asc).limit(10)
     }),
     "ft_facet_hierarchy" -> ((s, d) => {
-      // taxonomy-style hierarchical facet counts (ref lucene/facet taxonomy
-      // rollup): every prefix of the source/lang path gets a count
+      // arbitrary-depth taxonomy facet counts (ref lucene/facet taxonomy
+      // rollup): every prefix of the 3-level source/lang/size path gets a
+      // count — one prefix-explode + one groupBy, any depth
       val se = searcherFor(s, d)
       import s.implicits._
       val m = se.matchingCached(se.parse("data")).toDF("docId")
         .join(se.docsTable.select($"docId", $"url"), "docId")
         .select(docIdOf($"url"))
-        .join(docsDf(s, d).select($"doc_id", $"source", $"lang"), "doc_id")
-      val level1 = m.groupBy($"source").agg(count(lit(1)).as("n_docs"))
-        .select($"source".as("path"), $"n_docs")
-      val level2 = m.groupBy($"source", $"lang").agg(count(lit(1)).as("n_docs"))
-        .select(concat_ws("/", $"source", $"lang").as("path"), $"n_docs")
-      level1.unionByName(level2).orderBy($"path")
+        .join(docsDf(s, d).select($"doc_id", $"source", $"lang", $"n_chars"), "doc_id")
+        .withColumn("size_bucket",
+          when($"n_chars" < 500, "small").when($"n_chars" < 1000, "mid").otherwise("large"))
+      graft.search.Facets
+        .taxonomyRollup(m, array($"source", $"lang", $"size_bucket"))
+        .orderBy($"path")
     }),
     "ft_suggest_infix" -> ((s, d) => {
-      // infix autocomplete (ref suggest AnalyzingInfixSuggester shape):
-      // dictionary terms CONTAINING the fragment, ranked by docFreq
+      // infix autocomplete via the persistent gram table (ref suggest
+      // AnalyzingInfixSuggester): the fragment's leading 2-gram bounds the
+      // scan — no full-dictionary contains() pass
       val se = searcherFor(s, d)
-      import s.implicits._
-      se.segments.map(m => s.read.parquet(s"${m.dir}/terms"))
-        .reduce(_ unionByName _)
-        .where($"term".contains("ar"))
-        .groupBy($"term").agg(sum($"docFreq").as("doc_freq"))
-        .orderBy($"doc_freq".desc, $"term".asc)
-        .limit(10)
+      val idx = indexDirFor(d).resolve("infix").toString
+      graft.search.InfixSuggester.build(se, idx)
+      graft.search.InfixSuggester.lookup(s, idx, "ar", 10)
     }),
     "rel_json" -> ((s, d) => {
       // JSON property extraction over the event props column
@@ -1157,11 +1155,17 @@ object SparkEntry {
     },
     "ft_facet_hierarchy" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-         |m AS (SELECT d.doc_id, d.source, d.lang FROM documents d
+         |m AS (SELECT d.doc_id, d.source, d.lang,
+         |             CASE WHEN d.n_chars < 500 THEN 'small'
+         |                  WHEN d.n_chars < 1000 THEN 'mid'
+         |                  ELSE 'large' END AS size_bucket
+         |      FROM documents d
          |      WHERE d.doc_id IN (SELECT doc_id FROM tok WHERE term = 'data'))
-         |SELECT source AS path, count(*) AS n_docs FROM m GROUP BY source
+         |SELECT source AS path, count(*) AS n_docs FROM m GROUP BY 1
          |UNION ALL
-         |SELECT source || '/' || lang, count(*) FROM m GROUP BY source, lang
+         |SELECT source || '/' || lang, count(*) FROM m GROUP BY 1
+         |UNION ALL
+         |SELECT source || '/' || lang || '/' || size_bucket, count(*) FROM m GROUP BY 1
          |ORDER BY path""".stripMargin,
     "ft_suggest_infix" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)

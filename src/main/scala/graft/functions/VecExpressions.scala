@@ -64,6 +64,61 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static kernel for [[SimHash64]] — generated code calls this directly so
+  * the 64-bit vote loop is one JIT-compiled method, not 64 interpreted
+  * higher-order-function passes over the token array.
+  */
+object SimHashOps {
+  /** Signature bit b is 1 iff more token hashes have bit b set than clear
+    * (strict majority — ties give 0, matching the previous fold's
+    * `vote > 0`).
+    */
+  def compute(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** `simhash64(array<long>)` -> 64-bit SimHash signature of token hashes. */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(s"simhash64 requires array<long>, got $t")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(a: Any): Any =
+    SimHashOps.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SimHashOps.compute($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 object VecExpressions {
 
   private def toCol(e: Expression): Column =
@@ -73,6 +128,9 @@ object VecExpressions {
 
   /** Codegen'd dot product of two `array<double>` columns. */
   def vecDot(a: Column, b: Column): Column = toCol(VecDot(toExpr(a), toExpr(b)))
+
+  /** Codegen'd 64-bit SimHash over an `array<long>` of token hashes. */
+  def simHash64(hashes: Column): Column = toCol(SimHash64(toExpr(hashes)))
 
   /** Register `vec_dot` for SQL use on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

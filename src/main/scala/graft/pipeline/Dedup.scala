@@ -213,20 +213,18 @@ object Dedup {
   }
 
   /** SimHash: 64-bit signature = sign of per-bit weighted sums of token
-    * hashes (weight = term frequency implicitly via duplicates). Computed as
-    * 64 column expressions folded over the token-hash array — narrow,
-    * deterministic.
+    * hashes (weight = term frequency implicitly via duplicates). The vote
+    * loop is the native codegen'd `simhash64` expression — one pass over
+    * the token-hash array inside whole-stage codegen (the previous form,
+    * 64 interpreted `aggregate` HOF passes, was the dominant cost of the
+    * simhash pipeline). Bit-identical: per-bit votes are commutative
+    * integer sums, ties still give 0.
     */
   def simHash(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
     val df = df0.repartition(df0.sparkSession.sparkContext.defaultParallelism)
     val hs = transform(split(col(textCol), " "), t => xxhash64(t))
-    // bit b of the signature: 1 if sum over tokens of (bit set ? +1 : -1) > 0
-    val bits = (0 until 64).map { bIdx =>
-      val vote = aggregate(hs, lit(0),
-        (acc, h) => acc + when(shiftrightunsigned(h, bIdx).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-      when(vote > 0, shiftleft(lit(1L), bIdx)).otherwise(lit(0L))
-    }
-    df.select(col(idCol), bits.reduce(_.bitwiseOR(_)).as("simhash"))
+    df.select(col(idCol),
+      graft.functions.VecExpressions.simHash64(hs).as("simhash"))
   }
 
   /** SimHash near-dup candidate pairs at hamming distance <= `maxHamming`:

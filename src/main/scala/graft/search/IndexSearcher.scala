@@ -67,7 +67,7 @@ final case class QBlock(
   * the whole index), so scores are independent of segmentation.
   */
 final class IndexSearcher(
-    spark: SparkSession,
+    val spark: SparkSession,
     val segments: Seq[SegmentManifest],
     val analyzer: StandardAnalyzer = StandardAnalyzer.Default,
     val precision: Precision = Precision.FloatExact,

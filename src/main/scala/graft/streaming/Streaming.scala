@@ -96,21 +96,40 @@ object Streaming {
         shouldOk && !bq.mustNot.exists(evalQuery(_, toks))
   }
 
-  /** A term the query REQUIRES to match (any MUST/FILTER term clause, else
-    * None) — the Monitor's pre-filter idea
+  /** Trigger terms: a set such that ANY matching doc must contain at least
+    * one of them — the Monitor's QueryIndex idea
     * (ref `/root/reference/lucene/monitor/src/java/org/apache/lucene/monitor/QueryIndex.java`:
-    * stored queries are themselves indexed, and a doc only evaluates
-    * queries whose required terms it contains).
+    * stored queries are themselves indexed; a doc only evaluates queries
+    * whose indexed terms it contains). Conjunctive clauses contribute the
+    * smallest single-clause cover; disjunctions (OR / synonym / dismax)
+    * contribute the union of their children's covers — so OR-only stored
+    * queries are pruned too, not evaluated against every doc. `None` means
+    * no cover exists (e.g. a pure negation) — always evaluated.
     */
-  private def requiredTerm(q: Query): Option[String] = q match {
-    case TermQuery(t)        => Some(t)
-    case BoostQuery(q2, _)   => requiredTerm(q2)
-    case _: DisMaxQuery      => None // any one disjunct suffices
-    case cs: ConstScoreQuery => requiredTerm(cs.query)
-    case _: SynonymQuery     => None
-    case bq: BoolQuery =>
-      (bq.must ++ bq.filter).iterator.flatMap(requiredTerm(_).iterator)
-        .nextOption()
+  private[streaming] def triggerTerms(q: Query): Option[Seq[String]] = {
+    def unionAll(qs: Seq[Query]): Option[Seq[String]] = {
+      val cs = qs.map(triggerTerms)
+      if (cs.exists(_.isEmpty)) None else Some(cs.flatten.flatten.distinct)
+    }
+    q match {
+      case TermQuery(t)        => Some(Seq(t))
+      case BoostQuery(q2, _)   => triggerTerms(q2)
+      case cs: ConstScoreQuery => triggerTerms(cs.query)
+      case sq: SynonymQuery    => Some(sq.synonyms)
+      case dm: DisMaxQuery     => unionAll(dm.disjuncts)
+      case bq: BoolQuery =>
+        // any MUST/FILTER clause's cover works alone (the clause is
+        // required); SHOULD clauses are also required here (>= 1 must
+        // match, see evalQuery) so their union is an alternative cover —
+        // pick the smallest available
+        val conj = (bq.must ++ bq.filter).flatMap(triggerTerms(_))
+          .sortBy(_.size).headOption
+        val shd = if (bq.should.isEmpty) None else unionAll(bq.should)
+        (conj, shd) match {
+          case (Some(a), Some(b)) => Some(if (a.size <= b.size) a else b)
+          case (a, b)             => a.orElse(b)
+        }
+    }
   }
 
   /** Large-query-set percolation: the compiled query set ships once per
@@ -122,15 +141,17 @@ object Streaming {
     */
   def percolateBroadcast(
       docs: DataFrame, idCol: String, textCol: String,
-      queries: Seq[(String, Query)]
+      queries: Seq[(String, Query)],
+      evalCounter: Option[org.apache.spark.util.LongAccumulator] = None
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val indexed: Map[String, Array[Int]] = queries.zipWithIndex
-      .flatMap { case ((_, q), i) => requiredTerm(q).map(_ -> i) }
+      .flatMap { case ((_, q), i) =>
+        triggerTerms(q).getOrElse(Seq.empty).map(_ -> i) }
       .groupBy(_._1).map { case (t, g) => t -> g.map(_._2).toArray }
     val always: Array[Int] = queries.zipWithIndex
-      .collect { case ((_, q), i) if requiredTerm(q).isEmpty => i }.toArray
+      .collect { case ((_, q), i) if triggerTerms(q).isEmpty => i }.toArray
     val bcQueries = spark.sparkContext.broadcast(queries.toArray)
     val bcIndex = spark.sparkContext.broadcast(indexed)
     val bcAlways = spark.sparkContext.broadcast(always)
@@ -150,6 +171,7 @@ object Streaming {
           while (iter.hasNext) {
             val i = iter.next()
             val (qid, q) = qs(i)
+            evalCounter.foreach(_.add(1L))
             if (evalQuery(q, set)) out += ((qid, id))
           }
           out

@@ -247,6 +247,29 @@ class IndexSearchSpec extends SparkTestBase {
       s"spellCorrect should rank 'court' at Damerau distance 1: ${sc.mkString(", ")}")
   }
 
+  test("infix suggester: gram-table lookup == dictionary contains scan, pruned") {
+    import org.apache.spark.sql.functions.{col => c, length => len, sum => sumC}
+    val idx = tmpDir("infix")
+    graft.search.InfixSuggester.build(searcher, idx)
+    for (frag <- Seq("ar", "our", "ta")) {
+      val got = graft.search.InfixSuggester.lookup(spark, idx, frag, 10).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val expected = spark.read.parquet(s"$segDir/terms")
+        .where(c("term").contains(frag))
+        .groupBy(c("term")).agg(sumC(c("docFreq")).as("doc_freq"))
+        .orderBy(c("doc_freq").desc, c("term").asc).limit(10).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == expected, s"infix lookup != contains scan for '$frag'")
+      assert(got.nonEmpty, s"vacuous infix check for '$frag'")
+    }
+    // the leading gram is a PushedFilter on the gram-sorted table
+    val plan = spark.read.parquet(s"$idx/grams")
+      .where(c("gram") === "ar")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("EqualTo(gram,ar"), s"gram lookup not pushed down:\n$plan")
+  }
+
   test("pushdown: point lookups and bounded expansions reach the parquet scan") {
     import org.apache.spark.sql.execution.ExplainMode
     def planOf(df: org.apache.spark.sql.DataFrame): String =

@@ -313,6 +313,47 @@ class PipelineSpec extends SparkTestBase {
     assert(dispatched == viaPlan)
   }
 
+  test("taxonomy rollup counts every prefix of ragged-depth paths") {
+    import spark.implicits._
+    val df = Seq(Seq("a"), Seq("a", "x"), Seq("a", "x", "1"),
+      Seq("b", "y"), Seq("a", "x", "2")).toDF("path")
+    val got = graft.search.Facets.taxonomyRollup(df, col("path")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 4, "a/x" -> 3, "a/x/1" -> 1, "a/x/2" -> 1,
+      "b" -> 1, "b/y" -> 1))
+  }
+
+  test("percolator prunes OR-only stored queries via disjunct trigger terms") {
+    import graft.search.TermQuery
+    // 1000 OR queries; most reference vocabulary absent from the corpus, so
+    // with disjunct-term indexing only a small fraction triggers per doc
+    val present = Seq("data", "query", "court", "law")
+    val stored: Seq[(String, Query)] = (0 until 1000).map { i =>
+      val q: Query =
+        if (i % 50 == 0) Query.or(present(i % present.length), s"zz_rare_$i")
+        else Query.or(s"zz_absent_${i}_a", s"zz_absent_${i}_b")
+      s"q$i" -> q
+    }
+    val counter = spark.sparkContext.longAccumulator("percolator-evals")
+    val got = Streaming.percolateBroadcast(docs, "doc_id", "text", stored, Some(counter))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val nDocs = docs.count()
+    // correctness: equals per-doc brute evaluation
+    val toksByDoc = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet)
+    val expected = (for {
+      (id, toks) <- toksByDoc
+      (qid, q) <- stored
+      if Streaming.evalQuery(q, toks)
+    } yield (qid, id)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture should produce some matches")
+    // pruning: evaluations << nDocs * |queries| (OR-only queries no longer
+    // run against every doc)
+    assert(counter.value < nDocs * stored.size / 20,
+      s"per-doc evaluations not pruned: ${counter.value} of ${nDocs * stored.size}")
+  }
+
   test("best-passage snippet == brute-force window argmax") {
     val w = 7
     val terms = Set("data", "query")

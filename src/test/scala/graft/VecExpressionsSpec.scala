@@ -30,6 +30,34 @@ class VecExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("simhash64 == the 64-pass interpreted aggregate fold, bit-identical") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val words = Seq("data", "query", "stream", "court", "law", "state", "web", "x1")
+    val rows = (0 until 150).map(i =>
+      (i.toLong, Seq.fill(rnd.nextInt(40) + 1)(words(rnd.nextInt(words.size))).mkString(" ")))
+    val df = rows.toDF("id", "text")
+    val hs = transform(split($"text", " "), t => xxhash64(t))
+    val got = df.select($"id", VecExpressions.simHash64(hs).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the previous formulation: per-bit interpreted aggregate votes
+    val bits = (0 until 64).map { bIdx =>
+      val vote = aggregate(hs, lit(0),
+        (acc, h) => acc + when(shiftrightunsigned(h, bIdx).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      when(vote > 0, shiftleft(lit(1L), bIdx)).otherwise(lit(0L))
+    }
+    val interp = df.select($"id", bits.reduce(_.bitwiseOR(_)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, _) => assert(got(id) == interp(id), s"row $id") }
+    // codegen participation: the native expression stays inside a `*(n)`
+    // stage (use a range source — a local relation would constant-fold)
+    val plan = spark.range(50)
+      .select(VecExpressions.simHash64(
+        transform(split(concat(lit("data w"), $"id" % 7), " "), t => xxhash64(t))).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"simhash64 fell out of codegen:\n$plan")
+  }
+
   test("vec_dot registers for SQL and handles nulls/length mismatch") {
     import spark.implicits._
     VecExpressions.register(spark)
