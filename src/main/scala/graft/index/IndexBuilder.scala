@@ -25,7 +25,16 @@ final case class IndexConfig(
     stopwords: Set[String] = Set.empty,
     maxTokenLength: Int = 255,
     storePositions: Boolean = false, // index analyzer positions (phrase path)
-    multiField: Boolean = false // FieldKey-encoded terms + per-term field norms
+    multiField: Boolean = false, // FieldKey-encoded terms + per-term field norms
+    // position gap between multiple values of one field (ref
+    // `analysis/Analyzer.java` getPositionIncrementGap; 100 is the common
+    // production setting — phrases and modest slops cannot cross values)
+    positionIncrementGap: Int = 100,
+    // docID order: sort key SQL expression over (url, text) — ref
+    // `index/IndexWriterConfig.java` setIndexSort. Default: global url
+    // rank. docIDs are the global rank in (key, url) order either way,
+    // so assignment stays deterministic and resume-safe.
+    indexSortExpr: String = "url"
 ) {
   def analyzer: StandardAnalyzer = new StandardAnalyzer(stopwords, maxTokenLength)
 }
@@ -72,12 +81,23 @@ object IndexBuilder {
     val stop = cfg.stopwords
     val maxLen = cfg.maxTokenLength
     // InternalRow RDD of the sorted plan: no per-row object allocation in
-    // the count job, and one shared shuffle stage across both jobs
-    val sortedRows = pages
-      .toDF("_1", "_2")
-      .repartitionByRange(parts, $"_1")
-      .sortWithinPartitions($"_1")
-      .queryExecution.toRdd
+    // the count job, and one shared shuffle stage across both jobs.
+    // Index sorting (ref `index/IndexWriterConfig.java` setIndexSort):
+    // docID order follows cfg.indexSortExpr (any SQL expression over
+    // url/text), url as tiebreak — a sorted index lets field-sorted top-k
+    // terminate after the first k matches in docID order.
+    val sortedRows = {
+      val df = pages.toDF("url", "text")
+      val sorted =
+        if (cfg.indexSortExpr == "url")
+          df.repartitionByRange(parts, $"url").sortWithinPartitions($"url")
+        else
+          df.withColumn("_k", expr(cfg.indexSortExpr))
+            .repartitionByRange(parts, $"_k", $"url")
+            .sortWithinPartitions($"_k", $"url")
+            .select($"url", $"text") // projection preserves the sort
+      sorted.queryExecution.toRdd
+    }
     val counts = sortedRows
       .mapPartitionsWithIndex { (pid, it) =>
         var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator((pid, n))
@@ -169,6 +189,7 @@ object IndexBuilder {
       .collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
     val withPositions = cfg.storePositions
+    val posGap = cfg.positionIncrementGap
     val docTokens = sortedRows.mapPartitionsWithIndex { (pid, it) =>
       val analyzer = new StandardAnalyzer(stop, maxLen)
       var id = offsets(pid)
@@ -178,35 +199,61 @@ object IndexBuilder {
         val docId = id
         id += 1
         val nf = fields.numElements()
+        // group same-name entries in first-appearance order: multiple
+        // values of one field are ONE logical field — a concatenated token
+        // stream with `positionIncrementGap` between values (ref
+        // `analysis/Analyzer.java` getPositionIncrementGap: phrase matches
+        // must not cross value boundaries), one combined length/norm, and
+        // per-term freqs summed (never duplicate (term, docId) postings)
+        val order = scala.collection.mutable.ArrayBuffer[String]()
+        val valuesOf = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[String]]()
+        var f = 0
+        while (f < nf) {
+          val st = fields.getStruct(f, 2)
+          val fname = st.getUTF8String(0).toString
+          val ftext = st.getUTF8String(1).toString
+          var vs = valuesOf.get(fname)
+          if (vs == null) {
+            vs = scala.collection.mutable.ArrayBuffer[String]()
+            valuesOf.put(fname, vs)
+            order += fname
+          }
+          vs += ftext
+          f += 1
+        }
         val termsB = scala.collection.mutable.ArrayBuffer[String]()
         val freqsB = scala.collection.mutable.ArrayBuffer[Int]()
         val normsB = scala.collection.mutable.ArrayBuffer[Int]()
         val posB =
           if (withPositions) scala.collection.mutable.ArrayBuffer[Array[Int]]()
           else null
-        val fNames = new Array[String](nf)
-        val fLens = new Array[Int](nf)
+        val fNames = new Array[String](order.size)
+        val fLens = new Array[Int](order.size)
         var defLen = 0
-        var f = 0
-        while (f < nf) {
-          val st = fields.getStruct(f, 2)
-          val fname = st.getUTF8String(0).toString
-          val ftext = st.getUTF8String(1).toString
+        var g = 0
+        while (g < order.size) {
+          val fname = order(g)
+          val vs = valuesOf.get(fname)
+          var flen = 0
           if (withPositions) {
-            // per-field analyzer positions (positions restart per field —
-            // the reference's per-field FieldInvertState)
-            val toks = analyzer.tokens(ftext)
+            // per-field analyzer positions (positions restart per FIELD,
+            // the reference's per-field FieldInvertState; values within a
+            // field continue with the gap)
             val byTerm = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
-            toks.foreach { t =>
-              var b = byTerm.get(t.term)
-              if (b == null) { b = new scala.collection.mutable.ArrayBuffer[Int](2); byTerm.put(t.term, b) }
-              b += t.position
+            var offset = 0
+            vs.foreach { ftext =>
+              val toks = analyzer.tokens(ftext)
+              var maxPos = -1
+              toks.foreach { t =>
+                var b = byTerm.get(t.term)
+                if (b == null) { b = new scala.collection.mutable.ArrayBuffer[Int](2); byTerm.put(t.term, b) }
+                b += offset + t.position
+                if (t.position > maxPos) maxPos = t.position
+              }
+              flen += toks.size
+              if (maxPos >= 0) offset += maxPos + 1 + posGap
             }
-            val flen = toks.size
             val fnorm = java.lang.Byte.toUnsignedInt(SmallFloat.intToByte4(flen))
-            if (fname == FieldKey.DefaultField) defLen = flen
-            fNames(f) = fname
-            fLens(f) = flen
             val iter = byTerm.entrySet().iterator()
             while (iter.hasNext) {
               val e = iter.next()
@@ -216,12 +263,20 @@ object IndexBuilder {
               posB += e.getValue.toArray
             }
           } else {
-            val (freqMap, flen) = analyzer.termFreqs(ftext)
+            val combined = new java.util.LinkedHashMap[String, Integer]()
+            vs.foreach { ftext =>
+              val (freqMap, vlen) = analyzer.termFreqs(ftext)
+              flen += vlen
+              val iter = freqMap.entrySet().iterator()
+              while (iter.hasNext) {
+                val e = iter.next()
+                val prev = combined.get(e.getKey)
+                combined.put(e.getKey,
+                  if (prev == null) e.getValue else prev + e.getValue)
+              }
+            }
             val fnorm = java.lang.Byte.toUnsignedInt(SmallFloat.intToByte4(flen))
-            if (fname == FieldKey.DefaultField) defLen = flen
-            fNames(f) = fname
-            fLens(f) = flen
-            val iter = freqMap.entrySet().iterator()
+            val iter = combined.entrySet().iterator()
             while (iter.hasNext) {
               val e = iter.next()
               termsB += FieldKey.encode(fname, e.getKey)
@@ -229,7 +284,10 @@ object IndexBuilder {
               normsB += fnorm
             }
           }
-          f += 1
+          if (fname == FieldKey.DefaultField) defLen = flen
+          fNames(g) = fname
+          fLens(g) = flen
+          g += 1
         }
         DocTokens(docId, url, defLen,
           java.lang.Byte.toUnsignedInt(SmallFloat.intToByte4(defLen)),

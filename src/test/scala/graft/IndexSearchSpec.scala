@@ -247,6 +247,39 @@ class IndexSearchSpec extends SparkTestBase {
       s"spellCorrect should rank 'court' at Damerau distance 1: ${sc.mkString(", ")}")
   }
 
+  test("configurable index sort: docIDs follow the sort key; scoring invariant") {
+    import spark.implicits._
+    val dir = tmpDir("sortedseg")
+    val ds = spark.createDataset(pagesLocal.map(p => (p.url, p.text)))
+    IndexBuilder.buildSegment(ds, dir, cfg.copy(indexSortExpr = "length(text)"))
+    val sse = new IndexSearcher(spark, Seq(Manifest.read(dir).get))
+    val lenByUrl = pagesLocal.map(p => p.url -> p.text.length).toMap
+    // (a) docID order == (char length, url) order
+    val urls = sse.docsTable.select($"docId", $"url").as[(Long, String)]
+      .collect().sortBy(_._1).map(_._2)
+    val keys = urls.map(u => (lenByUrl(u), u)).toSeq
+    assert(keys == keys.sorted, "docIDs must follow (length(text), url) order")
+    // (b) scoring is assignment-invariant: same stats, same top-10 scores
+    assert(sse.stats == searcher.stats)
+    for (qs <- Seq("court", "court AND law", "court OR law OR state")) {
+      val q = Query.parse(qs)
+      val a = sse.topK(q, 10).collect().map(_.score).toSeq
+      val b = searcher.topK(q, 10).collect().map(_.score).toSeq
+      assert(a == b, s"score sequence differs on the sorted index for: $qs")
+    }
+    // (c) on a length-sorted index, docID-order take-k IS the field-sorted
+    // top-k (the early-termination shape the reference's index sort buys)
+    val matchLens = sse.matching(Query.parse("court")).toDF("docId")
+      .join(sse.docsTable.select($"docId", $"url"), "docId")
+      .orderBy($"docId").limit(10)
+      .select($"url").as[String].collect().map(lenByUrl).toSeq
+    val expectedLens = searcher.matching(Query.parse("court")).toDF("docId")
+      .join(searcher.docsTable.select($"docId", $"url"), "docId")
+      .select($"url").as[String].collect().map(lenByUrl).sorted.take(10).toSeq
+    assert(matchLens == expectedLens,
+      "docID-order take-10 on the sorted index != 10 shortest matching docs")
+  }
+
   test("infix suggester: gram-table lookup == dictionary contains scan, pruned") {
     import org.apache.spark.sql.functions.{col => c, length => len, sum => sumC}
     val idx = tmpDir("infix")

@@ -165,6 +165,41 @@ class MultiFieldSpec extends SparkTestBase {
     assert(titleGot == titleExpected)
   }
 
+  test("multi-valued field: position gap, combined length, summed freqs") {
+    import spark.implicits._
+    val dir = tmpDir("mvpos")
+    // one doc with TWO values of `tags` plus a body; w2/w3 are adjacent
+    // across the value boundary in concatenation order
+    val docs = Seq(
+      ("u0", Seq("tags" -> "w1 w2", "tags" -> "w3 w4", "body" -> "alpha beta")),
+      ("u1", Seq("tags" -> "w2 w3", "body" -> "alpha")),
+      ("u2", Seq("tags" -> "w5 w1", "tags" -> "w1 w6", "body" -> "beta")))
+    val ds = spark.createDataset(docs)
+    IndexBuilder.buildSegmentFields(ds, dir,
+      IndexConfig(bucketShift = 9, numPostingPartitions = 2, numDocPartitions = 1,
+        storePositions = true, positionIncrementGap = 100))
+    val se = new IndexSearcher(spark, Seq(Manifest.read(dir).get))
+    def phraseDocs(terms: Seq[String]): Set[Long] =
+      se.phraseFreqsIndexed(terms.map(FieldKey.encode("tags", _)))
+        .collect().map(_._1).toSet
+    // docIds are url rank: u0 -> 0, u1 -> 1, u2 -> 2
+    assert(phraseDocs(Seq("w2", "w3")) == Set(1L),
+      "phrase must not cross a value boundary (u0) but matches within one value (u1)")
+    assert(phraseDocs(Seq("w1", "w2")) == Set(0L))
+    assert(phraseDocs(Seq("w3", "w4")) == Set(0L))
+    // same term in both values -> ONE posting with freq 2, combined norm
+    val ts = se.termStats(Seq(FieldKey.encode("tags", "w1")))
+    assert(ts(FieldKey.encode("tags", "w1")).docFreq == 2L) // u0 and u2
+    assert(ts(FieldKey.encode("tags", "w1")).totalTermFreq == 3L) // 1 + 2
+    // combined field length: u0 tags = 4 tokens -> same norm byte as one
+    // 4-token value
+    val m = Manifest.read(dir).get
+    val tagStats = m.fieldStats.find(_.field == "tags")
+    assert(tagStats.exists(_.sumTotalTermFreq == 10L),
+      s"tags sttf should be 4+2+4=10, got ${m.fieldStats}")
+    assert(tagStats.exists(_.docCount == 3L))
+  }
+
   test("multi-field merge: per-field stats sum; field ranking == single-segment") {
     import spark.implicits._
     val cfg2 = IndexConfig(bucketShift = 9, numPostingPartitions = 4, numDocPartitions = 2)
