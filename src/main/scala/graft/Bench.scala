@@ -53,9 +53,10 @@ object Bench {
     // 2. headline query entries (steady-state: one warm-up, then timed)
     val headline = Seq(
       "ft_term_topk", "ft_and_topk", "ft_or_topk", "ft_nested_topk",
-      "ft_phrase_topk", "ft_phrase_slop", "ft_group_top2",
+      "ft_phrase_topk", "ft_phrase_slop", "ft_near_topk", "ft_group_top2",
       "ft_field_topk", "ft_msm_topk", "ft_boost_topk", "ft_dismax_topk",
-      "ft_facet_range", "ft_highlight_best",
+      "ft_facet_range", "ft_highlight_best", "ft_fuzzy_match", "ft_spell",
+      "ft_suggest_infix",
       "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_embed",
       "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
       "text_quality", "text_termstats",
