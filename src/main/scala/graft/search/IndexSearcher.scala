@@ -187,44 +187,8 @@ final class IndexSearcher(
     * `^` up to the first metachar, excluding a literal that a following
     * quantifier could make optional.
     */
-  private[search] def literalPrefixOfRegex(re: String): String = {
-    if (!re.startsWith("^")) return ""
-    // A top-level '|' (lowest precedence) makes the whole pattern an
-    // alternation — any literal collected before it is NOT mandatory
-    // (`^ab|cd` matches bare "cd"). The reference's automaton common-prefix
-    // handles this structurally; here we refuse the prefix outright.
-    if (hasTopLevelAlternation(re)) return ""
-    val sb = new StringBuilder
-    var i = 1
-    var done = false
-    while (i < re.length && !done) {
-      val c = re.charAt(i)
-      if ("\\[](){}.*+?|^$".contains(c)) done = true
-      else if (i + 1 < re.length && "*?{".contains(re.charAt(i + 1))) done = true
-      else { sb += c; i += 1 }
-    }
-    sb.toString
-  }
-
-  /** True when an unescaped `|` occurs at paren depth 0 outside a char
-    * class anywhere in the pattern.
-    */
-  private def hasTopLevelAlternation(re: String): Boolean = {
-    var i = 0; var depth = 0; var inClass = false
-    while (i < re.length) {
-      re.charAt(i) match {
-        case '\\' => i += 1 // skip escaped char
-        case '[' if !inClass => inClass = true
-        case ']' if inClass => inClass = false
-        case '(' if !inClass => depth += 1
-        case ')' if !inClass && depth > 0 => depth -= 1
-        case '|' if !inClass && depth == 0 => return true
-        case _ =>
-      }
-      i += 1
-    }
-    false
-  }
+  private[search] def literalPrefixOfRegex(re: String): String =
+    RegexPrefix.of(re)
 
   /** Regex expansion bounded by the pattern's mandatory literal prefix: the
     * range predicate `[prefix, prefix+)` reaches the Parquet scan

@@ -185,6 +185,19 @@ class IndexSearchSpec extends SparkTestBase {
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(plan.contains("GreaterThanOrEqual(term,st"), "prefix pushdown regressed")
+    // a GROUPED alternation's shared prefix is factored and pushed down
+    // (the automaton common-prefix shape): ^(stream|strong) bounds [str, sts)
+    val factored = spark.read.parquet(s"$segDir/terms")
+      .where(searcher.regexPredicate("^(stream|strong)$"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(factored.contains("GreaterThanOrEqual(term,str") &&
+      factored.contains("LessThan(term,sts"),
+      s"grouped-alternation prefix not pushed down:\n$factored")
+    val grouped = searcher.expandRegex("^(stream|strong)$")
+    val bruteGrouped = searcher.expandTerms(
+      org.apache.spark.sql.functions.col("term").rlike("^(stream|strong)$"))
+    assert(grouped == bruteGrouped, s"bounded $grouped != brute $bruteGrouped")
   }
 
   test("explain: boosted SynonymQuery root equals the search score") {
