@@ -71,6 +71,38 @@ object OracleSql {
        |WHERE $pred
        |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT $k""".stripMargin
 
+  /** Top-k ClassicSimilarity (TF-IDF): idf = ln((N+1)/(df+1)) + 1,
+    * tf = sqrt(freq), lengthNorm = 1/sqrt(quantized length) — the same
+    * expression shape as [[graft.search.TfIdfDoubleScorer]].
+    */
+  def tfidfTopK(scoreTerms: Seq[String], k: Int): String = {
+    val termList = scoreTerms.map(sqlStr).mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+       |), dlen AS (
+       |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+       |), qlen AS (
+       |  SELECT doc_id, dl,
+       |    (SELECT max(v) FROM (VALUES $byte4ValuesList) b4(v) WHERE v <= dl) AS qdl
+       |  FROM dlen
+       |), stats AS (
+       |  SELECT count(*)::DOUBLE AS n FROM dlen
+       |), tf AS (
+       |  SELECT doc_id, term, count(*)::DOUBLE AS freq FROM tok
+       |  WHERE term IN ($termList) GROUP BY doc_id, term
+       |), idf AS (
+       |  SELECT term, ln(((SELECT n FROM stats) + 1) / (count(*) + 1)) + 1 AS idf
+       |  FROM tf GROUP BY term
+       |), sc AS (
+       |  SELECT tf.doc_id, sqrt(tf.freq) * idf.idf * (1.0 / sqrt(qlen.qdl)) AS s
+       |  FROM tf JOIN idf USING (term) JOIN qlen ON qlen.doc_id = tf.doc_id
+       |), scored AS (
+       |  SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id
+       |)
+       |SELECT doc_id, round(score, 6) AS score FROM scored
+       |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** Full scored ranking (no limit) used by grouping/pagination oracles. */
   def bm25Scored(scoreTerms: Seq[String], pred: String): String =
     s"""${bm25Ctes(scoreTerms)}, scored AS (

@@ -137,6 +137,19 @@ object SparkEntry {
       .limit(k)
   }
 
+  private val classicSearchers = TrieMap[String, IndexSearcher]()
+
+  /** Same segments as [[searcherFor]], scored with ClassicSimilarity
+    * (TF-IDF) — the pluggable-similarity engine path
+    * (ref `IndexSearcher#setSimilarity`).
+    */
+  private def classicSearcherFor(spark: SparkSession, sfDir: String): IndexSearcher =
+    classicSearchers.getOrElseUpdate(sfDir, {
+      val base = searcherFor(spark, sfDir)
+      new IndexSearcher(spark, base.segments, precision = Precision.DoubleOracle,
+        k1 = K1, b = B, similarity = graft.search.Similarity.Classic)
+    })
+
   private def ftMatch(spark: SparkSession, sfDir: String, q: Query): DataFrame = {
     val s = searcherFor(spark, sfDir)
     import spark.implicits._
@@ -175,6 +188,15 @@ object SparkEntry {
     "ft_and_topk" -> ((s, d) => ftTopK(s, d, "data AND query", 10)),
     "ft_or_topk" -> ((s, d) => ftTopK(s, d, "data OR query OR stream", 10)),
     "ft_nested_topk" -> ((s, d) => ftTopK(s, d, "(data OR query) AND table", 10)),
+    "ft_tfidf_topk" -> ((s, d) => {
+      val se = classicSearcherFor(s, d)
+      import s.implicits._
+      val q = se.parse("data OR query OR stream")
+      se.fetchDocs(topKVerified(se, q, 10))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc)
+        .limit(10)
+    }),
     "ft_filter_topk" -> ((s, d) => {
       val se = searcherFor(s, d)
       import s.implicits._
@@ -749,6 +771,7 @@ object SparkEntry {
     "ft_or_topk" -> bm25TopK(Seq("data", "query", "stream"), "TRUE", 10),
     "ft_nested_topk" -> bm25TopK(Seq("data", "query", "table"),
       s"${hasTerm("table")} AND (${hasTerm("data")} OR ${hasTerm("query")})", 10),
+    "ft_tfidf_topk" -> tfidfTopK(Seq("data", "query", "stream"), 10),
     "ft_filter_topk" -> bm25TopK(Seq("data", "query"),
       hasTerm("table"), 10),
     "ft_synonym_topk" ->

@@ -73,8 +73,61 @@ final class Bm25DoubleScorer(k1: Double, b: Double, val weight: Double, avgdl: D
   def weightD: Double = weight
 }
 
-/** Constant-score per-term scorer (golden WAND fixtures + FILTER clauses). */
+/** Constant-score per-term scorer (golden WAND fixtures + FILTER clauses).
+  * Also serves as BooleanSimilarity (score = boost, freq/norm ignored, ref
+  * `search/similarities/BooleanSimilarity.java`).
+  */
 final class ConstScorer(val value: Double) extends SimScorer {
   def score(freq: Int, norm: Int): Double = value
   def weightD: Double = value
+}
+
+/** ClassicSimilarity (TF-IDF) statistics, reproducing the reference's float
+  * semantics (`search/similarities/ClassicSimilarity.java`):
+  *
+  *  - idf = (float)(log((docCount+1)/(docFreq+1)) + 1)              (:69-71)
+  *  - tf = (float) sqrt(freq)                                        (:50-53)
+  *  - lengthNorm = (float)(1/sqrt(length))                           (:40-47)
+  *  - score = tf(freq) * queryWeight * normTable[norm & 0xFF], with
+  *    normTable[0] = 1f/normTable[255] (`TFIDFSimilarity.java:442-448,
+  *    472-476`)
+  */
+object TfIdf {
+  def idf(docFreq: Long, docCount: Long): Float =
+    (math.log((docCount + 1) / (docFreq + 1).toDouble) + 1.0).toFloat
+
+  def idfD(docFreq: Long, docCount: Long): Double =
+    math.log((docCount + 1) / (docFreq + 1).toDouble) + 1.0
+}
+
+/** Float-exact ClassicSimilarity per-term scorer (rank-identity mode);
+  * `weight` = boost * idf (the reference's queryWeight).
+  */
+final class TfIdfFloatScorer(val weight: Float) extends SimScorer {
+  private val normTable: Array[Float] = {
+    val t = Array.tabulate(256) { i =>
+      (1.0 / math.sqrt(SmallFloat.lengthTable(i).toDouble)).toFloat
+    }
+    t(0) = 1f / t(255) // length-0 sentinel, ref TFIDFSimilarity.java:447
+    t
+  }
+  def score(freq: Int, norm: Int): Double = {
+    val raw = math.sqrt(freq.toDouble).toFloat * weight
+    (raw * normTable(norm & 0xff)).toDouble
+  }
+  def weightD: Double = weight.toDouble
+}
+
+/** Double ClassicSimilarity per-term scorer (oracle-SQL-comparable mode). */
+final class TfIdfDoubleScorer(val weight: Double) extends SimScorer {
+  private val normTable: Array[Double] = {
+    val t = Array.tabulate(256) { i =>
+      1.0 / math.sqrt(SmallFloat.lengthTable(i).toDouble)
+    }
+    t(0) = 1d / t(255)
+    t
+  }
+  def score(freq: Int, norm: Int): Double =
+    math.sqrt(freq.toDouble) * weight * normTable(norm & 0xff)
+  def weightD: Double = weight
 }

@@ -17,6 +17,19 @@ object Precision {
   case object DoubleOracle extends Precision
 }
 
+/** Pluggable per-field scoring model (ref `IndexSearcher#setSimilarity`,
+  * `search/similarities/Similarity.java`): BM25 (default), ClassicSimilarity
+  * (TF-IDF) and BooleanSimilarity. All three share the impacts skyline for
+  * block-max pruning — each is non-decreasing in freq and non-increasing in
+  * length, so the (freq, norm) competitive frontier bounds any of them.
+  */
+sealed trait Similarity extends Serializable
+object Similarity {
+  case object Bm25 extends Similarity
+  case object Classic extends Similarity
+  case object Bool extends Similarity
+}
+
 final case class ScoredDoc(docId: Long, score: Double)
 
 /** One term-dictionary row tagged with its segment ordinal (driver-side
@@ -72,7 +85,8 @@ final class IndexSearcher(
     val analyzer: StandardAnalyzer = StandardAnalyzer.Default,
     val precision: Precision = Precision.FloatExact,
     k1: Double = 1.2d, // 1.2f when narrowed — widening 1.2f would NOT be 1.2d
-    b: Double = 0.75d
+    b: Double = 0.75d,
+    val similarity: Similarity = Similarity.Bm25
 ) extends Serializable {
 
   import spark.implicits._
@@ -249,18 +263,7 @@ final class IndexSearcher(
         val dfs = sq.synonyms.flatMap(ts.get).map(_.docFreq)
         val df = if (dfs.isEmpty) 0L else dfs.max
         val st = statsFor(graft.index.FieldKey.fieldOf(sq.synonyms.head))
-        val sim: SimScorer =
-          if (df == 0) new ConstScorer(0.0)
-          else precision match {
-            case Precision.FloatExact =>
-              // boost folds into the float weight, ref BM25Similarity weight
-              new Bm25FloatScorer(k1.toFloat, b.toFloat,
-                boost.toFloat * Bm25.idf(df, st.docCount), Bm25.avgFieldLength(st))
-            case Precision.DoubleOracle =>
-              new Bm25DoubleScorer(k1, b,
-                boost * Bm25.idfD(df, st.docCount), Bm25.avgFieldLengthD(st))
-          }
-        Map(Executor.skey(sq.key, boost) -> sim)
+        Map(Executor.skey(sq.key, boost) -> simScorer(df, st, boost))
       case dm: DisMaxQuery => dm.disjuncts.iterator.flatMap(walk(_, boost)).toMap
       case cs: ConstScoreQuery => walk(cs.query, boost)
       case bq: BoolQuery => bq.clauses.iterator.map(_._1).flatMap(walk(_, boost)).toMap
@@ -272,15 +275,30 @@ final class IndexSearcher(
     ts.get(term) match {
       case None => new ConstScorer(0.0)
       case Some(t) =>
-        val st = statsFor(graft.index.FieldKey.fieldOf(term))
-        precision match {
-          case Precision.FloatExact =>
-            val idf = boost.toFloat * Bm25.idf(t.docFreq, st.docCount)
-            new Bm25FloatScorer(k1.toFloat, b.toFloat, idf, Bm25.avgFieldLength(st))
-          case Precision.DoubleOracle =>
-            val idf = boost * Bm25.idfD(t.docFreq, st.docCount)
-            new Bm25DoubleScorer(k1, b, idf, Bm25.avgFieldLengthD(st))
-        }
+        simScorer(t.docFreq, statsFor(graft.index.FieldKey.fieldOf(term)), boost)
+    }
+
+  /** Per-term scorer for the active (similarity, precision) mode; the boost
+    * folds into the weight (ref `Similarity#scorer(boost, ...)`).
+    */
+  private def simScorer(df: Long, st: CollectionStats, boost: Double): SimScorer =
+    if (df == 0) new ConstScorer(0.0)
+    else similarity match {
+      case Similarity.Bm25 => precision match {
+        case Precision.FloatExact =>
+          new Bm25FloatScorer(k1.toFloat, b.toFloat,
+            boost.toFloat * Bm25.idf(df, st.docCount), Bm25.avgFieldLength(st))
+        case Precision.DoubleOracle =>
+          new Bm25DoubleScorer(k1, b,
+            boost * Bm25.idfD(df, st.docCount), Bm25.avgFieldLengthD(st))
+      }
+      case Similarity.Classic => precision match {
+        case Precision.FloatExact =>
+          new TfIdfFloatScorer(boost.toFloat * TfIdf.idf(df, st.docCount))
+        case Precision.DoubleOracle =>
+          new TfIdfDoubleScorer(boost * TfIdf.idfD(df, st.docCount))
+      }
+      case Similarity.Bool => new ConstScorer(boost)
     }
 
   // ------------------------------------------------------------ blocks
@@ -902,14 +920,25 @@ final class IndexSearcher(
     val ts = termStats(terms)
     val scorer: SimScorer =
       if (terms.exists(t => !ts.contains(t))) new ConstScorer(0.0)
-      else precision match {
-        case Precision.FloatExact =>
-          // idf summed in a double over float per-term idfs (ref :160-169)
-          val idf = terms.map(t => Bm25.idf(ts(t).docFreq, stats.docCount).toDouble).sum
-          new Bm25FloatScorer(k1.toFloat, b.toFloat, idf.toFloat, Bm25.avgFieldLength(stats))
-        case Precision.DoubleOracle =>
-          val idf = terms.map(t => Bm25.idfD(ts(t).docFreq, stats.docCount)).sum
-          new Bm25DoubleScorer(k1, b, idf, Bm25.avgFieldLengthD(stats))
+      else similarity match {
+        case Similarity.Bm25 => precision match {
+          case Precision.FloatExact =>
+            // idf summed in a double over float per-term idfs (ref :160-169)
+            val idf = terms.map(t => Bm25.idf(ts(t).docFreq, stats.docCount).toDouble).sum
+            new Bm25FloatScorer(k1.toFloat, b.toFloat, idf.toFloat, Bm25.avgFieldLength(stats))
+          case Precision.DoubleOracle =>
+            val idf = terms.map(t => Bm25.idfD(ts(t).docFreq, stats.docCount)).sum
+            new Bm25DoubleScorer(k1, b, idf, Bm25.avgFieldLengthD(stats))
+        }
+        case Similarity.Classic => precision match {
+          // phrase weight = boost * Σ per-term idf (ref PhraseWeight idfExplain)
+          case Precision.FloatExact =>
+            val idf = terms.map(t => TfIdf.idf(ts(t).docFreq, stats.docCount).toDouble).sum
+            new TfIdfFloatScorer(idf.toFloat)
+          case Precision.DoubleOracle =>
+            new TfIdfDoubleScorer(terms.map(t => TfIdf.idfD(ts(t).docFreq, stats.docCount)).sum)
+        }
+        case Similarity.Bool => new ConstScorer(1.0)
       }
     phraseFreqs(terms, textByDocId).toDF("docId", "freq")
       .join(docsTable.select($"docId", $"norm"), "docId")

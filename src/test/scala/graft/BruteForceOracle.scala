@@ -9,7 +9,10 @@ import graft.search._
   * (pattern from the reference's `TestWANDScorer.java:729+` randomized duels).
   * Same float formula chain, exhaustive evaluation, no index.
   */
-final class BruteForceOracle(pages: Seq[Page], analyzer: StandardAnalyzer) {
+final class BruteForceOracle(
+    pages: Seq[Page], analyzer: StandardAnalyzer,
+    similarity: Similarity = Similarity.Bm25
+) {
 
   /** docId = rank of url in sorted order (the engine's assignment spec). */
   val sorted: Vector[Page] = pages.sortBy(_.url).toVector
@@ -21,18 +24,21 @@ final class BruteForceOracle(pages: Seq[Page], analyzer: StandardAnalyzer) {
 
   def docFreq(term: String): Long = docTf.count(_._1.containsKey(term)).toLong
 
-  private val scorerCache = scala.collection.mutable.HashMap[(String, Double), Bm25FloatScorer]()
-  private def scorer(term: String, boost: Double): Bm25FloatScorer =
-    scorerCache.getOrElseUpdate((term, boost), {
-      val df = docFreq(term)
+  private def mkScorer(df: Long, boost: Double): SimScorer = similarity match {
+    case Similarity.Bm25 =>
       // boost folds into the float weight, same expression as the engine
       new Bm25FloatScorer(1.2f, 0.75f, boost.toFloat * Bm25.idf(df, docCount), avgdl)
-    })
-
-  private def synScorer(sq: SynonymQuery, boost: Double): Bm25FloatScorer = {
-    val df = sq.synonyms.map(docFreq).max
-    new Bm25FloatScorer(1.2f, 0.75f, boost.toFloat * Bm25.idf(df, docCount), avgdl)
+    case Similarity.Classic =>
+      new TfIdfFloatScorer(boost.toFloat * TfIdf.idf(df, docCount))
+    case Similarity.Bool => new ConstScorer(boost)
   }
+
+  private val scorerCache = scala.collection.mutable.HashMap[(String, Double), SimScorer]()
+  private def scorer(term: String, boost: Double): SimScorer =
+    scorerCache.getOrElseUpdate((term, boost), mkScorer(docFreq(term), boost))
+
+  private def synScorer(sq: SynonymQuery, boost: Double): SimScorer =
+    mkScorer(sq.synonyms.map(docFreq).max, boost)
 
   /** None = no match; Some(score). */
   def eval(q: Query, doc: Int): Option[Double] = {

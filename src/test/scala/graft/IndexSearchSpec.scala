@@ -74,6 +74,36 @@ class IndexSearchSpec extends SparkTestBase {
     }
   }
 
+  test("classic (TF-IDF) similarity duel: engine == oracle, pruned == exhaustive") {
+    val classic = new IndexSearcher(spark, Seq(Manifest.read(segDir).get),
+      similarity = Similarity.Classic)
+    val classicOracle = new BruteForceOracle(pagesLocal, StandardAnalyzer.Default,
+      similarity = Similarity.Classic)
+    for (qs <- queryStrings :+ "court^2 OR law") {
+      val q = Query.parse(qs)
+      val expected = classicOracle.topK(q, 10)
+      val pruned = classic.topK(q, 10, pruning = true).collect()
+        .map(s => (s.docId, s.score)).toSeq
+      val exhaustive = classic.topK(q, 10, pruning = false).collect()
+        .map(s => (s.docId, s.score)).toSeq
+      assert(pruned == exhaustive, s"classic pruning changed results for: $qs")
+      assert(pruned == expected, s"classic engine != oracle for: $qs")
+    }
+  }
+
+  test("boolean similarity: every match scores its boost") {
+    val bool = new IndexSearcher(spark, Seq(Manifest.read(segDir).get),
+      similarity = Similarity.Bool)
+    val boolOracle = new BruteForceOracle(pagesLocal, StandardAnalyzer.Default,
+      similarity = Similarity.Bool)
+    for (qs <- Seq("court", "court AND law", "court^2 OR law")) {
+      val q = Query.parse(qs)
+      val got = bool.topK(q, 10).collect().map(s => (s.docId, s.score)).toSeq
+      assert(got == boolOracle.topK(q, 10), s"bool engine != oracle for: $qs")
+      assert(got.nonEmpty)
+    }
+  }
+
   test("synonym query duel: engine == oracle, pruned == exhaustive") {
     for (syns <- Seq(Seq("court", "law"), Seq("the", "data"), Seq("bebe", "state"))) {
       val q = SynonymQuery(syns)
