@@ -98,6 +98,31 @@ object Intervals {
     def required: Seq[String] = small.required ++ big.required
   }
 
+  /** Intervals of `minuend` that contain NO interval of `subtrahend`
+    * (ref `Intervals.notContaining`). The subtrahend's terms are decoded
+    * but never required — a doc without them matches trivially.
+    */
+  final case class NotContaining(minuend: Source, subtrahend: Source) extends Source {
+    def terms: Seq[String] = minuend.terms ++ subtrahend.terms
+    def required: Seq[String] = minuend.required
+  }
+
+  /** Intervals of `small` NOT lying within any interval of `big`
+    * (ref `Intervals.notContainedBy`).
+    */
+  final case class NotContainedBy(small: Source, big: Source) extends Source {
+    def terms: Seq[String] = small.terms ++ big.terms
+    def required: Seq[String] = small.required
+  }
+
+  /** Intervals of `minuend` that do not overlap any interval of
+    * `subtrahend` (ref `Intervals.nonOverlapping`).
+    */
+  final case class NonOverlapping(minuend: Source, subtrahend: Source) extends Source {
+    def terms: Seq[String] = minuend.terms ++ subtrahend.terms
+    def required: Seq[String] = minuend.required
+  }
+
   // ---------------------------------------------------------- evaluation
 
   // Intervals pack as (start << 32) | end; lists sorted by start (and,
@@ -178,6 +203,21 @@ object Intervals {
       if (b.isEmpty) Array.emptyLongArray
       else s.filter(iv => b.exists(bv =>
         startOf(iv) >= startOf(bv) && endOf(iv) <= endOf(bv)))
+    case NotContaining(minuend, subtrahend) =>
+      val a = eval(minuend, pos); val b = eval(subtrahend, pos)
+      if (b.isEmpty) a
+      else a.filter(iv => !b.exists(sv =>
+        startOf(sv) >= startOf(iv) && endOf(sv) <= endOf(iv)))
+    case NotContainedBy(small, big) =>
+      val a = eval(small, pos); val b = eval(big, pos)
+      if (b.isEmpty) a
+      else a.filter(iv => !b.exists(bv =>
+        startOf(iv) >= startOf(bv) && endOf(iv) <= endOf(bv)))
+    case NonOverlapping(minuend, subtrahend) =>
+      val a = eval(minuend, pos); val b = eval(subtrahend, pos)
+      if (b.isEmpty) a
+      else a.filter(iv => !b.exists(bv =>
+        startOf(bv) <= endOf(iv) && endOf(bv) >= startOf(iv)))
   }
 
   /** Contiguous chains: child k+1's interval starts at prev end + 1. DFS

@@ -69,6 +69,23 @@ class IntervalsSpec extends SparkTestBase {
     assert(ivs(ContainedBy(Term("b"), Phrase(Seq(Term("a"), Term("c")))), pos) == Seq.empty)
   }
 
+  test("notContaining / notContainedBy / nonOverlapping") {
+    val pos = Map("a" -> Array(1, 10), "b" -> Array(6, 14), "c" -> Array(3))
+    val win = Unordered(Seq(Term("a"), Term("b"))) // minimal: [1,6], [6,10], [10,14]
+    // [1,6] contains c@3; the others don't
+    assert(ivs(NotContaining(win, Term("c")), pos) == Seq((6, 10), (10, 14)))
+    // absent subtrahend: minuend passes through
+    assert(ivs(NotContaining(win, Term("zz")), pos) == Seq((1, 6), (6, 10), (10, 14)))
+    // a@1 is inside window [1,6] of unordered(b,c)=[3,6]? no — [3,6] doesn't cover 1;
+    // c@3 IS inside [1,6]: not-contained-by drops it
+    assert(ivs(NotContainedBy(Term("c"), win), pos) == Seq.empty)
+    assert(ivs(NotContainedBy(Term("a"), Unordered(Seq(Term("b"), Term("c")))), pos)
+      == Seq((1, 1), (10, 10)))
+    // nonOverlapping: windows touching c@3 drop
+    assert(ivs(NonOverlapping(win, Term("c")), pos) == Seq((6, 10), (10, 14)))
+    assert(ivs(NonOverlapping(Term("b"), win), pos) == Seq.empty) // b inside every window
+  }
+
   test("composition: near(phrase(a,b), c) with width bound") {
     val pos = Map("a" -> Array(10), "b" -> Array(11), "c" -> Array(14, 30))
     val src = MaxWidth(Unordered(Seq(Phrase(Seq(Term("a"), Term("b"))), Term("c"))), 6)
@@ -117,6 +134,15 @@ class IntervalsSpec extends SparkTestBase {
       case ContainedBy(s, b) =>
         val bv = brute(b, pos)
         brute(s, pos).filter(iv => bv.exists(x => iv._1 >= x._1 && iv._2 <= x._2))
+      case NotContaining(m, s) =>
+        val sv = brute(s, pos)
+        brute(m, pos).filterNot(iv => sv.exists(x => x._1 >= iv._1 && x._2 <= iv._2))
+      case NotContainedBy(s, b) =>
+        val bv = brute(b, pos)
+        brute(s, pos).filterNot(iv => bv.exists(x => iv._1 >= x._1 && iv._2 <= x._2))
+      case NonOverlapping(m, s) =>
+        val sv = brute(s, pos)
+        brute(m, pos).filterNot(iv => sv.exists(x => x._1 <= iv._2 && x._2 >= iv._1))
     }
   }
 
@@ -133,7 +159,11 @@ class IntervalsSpec extends SparkTestBase {
       MaxWidth(Ordered(Seq(Term("a"), Or(Seq(Term("b"), Term("c"))))), 6),
       Unordered(Seq(Phrase(Seq(Term("a"), Term("b"))), Term("c"))),
       Containing(Unordered(Seq(Term("a"), Term("b"))), Term("c")),
-      ContainedBy(Term("c"), Unordered(Seq(Term("a"), Term("b")))))
+      ContainedBy(Term("c"), Unordered(Seq(Term("a"), Term("b")))),
+      NotContaining(Unordered(Seq(Term("a"), Term("b"))), Term("c")),
+      NotContainedBy(Term("c"), Unordered(Seq(Term("a"), Term("b")))),
+      NonOverlapping(Unordered(Seq(Term("a"), Term("b"))), Term("c")),
+      NonOverlapping(Phrase(Seq(Term("a"), Term("b"))), Unordered(Seq(Term("b"), Term("c")))))
     for (trial <- 0 until 300) {
       val pos = Seq("a", "b", "c").map { t =>
         val n = rnd.nextInt(5)
@@ -191,7 +221,11 @@ class IntervalsSpec extends SparkTestBase {
       MaxWidth(Or(Seq(Phrase(Seq(Term("the"), Term("court"))),
         Phrase(Seq(Term("the"), Term("law"))))), 2),
       Containing(MaxWidth(Unordered(Seq(Term("court"), Term("state"))), 15), Term("law")),
-      ContainedBy(Term("law"), MaxWidth(Unordered(Seq(Term("court"), Term("state"))), 15)))
+      ContainedBy(Term("law"), MaxWidth(Unordered(Seq(Term("court"), Term("state"))), 15)),
+      NotContaining(MaxWidth(Unordered(Seq(Term("court"), Term("state"))), 15), Term("law")),
+      NotContainedBy(Term("law"), MaxWidth(Unordered(Seq(Term("court"), Term("state"))), 15)),
+      NonOverlapping(MaxWidth(Unordered(Seq(Term("court"), Term("law"))), 8),
+        Phrase(Seq(Term("the"), Term("state")))))
     for (src <- sources) {
       val indexed = se.intervalHits(src).collect()
         .map { case (d, n, w) => urlOf(d) -> (n, w) }.toMap
