@@ -514,6 +514,12 @@ object SparkEntry {
         .orderBy($"doc_freq".desc, $"term".asc)
         .limit(10)
     }),
+    "ft_fuzzy_suggest" -> ((s, d) => {
+      // fuzzy-prefix autocomplete (ref suggest/analyzing/FuzzySuggester):
+      // 'sca' -> completions of any prefix within 1 Damerau edit
+      // (scan exact, small via c->m, spark via c->p)
+      searcherFor(s, d).fuzzySuggest("sca", maxEdits = 1, n = 10)
+    }),
     "ft_knn_classify" -> ((s, d) => {
       // classification module re-expression (KNearestNeighborClassifier):
       // BM25 top-k neighbors of the query text vote by their source label
@@ -1074,6 +1080,15 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
         |SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok
         |WHERE term LIKE 'st%' GROUP BY term
+        |ORDER BY doc_freq DESC, term ASC LIMIT 10""".stripMargin,
+    "ft_fuzzy_suggest" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY term)
+        |SELECT term, doc_freq FROM df
+        |WHERE term LIKE 's%'
+        |  AND (damerau_levenshtein('sca', substring(term, 1, 2)) <= 1
+        |    OR damerau_levenshtein('sca', substring(term, 1, 3)) <= 1
+        |    OR damerau_levenshtein('sca', substring(term, 1, 4)) <= 1)
         |ORDER BY doc_freq DESC, term ASC LIMIT 10""".stripMargin,
     "ft_knn_classify" ->
       (bm25Scored(Seq("data", "query", "stream"), "TRUE") +

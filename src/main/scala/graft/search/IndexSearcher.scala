@@ -530,6 +530,39 @@ final class IndexSearcher(
       .limit(n)
   }
 
+  /** Fuzzy-prefix autocomplete — the re-expression of
+    * `lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/FuzzySuggester.java`
+    * (defaults mirrored: maxEdits=1, transpositions via Damerau,
+    * nonFuzzyPrefix=1 exact leading chars, minFuzzyLength=3 below which the
+    * match is exact-prefix). A term completes the query iff some prefix of
+    * it is within maxEdits of the query; only prefix lengths within
+    * maxEdits of |q| can qualify (length difference lower-bounds edit
+    * distance), so the predicate is a fixed 2·maxEdits+1-way OR of the
+    * codegen'd `damerau_le` over substrings. The exact nonFuzzyPrefix
+    * becomes a dictionary range PushedFilter (the automaton-FST
+    * intersection's scan bound). Ranked by summed docFreq.
+    */
+  def fuzzySuggest(
+      q: String, maxEdits: Int = 1, nonFuzzyPrefix: Int = 1,
+      minFuzzyLength: Int = 3, n: Int = 10
+  ): DataFrame = {
+    val base = termsDictWithLen.where($"term".startsWith(q.take(nonFuzzyPrefix)))
+    val matched =
+      if (q.length < minFuzzyLength) base.where($"term".startsWith(q))
+      else {
+        val anyPrefixWithin = ((q.length - maxEdits) to (q.length + maxEdits))
+          .filter(_ >= 1)
+          .map(k => graft.functions.EditDistance
+            .damerauLe(lit(q), substring($"term", 1, k), maxEdits) >= 0)
+          .reduce(_ || _)
+        base.where(anyPrefixWithin)
+      }
+    matched
+      .groupBy($"term").agg(sum($"docFreq").as("doc_freq"))
+      .orderBy($"doc_freq".desc, $"term".asc)
+      .limit(n)
+  }
+
   /** All matching docIds (no scoring) — the FILTER/semi-join path feeding
     * facets, grouping, and joins.
     */

@@ -74,6 +74,30 @@ class IndexSearchSpec extends SparkTestBase {
     }
   }
 
+  test("fuzzy suggest duel: prefix-edit-distance completions == brute force") {
+    import graft.functions.EditDistance
+    for (q <- Seq("stae", "cort", "lwa", "st")) {
+      val got = searcher.fuzzySuggest(q, maxEdits = 1, n = 10).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      // brute force over the oracle's dictionary: min prefix distance <= 1,
+      // first char exact, exact prefix below minFuzzyLength
+      val df = scala.collection.mutable.Map[String, Long]()
+      oracle.docTf.foreach(_._1.keySet.forEach(t => df(t) = df.getOrElse(t, 0L) + 1))
+      val expected = df.toSeq
+        .filter { case (t, _) =>
+          t.startsWith(q.take(1)) && {
+            if (q.length < 3) t.startsWith(q)
+            else (math.max(1, q.length - 1) to (q.length + 1))
+              .exists(k => k <= t.length &&
+                EditDistance.damerauWithin(q, t.substring(0, k), 1) >= 0)
+          }
+        }
+        .sortBy { case (t, n) => (-n, t) }.take(10)
+      assert(got == expected, s"fuzzy suggest mismatch for '$q': $got vs $expected")
+      assert(expected.nonEmpty, s"vacuous fuzzy suggest duel for '$q'")
+    }
+  }
+
   test("classic (TF-IDF) similarity duel: engine == oracle, pruned == exhaustive") {
     val classic = new IndexSearcher(spark, Seq(Manifest.read(segDir).get),
       similarity = Similarity.Classic)
