@@ -26,13 +26,19 @@ object OracleSql {
 
   private def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
 
+  /** Default token source: the corpus itself (space-split == analyzer). */
+  val defaultTok: String =
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents"
+
   /** Shared CTE prefix: tokens, per-doc (raw, quantized) lengths, collection
-    * stats, per-(doc, term) freqs and BM25 scores for `terms`.
+    * stats, per-(doc, term) freqs and BM25 scores for `terms`. `tokSql`
+    * overrides the token source (e.g. a stemmed or derived token stream) —
+    * it must yield (doc_id, term) rows.
     */
-  def bm25Ctes(terms: Seq[String]): String = {
+  def bm25Ctes(terms: Seq[String], tokSql: String = defaultTok): String = {
     val termList = terms.map(sqlStr).mkString(", ")
     s"""WITH tok AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+       |  $tokSql
        |), dlen AS (
        |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
        |), qlen AS (
@@ -63,8 +69,9 @@ object OracleSql {
   /** Top-k BM25: score = sum over matched `scoreTerms`; `pred` restricts the
     * matching docs (SQL over `scored`, may reference `tok`).
     */
-  def bm25TopK(scoreTerms: Seq[String], pred: String, k: Int): String =
-    s"""${bm25Ctes(scoreTerms)}, scored AS (
+  def bm25TopK(scoreTerms: Seq[String], pred: String, k: Int,
+      tokSql: String = defaultTok): String =
+    s"""${bm25Ctes(scoreTerms, tokSql)}, scored AS (
        |  SELECT doc_id, sum(s) AS score, count(*) AS nmatch FROM sc GROUP BY doc_id
        |)
        |SELECT doc_id, round(score, 6) AS score FROM scored
@@ -110,6 +117,43 @@ object OracleSql {
        |), ranked AS (
        |  SELECT doc_id, round(score, 6) AS score FROM scored WHERE $pred
        |)""".stripMargin
+
+  /** The Harman S-stemmer as a SQL CASE over expression `v` — an
+    * independent DuckDB replica of the rule table in
+    * [[graft.analysis.EnglishMinimalStemmer]] (the differential oracle for
+    * the stemming analysis chain).
+    */
+  def minimalStemCase(v: String): String =
+    s"""CASE WHEN len($v) < 3 OR substr($v, len($v), 1) <> 's' THEN $v
+       |  WHEN substr($v, len($v)-1, 1) IN ('u','s') THEN $v
+       |  WHEN substr($v, len($v)-1, 1) = 'e' THEN
+       |    CASE WHEN len($v) > 3 AND substr($v, len($v)-2, 1) = 'i'
+       |              AND substr($v, len($v)-3, 1) NOT IN ('a','e')
+       |           THEN substr($v, 1, len($v)-3) || 'y'
+       |         WHEN substr($v, len($v)-2, 1) IN ('i','a','o','u') THEN $v
+       |         ELSE substr($v, 1, len($v)-1) END
+       |  ELSE substr($v, 1, len($v)-1) END""".stripMargin
+
+  /** Deterministic morphological variant of token `w` at 1-based position
+    * `i`: 'query' always becomes 'queries'; every 3rd token gets '-s', every
+    * 3rd+1 '-es'. Mirrors the Spark-side derivation in the `ft_stem_topk`
+    * entry exactly (0-based transform index k = i - 1).
+    */
+  def pluralizeCase(w: String, i: String): String =
+    s"""CASE WHEN $w = 'query' THEN 'queries'
+       |  WHEN ($i - 1) % 3 = 1 THEN $w || 's'
+       |  WHEN ($i - 1) % 3 = 2 THEN $w || 'es'
+       |  ELSE $w END""".stripMargin
+
+  /** Token source for the stemmed-index oracle: pluralize the corpus
+    * deterministically, then stem every token with the S-stemmer CASE.
+    */
+  val stemTok: String =
+    s"""SELECT doc_id, ${minimalStemCase("v")} AS term FROM (
+       |    SELECT doc_id, ${pluralizeCase("w", "i")} AS v FROM (
+       |      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |             generate_subscripts(string_split(text, ' '), 1) AS i
+       |      FROM documents))""".stripMargin
 
   /** Matching doc_ids (no scores). */
   def matchIds(terms: Seq[String], pred: String): String =

@@ -63,6 +63,8 @@ object SparkEntry {
   def clearIndexCache(sfDir: String): Unit = {
     searchers.remove(sfDir)
     fieldSearchers.remove(sfDir)
+    classicSearchers.remove(sfDir)
+    stemSearchers.remove(sfDir)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit
@@ -148,6 +150,39 @@ object SparkEntry {
       val base = searcherFor(spark, sfDir)
       new IndexSearcher(spark, base.segments, precision = Precision.DoubleOracle,
         k1 = K1, b = B, similarity = graft.search.Similarity.Classic)
+    })
+
+  private val stemSearchers = TrieMap[String, IndexSearcher]()
+
+  /** Index over a deterministically pluralized derivation of `documents`
+    * ('query' → 'queries'; every 3rd token '-s', every 3rd+1 '-es'), built
+    * AND queried through the `minimal` stemming filter
+    * (ref `analysis/common/.../en/EnglishMinimalStemFilter.java`):
+    * morphological variants conflate to one posting on both paths, so
+    * `queries` finds docs that only contain `querys`/`query`.
+    */
+  private def stemSearcherFor(spark: SparkSession, sfDir: String): IndexSearcher =
+    stemSearchers.getOrElseUpdate(sfDir, {
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createDirectories(indexDirFor(sfDir))
+        .toString
+      val derived = transform(split($"text", " "), (w, i) =>
+        when(w === "query", lit("queries"))
+          .when(i % 3 === 1, concat(w, lit("s")))
+          .when(i % 3 === 2, concat(w, lit("es")))
+          .otherwise(w))
+      val pages = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(format_string("doc%012d", $"doc_id").as("url"),
+          array_join(derived, " ").as("text"))
+        .as[(String, String)]
+      val cfg = IndexConfig(bucketShift = 8, numPostingPartitions = 8,
+        numDocPartitions = 4, termFilter = "minimal")
+      IndexBuilder.buildSegment(pages, s"$dir/segstem", cfg)
+      new IndexSearcher(spark, Seq(Manifest.read(s"$dir/segstem").get),
+        analyzer = new graft.analysis.StandardAnalyzer(
+          filter = graft.analysis.EnglishMinimalStemmer),
+        precision = Precision.DoubleOracle, k1 = K1, b = B)
     })
 
   private def ftMatch(spark: SparkSession, sfDir: String, q: Query): DataFrame = {
@@ -654,6 +689,59 @@ object SparkEntry {
     "text_termstats" -> ((s, d) =>
       TextOps.termStats(docsDf(s, d), "doc_id", "text")
         .orderBy(col("doc_freq").desc, col("term").asc).limit(25)),
+    "text_shingles" -> ((s, d) =>
+      // 2-gram shingle stats (ref analysis/shingle/ShingleFilter): narrow
+      // codegen'd window expansion + partial-agg count
+      TextOps.shingleStats(docsDf(s, d), "doc_id", "text", n = 2)
+        .orderBy(col("n").desc, col("shingle").asc).limit(25)),
+    "text_stem_minimal" -> ((s, d) => {
+      // differential stemmer check: the Scala rule table
+      // (EnglishMinimalStemmer) vs an independent SQL CASE replica in the
+      // oracle, over every corpus term x 6 suffix variants
+      import s.implicits._
+      docsDf(s, d).select(explode(split($"text", " ")).as("term"))
+        .distinct().as[String]
+        .flatMap(t => Seq("", "s", "es", "ies", "ss", "us").map { sfx =>
+          val v = t + sfx
+          (t, v, graft.analysis.EnglishMinimalStemmer(v))
+        })
+        .toDF("term", "variant", "stemmed")
+        .orderBy($"term", $"variant")
+    }),
+    "text_fold" -> ((s, d) => {
+      // accent folding: Scala NFD-decompose-and-strip vs DuckDB's
+      // independent ICU strip_accents, over accent-injected corpus terms
+      import s.implicits._
+      docsDf(s, d).select(explode(split($"text", " ")).as("term"))
+        .distinct()
+        .select(col("term"), translate(col("term"), "aeiou", "áéíóü").as("accented"))
+        .as[(String, String)]
+        .map { case (t, a) => (t, a, graft.analysis.AsciiFolding(a)) }
+        .toDF("term", "accented", "folded")
+        .orderBy($"term")
+    }),
+    "ft_stem_topk" -> ((s, d) => {
+      // stemmed-analyzer engine path: build + query through the minimal
+      // stemmer; 'queries OR tables' matches the conflated postings
+      val se = stemSearcherFor(s, d)
+      import s.implicits._
+      val q = se.parse("queries OR tables")
+      se.fetchDocs(topKVerified(se, q, 10))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc)
+        .limit(10)
+    }),
+    "ft_nb_classify" -> ((s, d) => {
+      // Naive Bayes classification (ref SimpleNaiveBayesClassifier): train
+      // on 90% of docs (doc_id % 10 != 0), predict lang for the rest
+      val docs = docsDf(s, d)
+      graft.pipeline.Classify.naiveBayes(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", "lang")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- multimodal plumbing (stubbed decode, real schema/batching)
     "mm_meta" -> ((s, d) =>
@@ -1308,6 +1396,53 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, CASE WHEN ratio >= 0.02 THEN 'en' ELSE 'und' END AS lang_pred,
         |       round(ratio, 4) AS stop_ratio
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "text_shingles" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |w AS (SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i FROM t),
+        |nx AS (SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS nw FROM w)
+        |SELECT w || '_' || nw AS shingle, count(*) AS n FROM nx WHERE nw IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, shingle ASC LIMIT 25""".stripMargin,
+    "text_stem_minimal" ->
+      s"""WITH t AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term FROM documents),
+         |v AS (SELECT term, term || s AS variant
+         |      FROM t, (VALUES (''),('s'),('es'),('ies'),('ss'),('us')) sfx(s))
+         |SELECT term, variant, ${OracleSql.minimalStemCase("variant")} AS stemmed
+         |FROM v ORDER BY term, variant""".stripMargin,
+    "text_fold" ->
+      """WITH t AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT term, translate(term, 'aeiou', 'áéíóü') AS accented,
+        |       strip_accents(translate(term, 'aeiou', 'áéíóü')) AS folded
+        |FROM t ORDER BY term""".stripMargin,
+    "ft_stem_topk" -> bm25TopK(Seq("query", "table"), "TRUE", 10, OracleSql.stemTok),
+    "ft_nb_classify" ->
+      """WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 <> 0),
+        |test AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |ttok AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM train),
+        |ctf AS (SELECT lang, term, count(*)::DOUBLE AS ctf FROM ttok GROUP BY 1, 2),
+        |ctot AS (SELECT lang, sum(ctf) AS tot FROM ctf GROUP BY 1),
+        |nd AS (SELECT lang, count(*)::DOUBLE AS ndocs FROM train GROUP BY 1),
+        |tn AS (SELECT count(*)::DOUBLE AS n FROM train),
+        |voc AS (SELECT DISTINCT term FROM ctf),
+        |vs AS (SELECT count(*)::DOUBLE AS v FROM voc),
+        |qtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM test),
+        |qtf AS (SELECT doc_id, term, count(*)::DOUBLE AS tfd
+        |        FROM qtok JOIN voc USING (term) GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, sum(tfd) AS dlen FROM qtf GROUP BY 1),
+        |hit AS (SELECT doc_id, lang, sum(tfd * ln(ctf + 1)) AS hit
+        |        FROM qtf JOIN ctf USING (term) GROUP BY 1, 2),
+        |cconst AS (SELECT lang, ln(ndocs / (SELECT n FROM tn)) AS lprior,
+        |                  ln(tot + (SELECT v FROM vs)) AS ldenom
+        |           FROM nd JOIN ctot USING (lang)),
+        |scored AS (SELECT d.doc_id, c.lang,
+        |                  c.lprior + coalesce(h.hit, 0) - d.dlen * c.ldenom AS score
+        |           FROM dlen d CROSS JOIN cconst c
+        |           LEFT JOIN hit h ON h.doc_id = d.doc_id AND h.lang = c.lang),
+        |ranked AS (SELECT doc_id, lang, score,
+        |                  row_number() OVER (PARTITION BY doc_id
+        |                    ORDER BY round(score, 6) DESC, lang ASC) AS rn
+        |           FROM scored)
+        |SELECT doc_id, lang AS pred, round(score, 6) AS score
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
   )
 }

@@ -32,8 +32,14 @@ final case class Token(term: String, position: Int, startOffset: Int, endOffset:
   */
 final class StandardAnalyzer(
     val stopwords: Set[String] = Set.empty,
-    val maxTokenLength: Int = 255
+    val maxTokenLength: Int = 255,
+    val filter: TermFilter = TermFilter.Identity
 ) extends Serializable {
+
+  // the filter runs AFTER stop filtering, matching the reference chain
+  // (`lucene/analysis/common/.../en/EnglishAnalyzer.java:108-113`:
+  // LowerCaseFilter -> StopFilter -> PorterStemFilter)
+  private val noFilter = filter eq TermFilter.Identity
 
   import StandardAnalyzer._
 
@@ -49,7 +55,8 @@ final class StandardAnalyzer(
       if (isIdeographic(cp)) {
         position += 1
         val term = lowerCp(cp)
-        if (!stopwords.contains(term)) out += Token(term, position, i, i + cc)
+        if (!stopwords.contains(term))
+          out += Token(if (noFilter) term else filter(term), position, i, i + cc)
         i += cc
       } else if (isWordStart(cp)) {
         // scan a word run
@@ -113,7 +120,8 @@ final class StandardAnalyzer(
       }
       val term = lower(text.substring(s, e))
       position += 1
-      if (!stopwords.contains(term)) out += Token(term, position, s, e)
+      if (!stopwords.contains(term))
+        out += Token(if (noFilter) term else filter(term), position, s, e)
       s = e
     }
     position
@@ -131,7 +139,7 @@ final class StandardAnalyzer(
       val cc = Character.charCount(cp)
       if (isIdeographic(cp)) {
         val term = lowerCp(cp)
-        if (!stopwords.contains(term)) f(term)
+        if (!stopwords.contains(term)) f(if (noFilter) term else filter(term))
         i += cc
       } else if (isWordStart(cp)) {
         val start = i
@@ -167,7 +175,7 @@ final class StandardAnalyzer(
               cpCount += 1
             }
             val term = lower(text.substring(s, e))
-            if (!stopwords.contains(term)) f(term)
+            if (!stopwords.contains(term)) f(if (noFilter) term else filter(term))
             s = e
           }
         }

@@ -34,9 +34,15 @@ final case class IndexConfig(
     // `index/IndexWriterConfig.java` setIndexSort. Default: global url
     // rank. docIDs are the global rank in (key, url) order either way,
     // so assignment stays deterministic and resume-safe.
-    indexSortExpr: String = "url"
+    indexSortExpr: String = "url",
+    // tail-of-chain term filter (ref `analysis/TokenFilter.java` pipelines):
+    // none | minimal (Harman S-stemmer) | porter | fold (accent folding).
+    // A name, not a closure, so configs serialize into executor closures
+    // and manifests cleanly.
+    termFilter: String = "none"
 ) {
-  def analyzer: StandardAnalyzer = new StandardAnalyzer(stopwords, maxTokenLength)
+  def analyzer: StandardAnalyzer =
+    new StandardAnalyzer(stopwords, maxTokenLength, graft.analysis.TermFilter.byName(termFilter))
 }
 
 /** Builds an inverted-index segment from a corpus of (docKey, text) rows.
@@ -80,6 +86,7 @@ object IndexBuilder {
     val parts = cfg.numDocPartitions
     val stop = cfg.stopwords
     val maxLen = cfg.maxTokenLength
+    val filterName = cfg.termFilter
     // InternalRow RDD of the sorted plan: no per-row object allocation in
     // the count job, and one shared shuffle stage across both jobs.
     // Index sorting (ref `index/IndexWriterConfig.java` setIndexSort):
@@ -106,7 +113,7 @@ object IndexBuilder {
     val offsets = counts.scanLeft(0L)(_ + _)
     val withPositions = cfg.storePositions
     val docTokens = sortedRows.mapPartitionsWithIndex { (pid, it) =>
-      val analyzer = new StandardAnalyzer(stop, maxLen)
+      val analyzer = new StandardAnalyzer(stop, maxLen, graft.analysis.TermFilter.byName(filterName))
       var id = offsets(pid)
       it.map { row =>
         val url = row.getString(0)
@@ -177,6 +184,7 @@ object IndexBuilder {
     val parts = cfg.numDocPartitions
     val stop = cfg.stopwords
     val maxLen = cfg.maxTokenLength
+    val filterName = cfg.termFilter
     val sortedRows = pages
       .toDF("_1", "_2")
       .repartitionByRange(parts, $"_1")
@@ -191,7 +199,7 @@ object IndexBuilder {
     val withPositions = cfg.storePositions
     val posGap = cfg.positionIncrementGap
     val docTokens = sortedRows.mapPartitionsWithIndex { (pid, it) =>
-      val analyzer = new StandardAnalyzer(stop, maxLen)
+      val analyzer = new StandardAnalyzer(stop, maxLen, graft.analysis.TermFilter.byName(filterName))
       var id = offsets(pid)
       it.map { row =>
         val url = row.getString(0)

@@ -137,4 +137,29 @@ object TextOps {
 
   def fingerprintRolling(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), rollingHash(col(textCol)).as("rhash"))
+
+  /** Word n-gram shingles as a codegen'd column op — the stream-transform
+    * re-expression of the reference's shingle filter
+    * (`/root/reference/lucene/analysis/common/src/java/org/apache/lucene/analysis/shingle/ShingleFilter.java`):
+    * each output row is `n` consecutive tokens joined by `sep`. At 100 TB
+    * this is a narrow per-row expansion (no shuffle) feeding whatever
+    * aggregation wants shingles (dedup signatures, phrase stats).
+    */
+  def shinglesCol(text: Column, n: Int, sep: String = "_"): Column = {
+    require(n >= 2, s"shingle size must be >= 2, got $n")
+    val toks = tokensCol(text)
+    // window starts 1..size-n+1 (1-based); explicit guard because
+    // sequence(1, stop) DESCENDS when stop < 1 rather than being empty
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(sep, slice(toks, i, lit(n)))
+      )).otherwise(array().cast("array<string>"))
+  }
+
+  /** Corpus shingle statistics: (shingle, count) over every document. */
+  def shingleStats(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(shinglesCol(col(textCol), n)).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n"))
 }
