@@ -56,7 +56,7 @@ object Bench {
       "ft_phrase_topk", "ft_phrase_slop", "ft_near_topk", "ft_group_top2",
       "ft_field_topk", "ft_msm_topk", "ft_boost_topk", "ft_dismax_topk",
       "ft_facet_range", "ft_highlight_best", "ft_fuzzy_match", "ft_spell",
-      "ft_suggest_infix",
+      "ft_suggest_infix", "ft_stem_topk", "ft_nb_classify", "text_shingles",
       "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_embed",
       "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
       "text_quality", "text_termstats",
