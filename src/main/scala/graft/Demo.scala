@@ -110,8 +110,11 @@ object Demo {
           s"${finalSegs.map(_.docCount).sum} docs total")
       case "search" :: dir :: rest if rest.nonEmpty =>
         val searcher = IndexSearcher.open(spark, dir)
-        val qs = rest.mkString(" ")
-        val q = searcher.parse(qs)
+        // full classic syntax: quoted phrases (positions required), pre*,
+        // w?ld, fuzzy~1, [lo TO hi] — plus the boolean core. Single quotes
+        // double as phrase quotes (CLI convenience: shells and sbt eat ")
+        val qs = rest.mkString(" ").replace('\'', '"')
+        val q = searcher.parseFull(qs)
         println(s"[demo] query: $qs -> $q")
         val t0 = System.nanoTime()
         val hits = searcher.searchDocs(q, 10).collect()

@@ -375,6 +375,19 @@ object SparkEntry {
         .select(docIdOf($"url"), $"sloppy_freq".cast("bigint").as("sloppy_freq"))
         .orderBy($"doc_id")
     }),
+    "ft_classic_parse" -> ((s, d) => {
+      // classic QueryParser syntax end to end: a sloppy quoted phrase as a
+      // first-class scoring clause (PhraseScorer in the conjunction tree)
+      // AND a prefix atom rewritten against the dictionary to constant
+      // score (the MultiTermQuery CONSTANT_SCORE rewrite)
+      val se = searcherFor(s, d)
+      import s.implicits._
+      val q = se.parseFull("\"data query\"~1 AND tab*")
+      se.fetchDocs(topKVerified(se, q, 10))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc)
+        .limit(10)
+    }),
     "ft_near_topk" -> ((s, d) => {
       // interval query: unordered near(data, query) within a width-8 window
       // (ref queries/intervals/Intervals.java), ranked by best proximity —
@@ -1026,6 +1039,35 @@ object SparkEntry {
          |    (SELECT w FROM widf) - (SELECT w FROM widf) / (1 + pf.freq *
          |      (1.0 / (1.2 * (0.25 + 0.75 * qlen.qdl / (SELECT avgdl FROM stats))))) AS score
          |  FROM pf JOIN qlen ON qlen.doc_id = pf.doc_id)
+         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+    "ft_classic_parse" -> {
+      val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
+      // phrase score: tf = ordered-window freq (span <= 2 at slop 1),
+      // idf = idf(data) + idf(query); +1.0 constant for the tab* clause
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         |             generate_subscripts(string_split(text, ' '), 1) AS pos
+         |      FROM documents),
+         |dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |qlen AS (SELECT doc_id, dl,
+         |  (SELECT max(v) FROM (VALUES $vals) b4(v) WHERE v <= dl) AS qdl FROM dlen),
+         |stats AS (SELECT count(*)::DOUBLE AS n,
+         |                 sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dlen),
+         |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+         |       WHERE term IN ('data', 'query') GROUP BY term),
+         |idfsum AS (SELECT sum(ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))) AS idf
+         |           FROM df),
+         |pf AS (SELECT a.doc_id, count(*)::DOUBLE AS f
+         |       FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.pos - a.pos <= 2
+         |       WHERE a.term = 'data' AND b.term = 'query' GROUP BY a.doc_id),
+         |wild AS (SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'tab%'),
+         |sc AS (SELECT pf.doc_id,
+         |         (SELECT idf FROM idfsum) - (SELECT idf FROM idfsum) / (1 + pf.f *
+         |           (1.0 / (1.2 * (0.25 + 0.75 * qlen.qdl / (SELECT avgdl FROM stats)))))
+         |         + 1.0 AS score
+         |       FROM pf JOIN wild USING (doc_id) JOIN qlen ON qlen.doc_id = pf.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM sc
          |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
     },
     "ft_phrase_slop" ->

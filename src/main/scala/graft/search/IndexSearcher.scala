@@ -129,10 +129,45 @@ final class IndexSearcher(
   /** True when any segment carries un-merged deletes. */
   def hasDeletes: Boolean = tombstones.value.exists(!_.isEmpty)
 
-  def parse(s: String): Query = Query.parse(s, t => {
+  def parse(s: String): Query = Query.parse(s, analyzeOne)
+
+  private def analyzeOne(t: String): String = {
     val toks = analyzer.tokens(t)
     if (toks.isEmpty) t else toks.head.term
-  })
+  }
+
+  /** Classic-syntax parser with dictionary-backed multi-term rewrite — the
+    * reference's `QueryParser` + `MultiTermQuery.rewrite(reader)` pairing:
+    * quoted phrases (`"a b"`, `"a b"~2`) become [[PhraseQuery]] nodes
+    * (positional index required); prefix/wildcard/range atoms expand against
+    * the dictionary into constant-score booleans (the reference's
+    * CONSTANT_SCORE rewrite default for those query types,
+    * `MultiTermQuery.java`); fuzzy atoms expand into a scoring boolean (the
+    * closest exact analogue of the top-terms blended rewrite
+    * `FuzzyQuery.java` uses). Expansion is capped at `maxExpansions`
+    * (`IndexSearcher.maxClauseCount` spirit, default 1024).
+    */
+  def parseFull(s: String, maxExpansions: Int = 1024): Query = {
+    def scoringOr(terms: Seq[String]): Query =
+      BoolQuery(terms.map(t => TermQuery(t) -> (Occur.Should: Occur)))
+    def constOr(terms: Seq[String]): Query =
+      ConstScoreQuery(scoringOr(terms), 1.0)
+    val rewriter: MultiTerm => Query = {
+      case MultiTerm.Prefix(p)      => constOr(expandPrefix(p, maxExpansions))
+      case MultiTerm.Wildcard(pat)  => constOr(expandWildcard(pat, maxExpansions))
+      case MultiTerm.Fuzzy(t, edits) =>
+        scoringOr(expandFuzzy(t, maxEdits = edits, max = maxExpansions))
+      case MultiTerm.Range(lo, hi, incLo, incHi) =>
+        val loPred = if (incLo) $"term" >= lo else $"term" > lo
+        val hiPred = if (incHi) $"term" <= hi else $"term" < hi
+        constOr(expandTerms(loPred && hiPred, maxExpansions))
+    }
+    val q = Query.parse(s, analyzeOne, rewriter)
+    if (IndexSearcher.hasPhrase(q))
+      require(segments.forall(_.hasPositions),
+        "phrase syntax needs an index built with storePositions")
+    q
+  }
 
   // ------------------------------------------------------------- stats
 
@@ -266,10 +301,43 @@ final class IndexSearcher(
         Map(Executor.skey(sq.key, boost) -> simScorer(df, st, boost))
       case dm: DisMaxQuery => dm.disjuncts.iterator.flatMap(walk(_, boost)).toMap
       case cs: ConstScoreQuery => walk(cs.query, boost)
+      case pq: PhraseQuery =>
+        Map(Executor.skey(pq.key, boost) -> phraseSim(pq, ts, boost))
       case bq: BoolQuery => bq.clauses.iterator.map(_._1).flatMap(walk(_, boost)).toMap
     }
     walk(query, 1.0)
   }
+
+  /** Phrase weight: tf = phraseFreq, idf = Σ per-term idf (the reference's
+    * multi-term stats blend, `BM25Similarity.java:160-169` — same
+    * construction as [[phraseTopK]]); missing terms make the phrase
+    * unmatchable.
+    */
+  private def phraseSim(pq: PhraseQuery, ts: Map[String, TermStat], boost: Double): SimScorer =
+    if (pq.phraseTerms.exists(t => !ts.contains(t))) new ConstScorer(0.0)
+    else {
+      val st = statsFor(graft.index.FieldKey.fieldOf(pq.phraseTerms.head))
+      similarity match {
+        case Similarity.Bm25 => precision match {
+          case Precision.FloatExact =>
+            val idf = pq.phraseTerms.map(t => Bm25.idf(ts(t).docFreq, st.docCount).toDouble).sum
+            new Bm25FloatScorer(k1.toFloat, b.toFloat,
+              (boost * idf).toFloat, Bm25.avgFieldLength(st))
+          case Precision.DoubleOracle =>
+            val idf = pq.phraseTerms.map(t => Bm25.idfD(ts(t).docFreq, st.docCount)).sum
+            new Bm25DoubleScorer(k1, b, boost * idf, Bm25.avgFieldLengthD(st))
+        }
+        case Similarity.Classic => precision match {
+          case Precision.FloatExact =>
+            val idf = pq.phraseTerms.map(t => TfIdf.idf(ts(t).docFreq, st.docCount).toDouble).sum
+            new TfIdfFloatScorer((boost * idf).toFloat)
+          case Precision.DoubleOracle =>
+            new TfIdfDoubleScorer(
+              boost * pq.phraseTerms.map(t => TfIdf.idfD(ts(t).docFreq, st.docCount)).sum)
+        }
+        case Similarity.Bool => new ConstScorer(boost)
+      }
+    }
 
   private def scorerFor(term: String, ts: Map[String, TermStat], boost: Double): SimScorer =
     ts.get(term) match {
@@ -664,19 +732,7 @@ final class IndexSearcher(
               val live = !tombs.value(seg).contains(d)
               if (live) {
                 val slotPos: Array[Array[Int]] = phrase.map(t => scorerOf(t).positions)
-                val p0 = slotPos(0)
-                var f = 0
-                var j = 0
-                while (j < p0.length) {
-                  var ok = true
-                  var k = 1
-                  while (ok && k < slotPos.length) {
-                    if (java.util.Arrays.binarySearch(slotPos(k), p0(j) + k) < 0) ok = false
-                    k += 1
-                  }
-                  if (ok) f += 1
-                  j += 1
-                }
+                val f = IndexSearcher.countExact(slotPos)
                 if (f > 0) out += ((d + base, f))
               }
               d = lead.nextDoc()
@@ -1011,6 +1067,40 @@ final class IndexSearcher(
       }.toMap
   }
 
+  /** Per-term positions of one (segment, local docId) — the positional
+    * analogue of [[freqNormAt]] (same ≤1-block-per-term point lookup, plus
+    * the .pos payload decode). Terms absent from the doc are absent from
+    * the map; empty when the segment lacks positions.
+    */
+  private def positionsAt(
+      terms: Seq[String], seg: Int, local: Long
+  ): Map[String, Array[Int]] = {
+    import graft.codec.BlockCodec
+    if (terms.isEmpty) return Map.empty
+    val raw = spark.read.parquet(s"${segments(seg).dir}/postings")
+    if (!raw.columns.contains("posPacked")) return Map.empty
+    val b = local >>> segments(seg).bucketShift
+    raw.where($"term".isin(terms: _*) && $"bucket" === b &&
+        $"firstDocId" <= local && $"lastDocId" >= local)
+      .select($"term", $"firstDocId", $"numDocs", $"docsPacked", $"freqsPacked", $"posPacked")
+      .collect()
+      .flatMap { r =>
+        val packed = r.getAs[Array[Byte]]("posPacked")
+        if (packed == null) None
+        else {
+          val ids = BlockCodec.deltaDecode(
+            BlockCodec.forDecode(r.getAs[Array[Byte]]("docsPacked")), r.getAs[Long]("firstDocId"))
+          val idx = java.util.Arrays.binarySearch(ids, local)
+          if (idx < 0) None
+          else {
+            val fs = BlockCodec.pforDecode(r.getAs[Array[Byte]]("freqsPacked"))
+            val perDoc = graft.codec.Positions.decode(packed, fs, r.getAs[Int]("numDocs"))
+            Some(r.getString(0) -> perDoc(idx))
+          }
+        }
+      }.toMap
+  }
+
   /** Score breakdown for one (query, doc) — the re-expression of the
     * reference's `Weight#explain` (`search/Explanation.java`): the root
     * value equals exactly what [[topK]]/[[scoreMatches]] produce for the
@@ -1061,6 +1151,32 @@ final class IndexSearcher(
             s"synonym(${sq.synonyms.mkString(", ")}) summed freq = $f", details =
               sq.synonyms.flatMap(t => fn.get(t).map(p =>
                 Explanation(p._1.toDouble, s"freq of '$t'"))))
+        }
+      case pq: PhraseQuery =>
+        val pos = positionsAt(pq.phraseTerms.distinct, seg, local)
+        if (pq.phraseTerms.exists(t => !pos.contains(t)))
+          Explanation.noMatch(s"a term of phrase ${pq.phraseTerms.mkString(" ")} is absent from doc $docId")
+        else {
+          val slotPos = pq.phraseTerms.map(pos(_)).toArray
+          val f =
+            if (pq.slop > 0) IndexSearcher.countSloppy(slotPos, pq.slop)
+            else IndexSearcher.countExact(slotPos)
+          if (f == 0)
+            Explanation.noMatch(s"phrase \"${pq.phraseTerms.mkString(" ")}\"~${pq.slop} does not occur in doc $docId")
+          else {
+            val norm = fn(pq.phraseTerms.head)._2
+            val sim = phraseSim(pq, ts, boost)
+            val cs = statsFor(graft.index.FieldKey.fieldOf(pq.phraseTerms.head))
+            Explanation(sim.score(f, norm),
+              s"""weight(phrase "${pq.phraseTerms.mkString(" ")}"~${pq.slop} in $docId)""",
+              details = Seq(
+                Explanation(boost, "boost"),
+                Explanation(pq.phraseTerms.map(t => Bm25.idfD(ts(t).docFreq, cs.docCount)).sum,
+                  "idf, summed over phrase terms"),
+                Explanation(f.toDouble, "phraseFreq"),
+                Explanation(graft.codec.SmallFloat.lengthTable(norm & 0xff).toDouble,
+                  s"dl, quantized field length (norm byte $norm)")))
+          }
         }
       case dm: DisMaxQuery =>
         val kids = dm.disjuncts.map(walk(_, boost))
@@ -1132,6 +1248,7 @@ final class IndexSearcher(
     case TermQuery(t)        => s"t:$t"
     case BoostQuery(q2, b2)  => s"boost($b2,${cacheKey(q2)})"
     case sq: SynonymQuery    => sq.synonyms.sorted.mkString("syn:", ",", "")
+    case pq: PhraseQuery     => pq.key // slot order is semantic — no sorting
     case dm: DisMaxQuery =>
       dm.disjuncts.map(cacheKey).sorted.mkString(s"dm${dm.tieBreaker}(", ",", ")")
     case cs: ConstScoreQuery => s"const(${cs.score},${cacheKey(cs.query)})"
@@ -1217,7 +1334,7 @@ object IndexSearcher {
     * `p_{n-1} - p_0 <= (n-1) + slop`. Sorted inputs; bounded recursion —
     * each level only walks positions inside the remaining window.
     */
-  private[search] def countSloppy(slotPos: Array[Array[Int]], slop: Int): Int = {
+  private[graft] def countSloppy(slotPos: Array[Array[Int]], slop: Int): Int = {
     val n = slotPos.length
     if (n == 1) return slotPos(0).length
     val maxSpan = n - 1 + slop
@@ -1247,6 +1364,37 @@ object IndexSearcher {
       i0 += 1
     }
     total
+  }
+
+  /** Any [[PhraseQuery]] node anywhere in the tree? */
+  def hasPhrase(q: Query): Boolean = q match {
+    case _: PhraseQuery      => true
+    case BoostQuery(q2, _)   => hasPhrase(q2)
+    case cs: ConstScoreQuery => hasPhrase(cs.query)
+    case dm: DisMaxQuery     => dm.disjuncts.exists(hasPhrase)
+    case bq: BoolQuery       => bq.clauses.exists(c => hasPhrase(c._1))
+    case _                   => false
+  }
+
+  /** Count exact-phrase matches: positions p of slot 0 with `p + k` present
+    * in slot k's sorted positions for every k (the `ExactPhraseMatcher`
+    * counting loop).
+    */
+  private[graft] def countExact(slotPos: Array[Array[Int]]): Int = {
+    val p0 = slotPos(0)
+    var f = 0
+    var j = 0
+    while (j < p0.length) {
+      var ok = true
+      var k = 1
+      while (ok && k < slotPos.length) {
+        if (java.util.Arrays.binarySearch(slotPos(k), p0(j) + k) < 0) ok = false
+        k += 1
+      }
+      if (ok) f += 1
+      j += 1
+    }
+    f
   }
 
   /** Open all committed segments under an index root (each subdir with a
@@ -1328,6 +1476,15 @@ object Executor {
       val sim = scorers(skey(sq.key, boost))
       val children = sq.synonyms.flatMap(blocks.get).map(bs => new TermScorer(bs, sim)).toArray
       if (children.isEmpty) None else Some(new SynonymScorer(children, sim))
+    case pq: PhraseQuery =>
+      val uniqueTerms = pq.phraseTerms.distinct
+      if (uniqueTerms.exists(t => !blocks.contains(t))) None
+      else {
+        val sim = scorers(skey(pq.key, boost))
+        val byT = uniqueTerms.map(t => t -> new TermScorer(blocks(t), sim)).toMap
+        Some(new PhraseScorer(pq.phraseTerms.map(byT).toArray,
+          uniqueTerms.map(byT).toArray, pq.slop, sim))
+      }
     case dm: DisMaxQuery =>
       val children = dm.disjuncts.flatMap(build(_, blocks, scorers, boost))
       if (children.isEmpty) None
@@ -1400,6 +1557,8 @@ object Executor {
       }
     case sq: SynonymQuery =>
       build(sq, blocks, scorers).foreach(s => Wand.run(Array(s), None, collector, pruning))
+    case pq: PhraseQuery =>
+      build(pq, blocks, scorers).foreach(s => Wand.run(Array(s), None, collector, pruning))
     case bqst: BoostQuery =>
       build(bqst, blocks, scorers).foreach(s => Wand.run(Array(s), None, collector, pruning))
     case dm: DisMaxQuery =>
@@ -1508,6 +1667,7 @@ object Executor {
     case TermQuery(t)        => Set(skey(t, boost))
     case BoostQuery(q2, b2)  => scorerKeys(q2, boost * b2)
     case sq: SynonymQuery    => sq.synonyms.toSet + skey(sq.key, boost)
+    case pq: PhraseQuery     => pq.terms + skey(pq.key, boost)
     case dm: DisMaxQuery     => dm.disjuncts.iterator.flatMap(scorerKeys(_, boost)).toSet
     case cs: ConstScoreQuery => scorerKeys(cs.query, boost)
     case bq: BoolQuery       => bq.clauses.iterator.flatMap(c => scorerKeys(c._1, boost)).toSet

@@ -62,6 +62,22 @@ final case class ConstScoreQuery(query: Query, score: Double = 1.0) extends Quer
   def terms: Set[String] = query.terms
 }
 
+/** Positional phrase as a first-class query node (ref
+  * `/root/reference/lucene/core/src/java/org/apache/lucene/search/PhraseQuery.java`):
+  * matches docs containing the terms at consecutive positions (`slop = 0`,
+  * `ExactPhraseMatcher`) or within an ordered window of span
+  * `(n-1) + slop` (`SloppyPhraseMatcher`, ordered variant). Scored like the
+  * reference: tf = phrase frequency, weight = Σ per-term idf
+  * (`BM25Similarity.java:160-169` multi-term stats), so it composes inside
+  * boolean trees like any other scoring clause. Requires a positional index.
+  */
+final case class PhraseQuery(phraseTerms: Seq[String], slop: Int = 0) extends Query {
+  require(phraseTerms.nonEmpty, "empty phrase")
+  require(slop >= 0, s"negative slop $slop")
+  def terms: Set[String] = phraseTerms.toSet
+  def key: String = phraseTerms.mkString(s"ph$slop:", "|", "")
+}
+
 /** @param minimumShouldMatch docs must match at least this many SHOULD
   *   clauses (ref `search/BooleanQuery.java#getMinimumNumberShouldMatch`,
   *   scorer semantics `search/WANDScorer.java` minShouldMatch mode). 0 keeps
@@ -78,19 +94,50 @@ final case class BoolQuery(
   def filter: Seq[Query] = clauses.collect { case (q, Occur.Filter) => q }
 }
 
+/** Multi-term atom patterns of the classic query syntax (`pre*`, `w?ld*`,
+  * `term~N`, `[lo TO hi]` / `{lo TO hi}`). The parser produces the pattern;
+  * a dictionary-backed rewriter expands it into an executable query — the
+  * reference's `MultiTermQuery.rewrite(IndexReader)` model
+  * (`search/MultiTermQuery.java`): syntax is index-independent, expansion is
+  * not.
+  */
+sealed trait MultiTerm
+object MultiTerm {
+  final case class Prefix(prefix: String) extends MultiTerm
+  final case class Wildcard(pattern: String) extends MultiTerm
+  final case class Fuzzy(term: String, maxEdits: Int) extends MultiTerm
+  final case class Range(lo: String, hi: String,
+      includeLo: Boolean, includeHi: Boolean) extends MultiTerm
+}
+
 object Query {
   def and(ts: String*): BoolQuery = BoolQuery(ts.map(t => TermQuery(t) -> (Occur.Must: Occur)))
   def or(ts: String*): BoolQuery = BoolQuery(ts.map(t => TermQuery(t) -> (Occur.Should: Occur)))
 
-  /** Mini query parser for `a AND b`, `a OR b`, `NOT c`, parentheses, and
-    * bare multi-term (implicit OR) — the subset the reference demo uses
-    * (`lucene/queryparser/classic/QueryParser.java` surface, reduced).
-    * Terms are analyzed with the same analyzer as indexing (the consistency
-    * rule of `lucene/demo/.../SearchFiles.java:120`).
+  /** Rewriter used by the pure parser: multi-term syntax needs a term
+    * dictionary, which only a searcher has (`IndexSearcher.parseFull`).
     */
-  def parse(s: String, analyze: String => String = identity): Query = {
+  val noRewrite: MultiTerm => Query = mt =>
+    throw new IllegalArgumentException(
+      s"multi-term syntax $mt needs a dictionary-backed parser — use IndexSearcher.parseFull")
+
+  /** Classic query parser (`lucene/queryparser/classic/QueryParser.java`
+    * surface): `a AND b`, `a OR b`, `NOT c`, parentheses, bare multi-term
+    * (implicit OR), `term^2.5`, `field:term`, quoted phrases `"a b"` with
+    * optional slop `"a b"~2` (also field-scoped: `f:"a b"`), and — via
+    * `rewrite` — prefix `pre*`, wildcard `w?ld*`, fuzzy `term~`/`term~1`,
+    * and ranges `[lo TO hi]` (inclusive) / `{lo TO hi}` (exclusive).
+    * Terms are analyzed with the same analyzer as indexing (the consistency
+    * rule of `lucene/demo/.../SearchFiles.java:120`); phrase words are
+    * analyzed individually. Escapes are not supported (documented subset).
+    */
+  def parse(
+      s: String,
+      analyze: String => String = identity,
+      rewrite: MultiTerm => Query = noRewrite
+  ): Query = {
     val tokens = tokenize(s)
-    val (q, rest) = parseOr(tokens, analyze)
+    val (q, rest) = parseOr(tokens, analyze, rewrite)
     require(rest.isEmpty, s"dangling tokens: $rest")
     q
   }
@@ -105,7 +152,21 @@ object Query {
       else {
         val j0 = i
         var j = i
-        while (j < s.length && !s.charAt(j).isWhitespace && s.charAt(j) != '(' && s.charAt(j) != ')') j += 1
+        var ok = true
+        while (j < s.length && ok) {
+          val cj = s.charAt(j)
+          if (cj == '"') { // quoted phrase segment: scan through closing quote
+            val close = s.indexOf('"', j + 1)
+            require(close >= 0, s"unclosed quote in: $s")
+            j = close + 1
+          } else if (cj == '[' || cj == '{') { // range atom: scan to the close
+            var k = j + 1
+            while (k < s.length && s.charAt(k) != ']' && s.charAt(k) != '}') k += 1
+            require(k < s.length, s"unclosed range in: $s")
+            j = k + 1
+          } else if (cj.isWhitespace || cj == '(' || cj == ')') ok = false
+          else j += 1
+        }
         out += s.substring(j0, j)
         i = j
       }
@@ -113,11 +174,12 @@ object Query {
     out.toList
   }
 
-  private def parseOr(ts: List[String], an: String => String): (Query, List[String]) = {
-    var (left, rest) = parseAnd(ts, an)
+  private def parseOr(ts: List[String], an: String => String,
+      rw: MultiTerm => Query): (Query, List[String]) = {
+    var (left, rest) = parseAnd(ts, an, rw)
     val shoulds = scala.collection.mutable.ListBuffer[Query](left)
     while (rest.headOption.exists(_.equalsIgnoreCase("OR"))) {
-      val (r, rr) = parseAnd(rest.tail, an)
+      val (r, rr) = parseAnd(rest.tail, an, rw)
       shoulds += r
       rest = rr
     }
@@ -125,15 +187,16 @@ object Query {
     else (BoolQuery(shoulds.toSeq.map(_ -> (Occur.Should: Occur))), rest)
   }
 
-  private def parseAnd(ts: List[String], an: String => String): (Query, List[String]) = {
-    var (left, rest) = parseNot(ts, an)
+  private def parseAnd(ts: List[String], an: String => String,
+      rw: MultiTerm => Query): (Query, List[String]) = {
+    var (left, rest) = parseNot(ts, an, rw)
     val parts = scala.collection.mutable.ListBuffer[(Query, Occur)](left)
     var implicitOr = true
     while (rest.nonEmpty && !rest.head.equalsIgnoreCase("OR") && rest.head != ")") {
       val explicitAnd = rest.head.equalsIgnoreCase("AND")
       val ts2 = if (explicitAnd) rest.tail else rest
       if (explicitAnd) implicitOr = false
-      val (r, rr) = parseNot(ts2, an)
+      val (r, rr) = parseNot(ts2, an, rw)
       parts += r
       rest = rr
     }
@@ -148,39 +211,80 @@ object Query {
     }
   }
 
-  private def parseNot(ts: List[String], an: String => String): ((Query, Occur), List[String]) =
+  private def parseNot(ts: List[String], an: String => String,
+      rw: MultiTerm => Query): ((Query, Occur), List[String]) =
     ts match {
       case h :: t if h.equalsIgnoreCase("NOT") || h == "-" =>
-        val (q, rest) = parseAtom(t, an)
+        val (q, rest) = parseAtom(t, an, rw)
         ((q, Occur.MustNot), rest)
       case _ =>
-        val (q, rest) = parseAtom(ts, an)
+        val (q, rest) = parseAtom(ts, an, rw)
         ((q, Occur.Should), rest)
     }
 
-  private def parseAtom(ts: List[String], an: String => String): (Query, List[String]) =
+  private def parseAtom(ts: List[String], an: String => String,
+      rw: MultiTerm => Query): (Query, List[String]) =
     ts match {
       case "(" :: t =>
-        val (q, rest) = parseOr(t, an)
+        val (q, rest) = parseOr(t, an, rw)
         require(rest.headOption.contains(")"), "missing )")
         (q, rest.tail)
-      case h :: t =>
-        // `term^2.5` = per-clause boost; `field:term` = field scope (ref
-        // queryparser/classic syntax) — boost strips first, then field
-        val caret = h.lastIndexOf('^')
-        val (bare, boost) =
-          if (caret > 0 && caret < h.length - 1 &&
-              h.substring(caret + 1).matches("""\d+(\.\d+)?"""))
-            (h.substring(0, caret), Some(h.substring(caret + 1).toDouble))
-          else (h, None)
-        val colon = bare.indexOf(':')
-        val tq =
-          if (colon > 0 && colon < bare.length - 1 &&
-              bare.substring(0, colon).matches("[A-Za-z_][A-Za-z0-9_]*"))
-            TermQuery(graft.index.FieldKey.encode(
-              bare.substring(0, colon), an(bare.substring(colon + 1))))
-          else TermQuery(an(bare))
-        (boost.map(BoostQuery(tq, _)).getOrElse(tq: Query), t)
+      case h :: t => (atomQuery(h, an, rw), t)
       case Nil    => throw new IllegalArgumentException("empty query")
     }
+
+  private val boostRe = """(.*)\^(\d+(?:\.\d+)?)""".r
+  private val fuzzyRe = """(.*?)~(\d?)""".r
+  private val rangeRe = """([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])""".r
+
+  /** One atom: boost strips first, then field scope, then the atom kind
+    * (phrase / range / wildcard / fuzzy / plain term).
+    */
+  private def atomQuery(h: String, an: String => String, rw: MultiTerm => Query): Query = {
+    val (bare, boost) = h match {
+      case boostRe(b, f) if b.nonEmpty => (b, Some(f.toDouble))
+      case _                           => (h, None)
+    }
+    // field scope: `f:term` or `f:"a b"` — applies to terms after analysis
+    val colon = bare.indexOf(':')
+    val (field, body) =
+      if (colon > 0 && colon < bare.length - 1 &&
+          bare.substring(0, colon).matches("[A-Za-z_][A-Za-z0-9_]*"))
+        (Some(bare.substring(0, colon)), bare.substring(colon + 1))
+      else (None, bare)
+    def keyed(t: String): String =
+      field.map(graft.index.FieldKey.encode(_, t)).getOrElse(t)
+
+    val q: Query =
+      if (body.startsWith("\"")) { // "a b" or "a b"~N
+        val close = body.indexOf('"', 1)
+        require(close > 0, s"unclosed phrase: $h")
+        val slop = body.substring(close + 1) match {
+          case ""                           => 0
+          case s if s.matches("""~\d+""")   => s.substring(1).toInt
+          case other =>
+            throw new IllegalArgumentException(s"bad phrase suffix '$other' in $h")
+        }
+        val words = body.substring(1, close).split("\\s+").toSeq
+          .filter(_.nonEmpty).map(an).filter(_.nonEmpty).map(keyed)
+        require(words.nonEmpty, s"empty phrase: $h")
+        if (words.size == 1) TermQuery(words.head) else PhraseQuery(words, slop)
+      } else body match {
+        case rangeRe(lb, lo, hi, rb) =>
+          require(field.isEmpty, s"field-scoped range not supported: $h")
+          rw(MultiTerm.Range(an(lo), an(hi), lb == "[", rb == "]"))
+        case b if b.contains("*") || b.contains("?") =>
+          require(field.isEmpty, s"field-scoped wildcard not supported: $h")
+          // analysis would mangle the pattern metachars — pass it raw, like
+          // the reference's WildcardQuery (not analyzed)
+          if (b.endsWith("*") && b.indexOf('*') == b.length - 1 && !b.contains("?"))
+            rw(MultiTerm.Prefix(b.dropRight(1)))
+          else rw(MultiTerm.Wildcard(b))
+        case fuzzyRe(term, edits) if term.nonEmpty =>
+          require(field.isEmpty, s"field-scoped fuzzy not supported: $h")
+          rw(MultiTerm.Fuzzy(an(term), if (edits.isEmpty) 2 else edits.toInt))
+        case b => TermQuery(keyed(an(b)))
+      }
+    boost.map(BoostQuery(q, _)).getOrElse(q)
+  }
 }

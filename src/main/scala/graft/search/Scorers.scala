@@ -229,6 +229,97 @@ final class SynonymScorer(children: Array[TermScorer], sim: SimScorer) extends D
   def blockBoundary: Long = children.map(_.blockBoundary).min
 }
 
+/** Positional phrase scorer — `PhraseQuery` executed inside the scorer tree
+  * (ref `search/PhraseScorer.java` + `ExactPhraseMatcher.java:39` /
+  * `SloppyPhraseMatcher.java` ordered-window semantics): leapfrog
+  * conjunction of the phrase's unique terms; on every aligned doc the
+  * per-doc positions (lazily decoded from the block's .pos payload) are
+  * counted — exact adjacency at `slop = 0`, strictly-increasing window
+  * tuples with span ≤ (n-1)+slop otherwise. Docs with zero phrase
+  * occurrences are skipped entirely. Score = sim.score(phraseFreq, norm)
+  * with the Σ-idf weight the caller built into `sim`.
+  *
+  * Upper bounds: phraseFreq ≤ min over unique terms of that term's freq, so
+  * maxScore/blockMaxScore use (min max-freq, min norm) — conservative,
+  * never underestimates, keeps WAND/block-max pruning exact.
+  *
+  * @param slots one entry per phrase position, referencing the unique
+  *   scorer of that slot's term (duplicate terms share one iterator —
+  *   their positions array serves every slot)
+  */
+final class PhraseScorer(
+    slots: Array[TermScorer],
+    unique: Array[TermScorer],
+    slop: Int,
+    sim: SimScorer
+) extends DocScorer {
+  import DocScorer.NoMoreDocs
+  private var cur: Long = -1L
+  private var curFreq = 0
+
+  override val cost: Long = unique.map(_.cost).min
+  override lazy val maxScore: Double =
+    sim.score(unique.map(_.globalMaxFreq).min, unique.map(_.globalMinNorm).min)
+
+  private val lead = unique.minBy(_.cost)
+
+  def docId: Long = cur
+
+  /** Count phrase occurrences at the currently aligned doc. */
+  private def phraseFreq(): Int = {
+    val slotPos = new Array[Array[Int]](slots.length)
+    var i = 0
+    while (i < slots.length) { slotPos(i) = slots(i).positions; i += 1 }
+    if (slop > 0) IndexSearcher.countSloppy(slotPos, slop)
+    else IndexSearcher.countExact(slotPos)
+  }
+
+  /** Advance to the next doc >= target where all terms align AND the
+    * phrase occurs.
+    */
+  private def doNext(target0: Long): Long = {
+    var d = if (lead.docId < target0) lead.advance(target0) else lead.docId
+    while (d != NoMoreDocs) {
+      var aligned = true
+      var i = 0
+      while (i < unique.length && aligned) {
+        val s = unique(i)
+        if (s ne lead) {
+          val sd = if (s.docId < d) s.advance(d) else s.docId
+          if (sd != d) {
+            aligned = false
+            d = if (sd == NoMoreDocs) NoMoreDocs else lead.advance(sd)
+          }
+        }
+        i += 1
+      }
+      if (aligned && d != NoMoreDocs) {
+        val f = phraseFreq()
+        if (f > 0) { curFreq = f; cur = d; return cur }
+        d = lead.nextDoc()
+      }
+    }
+    cur = NoMoreDocs
+    cur
+  }
+
+  def nextDoc(): Long =
+    if (cur == NoMoreDocs) NoMoreDocs else doNext(cur + 1)
+
+  def advance(target: Long): Long =
+    if (cur >= target) cur else doNext(target)
+
+  def score: Double = sim.score(curFreq, slots(0).norm)
+
+  def advanceShallow(target: Long): Unit = {
+    var i = 0
+    while (i < unique.length) { unique(i).advanceShallow(target); i += 1 }
+  }
+  def blockMaxScore: Double =
+    sim.score(unique.map(_.shallowMaxFreq).min, unique.map(_.shallowMinNorm).min)
+  def blockBoundary: Long = unique.map(_.blockBoundary).min
+}
+
 /** Leapfrog intersection (AND) — smallest-cost leads (ref
   * `search/ConjunctionDISI.java`). Score = sum of scoring children;
   * `nonScoring` children must match but contribute nothing (FILTER — ref

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.search.{BoolQuery, BoostQuery, ConstScoreQuery, DisMaxQuery, Occur, Query, SynonymQuery, TermQuery}
+import graft.search.{BoolQuery, BoostQuery, ConstScoreQuery, DisMaxQuery, IndexSearcher, Occur, PhraseQuery, Query, SynonymQuery, TermQuery}
 
 /** Streaming surfaces of the engine (SURVEY.md §2.4):
   *
@@ -34,6 +34,15 @@ object Streaming {
       case cs: ConstScoreQuery => matchExpr(cs.query, toks)
       case sq: SynonymQuery =>
         sq.synonyms.map(t => array_contains(toks, t)).reduce(_ || _)
+      case pq: PhraseQuery =>
+        // exact phrase over whitespace tokens == substring on the
+        // space-joined stream (the percolate paths split on single spaces,
+        // so join is the inverse); sloppy phrases dispatch to the broadcast
+        // evaluator instead (see percolate)
+        require(pq.slop == 0,
+          "sloppy phrases are not foldable — percolate dispatches them to the broadcast path")
+        concat(lit(" "), array_join(toks, " "), lit(" "))
+          .contains(" " + pq.phraseTerms.mkString(" ") + " ")
       case bq: BoolQuery =>
         val must = bq.must.map(matchExpr(_, toks)) ++ bq.filter.map(matchExpr(_, toks))
         val should = bq.should.map(matchExpr(_, toks))
@@ -60,7 +69,8 @@ object Streaming {
       docs: DataFrame, idCol: String, textCol: String,
       queries: Seq[(String, Query)]
   ): DataFrame = {
-    if (queries.length > FoldedPlanLimit)
+    if (queries.length > FoldedPlanLimit ||
+        queries.exists { case (_, q) => hasSloppyPhrase(q) })
       return percolateBroadcast(docs, idCol, textCol, queries)
     val toks = split(col(textCol), " ")
     val matchStructs = queries.map { case (qid, q) =>
@@ -76,24 +86,57 @@ object Streaming {
     */
   val FoldedPlanLimit = 64
 
+  /** Any sloppy-phrase clause anywhere in the tree? (Those cannot fold into
+    * a codegen'd Column predicate — the broadcast evaluator handles them.)
+    */
+  private[streaming] def hasSloppyPhrase(q: Query): Boolean = q match {
+    case pq: PhraseQuery     => pq.slop > 0
+    case BoostQuery(q2, _)   => hasSloppyPhrase(q2)
+    case cs: ConstScoreQuery => hasSloppyPhrase(cs.query)
+    case dm: DisMaxQuery     => dm.disjuncts.exists(hasSloppyPhrase)
+    case bq: BoolQuery       => bq.clauses.exists(c => hasSloppyPhrase(c._1))
+    case _                   => false
+  }
+
   /** Driver-side boolean evaluation of a query against a doc's token set —
     * the same semantics `matchExpr` folds into the plan (spec
-    * cross-checked).
+    * cross-checked). Phrase clauses need positions: use the `pos` thunk
+    * overload (the set-only form rejects them).
     */
-  def evalQuery(q: Query, toks: Set[String]): Boolean = q match {
+  def evalQuery(q: Query, toks: Set[String]): Boolean =
+    evalQuery(q, toks, () =>
+      throw new IllegalArgumentException(
+        "phrase evaluation needs token positions — use the (set, pos) overload"))
+
+  /** Evaluation with positional support: `pos` supplies term → ascending
+    * positions (computed at most once per doc by the caller) for phrase
+    * window checks — the ordered-window semantics of the engine's
+    * `PhraseScorer`.
+    */
+  def evalQuery(q: Query, toks: Set[String],
+      pos: () => Map[String, Array[Int]]): Boolean = q match {
     case TermQuery(t)        => toks.contains(t)
-    case BoostQuery(q2, _)   => evalQuery(q2, toks)
-    case dm: DisMaxQuery     => dm.disjuncts.exists(evalQuery(_, toks))
-    case cs: ConstScoreQuery => evalQuery(cs.query, toks)
+    case BoostQuery(q2, _)   => evalQuery(q2, toks, pos)
+    case dm: DisMaxQuery     => dm.disjuncts.exists(evalQuery(_, toks, pos))
+    case cs: ConstScoreQuery => evalQuery(cs.query, toks, pos)
     case sq: SynonymQuery    => sq.synonyms.exists(toks.contains)
+    case pq: PhraseQuery =>
+      pq.phraseTerms.forall(toks.contains) && {
+        val p = pos()
+        val slotPos = pq.phraseTerms.map(p(_)).toArray
+        val f =
+          if (pq.slop > 0) IndexSearcher.countSloppy(slotPos, pq.slop)
+          else IndexSearcher.countExact(slotPos)
+        f > 0
+      }
     case bq: BoolQuery =>
       val shouldOk =
         if (bq.should.isEmpty) true
         else if (bq.minimumShouldMatch > 1)
-          bq.should.count(evalQuery(_, toks)) >= bq.minimumShouldMatch
-        else bq.should.exists(evalQuery(_, toks))
-      bq.must.forall(evalQuery(_, toks)) && bq.filter.forall(evalQuery(_, toks)) &&
-        shouldOk && !bq.mustNot.exists(evalQuery(_, toks))
+          bq.should.count(evalQuery(_, toks, pos)) >= bq.minimumShouldMatch
+        else bq.should.exists(evalQuery(_, toks, pos))
+      bq.must.forall(evalQuery(_, toks, pos)) && bq.filter.forall(evalQuery(_, toks, pos)) &&
+        shouldOk && !bq.mustNot.exists(evalQuery(_, toks, pos))
   }
 
   /** Trigger terms: a set such that ANY matching doc must contain at least
@@ -116,6 +159,8 @@ object Streaming {
       case BoostQuery(q2, _)   => triggerTerms(q2)
       case cs: ConstScoreQuery => triggerTerms(cs.query)
       case sq: SynonymQuery    => Some(sq.synonyms)
+      // every phrase term is required — any single one is a cover
+      case pq: PhraseQuery     => Some(Seq(pq.phraseTerms.head))
       case dm: DisMaxQuery     => unionAll(dm.disjuncts)
       case bq: BoolQuery =>
         // any MUST/FILTER clause's cover works alone (the clause is
@@ -163,6 +208,15 @@ object Streaming {
         val alw = bcAlways.value
         it.flatMap { case (id, toks) =>
           val set = toks.toSet
+          // positions built at most once per doc, and only if some
+          // candidate query actually contains a phrase clause
+          var posCache: Map[String, Array[Int]] = null
+          val pos: () => Map[String, Array[Int]] = () => {
+            if (posCache == null)
+              posCache = toks.zipWithIndex.groupBy(_._1)
+                .map { case (t, g) => t -> g.map(_._2).toArray }
+            posCache
+          }
           val cands = new java.util.TreeSet[Integer]()
           alw.foreach(cands.add(_))
           set.foreach(t => idx.get(t).foreach(_.foreach(cands.add(_))))
@@ -172,7 +226,7 @@ object Streaming {
             val i = iter.next()
             val (qid, q) = qs(i)
             evalCounter.foreach(_.add(1L))
-            if (evalQuery(q, set)) out += ((qid, id))
+            if (evalQuery(q, set, pos)) out += ((qid, id))
           }
           out
         }

@@ -1,0 +1,181 @@
+package graft
+
+import graft.index.{IndexBuilder, IndexConfig, Manifest}
+import graft.search._
+
+/** First-class PhraseQuery in the scorer tree: duels vs the dedicated phrase
+  * paths, boolean composition, parser syntax (quoted phrases, slop, ranges,
+  * wildcard, fuzzy), percolator phrase clauses, explain parity.
+  */
+class PhraseQuerySpec extends SparkTestBase {
+
+  private val pages = Seq(
+    "doc0" -> "data query runs fast here",       // exact phrase
+    "doc1" -> "data x query table",              // slop-1 window (span 2)
+    "doc2" -> "query data adjacent",             // wrong order
+    "doc3" -> "data alone table stream",         // term data only
+    "doc4" -> "data query data query table",     // phrase freq 2
+    "doc5" -> "nothing relevant stream"
+  )
+
+  private lazy val searcher: IndexSearcher = {
+    import spark.implicits._
+    val dir = tmpDir("phq")
+    IndexBuilder.buildSegment(spark.createDataset(pages), dir,
+      IndexConfig(bucketShift = 9, numPostingPartitions = 4,
+        numDocPartitions = 2, storePositions = true))
+    new IndexSearcher(spark, Seq(Manifest.read(dir).get),
+      precision = Precision.DoubleOracle)
+  }
+
+  test("phrase node duels phraseTopK (same docs, same scores)") {
+    import spark.implicits._
+    val viaNode = searcher.topK(PhraseQuery(Seq("data", "query")), 10)
+      .collect().map(s => s.docId -> s.score).toMap
+    val text = spark.createDataset(pages.zipWithIndex.map { case ((_, t), i) => (i.toLong, t) })
+    val viaPath = searcher.phraseTopK(Seq("data", "query"), text, 10)
+      .collect().map(s => s.docId -> s.score).toMap
+    assert(viaNode == viaPath)
+  }
+
+  test("exact phrase matches adjacency only; sloppy widens, order matters") {
+    def docs(q: Query) = searcher.topK(q, 10).collect().map(_.docId).toSet
+    assert(docs(PhraseQuery(Seq("data", "query"))) == Set(0L, 4L))
+    assert(docs(PhraseQuery(Seq("data", "query"), slop = 1)) == Set(0L, 1L, 4L))
+    // ordered-window semantics: reversed order in doc2 never matches
+    assert(!docs(PhraseQuery(Seq("data", "query"), slop = 3)).contains(2L))
+    // doc2 ("query data ...") and doc4 ("... query data query ..." at 1-2)
+    assert(docs(PhraseQuery(Seq("query", "data"))) == Set(2L, 4L))
+  }
+
+  test("phrase freq drives the score (doc4 over doc0)") {
+    val hits = searcher.topK(PhraseQuery(Seq("data", "query")), 10).collect()
+    val by = hits.map(h => h.docId -> h.score).toMap
+    // doc4 has freq 2 but is also longer; same norm bucket -> higher score
+    assert(by(4L) > by(0L))
+  }
+
+  test("phrase composes in booleans: conjunction scores add") {
+    val phrase = PhraseQuery(Seq("data", "query"))
+    val both = BoolQuery(Seq(
+      phrase -> (Occur.Must: Occur), TermQuery("table") -> (Occur.Must: Occur)))
+    val hits = searcher.topK(both, 10).collect().map(h => h.docId -> h.score).toMap
+    assert(hits.keySet == Set(4L)) // doc1 lacks adjacency, doc0 lacks 'table'
+    val pOnly = searcher.topK(phrase, 10).collect().map(h => h.docId -> h.score).toMap
+    val tOnly = searcher.topK(TermQuery("table"), 10).collect()
+      .map(h => h.docId -> h.score).toMap
+    assert(math.abs(hits(4L) - (pOnly(4L) + tOnly(4L))) < 1e-12)
+  }
+
+  test("phrase as SHOULD clause and under MUST_NOT") {
+    val q = BoolQuery(Seq(
+      TermQuery("stream") -> (Occur.Should: Occur),
+      PhraseQuery(Seq("data", "query")) -> (Occur.Should: Occur)))
+    val ids = searcher.topK(q, 10).collect().map(_.docId).toSet
+    assert(ids == Set(0L, 3L, 4L, 5L)) // doc1: no 'stream', no exact phrase
+    val not = BoolQuery(Seq(
+      TermQuery("data") -> (Occur.Must: Occur),
+      PhraseQuery(Seq("data", "query")) -> (Occur.MustNot: Occur)))
+    assert(searcher.topK(not, 10).collect().map(_.docId).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("matching/count/cache handle phrase nodes") {
+    val pq = PhraseQuery(Seq("data", "query"))
+    assert(searcher.matching(pq).collect().toSet == Set(0L, 4L))
+    assert(searcher.count(pq) == 2L)
+    assert(searcher.matchingCached(pq).collect().toSet == Set(0L, 4L))
+  }
+
+  test("explain root equals search score for phrase and mixed queries") {
+    val q = BoolQuery(Seq(
+      PhraseQuery(Seq("data", "query"), slop = 1) -> (Occur.Must: Occur),
+      TermQuery("table") -> (Occur.Should: Occur)))
+    val hits = searcher.topK(q, 10).collect()
+    assert(hits.nonEmpty)
+    hits.foreach { h =>
+      val e = searcher.explain(q, h.docId)
+      assert(e.matched, s"doc ${h.docId}")
+      assert(math.abs(e.value - h.score) < 1e-9, s"doc ${h.docId}")
+    }
+    val miss = searcher.explain(PhraseQuery(Seq("data", "query")), 2L)
+    assert(!miss.matched)
+  }
+
+  // ------------------------------------------------------- parser syntax
+
+  test("parser: quoted phrase, slop, boost, field scope") {
+    assert(Query.parse("\"a b\"") == PhraseQuery(Seq("a", "b")))
+    assert(Query.parse("\"a b c\"~2") == PhraseQuery(Seq("a", "b", "c"), 2))
+    assert(Query.parse("\"a b\"^2") == BoostQuery(PhraseQuery(Seq("a", "b")), 2.0))
+    assert(Query.parse("t:\"a b\"") == PhraseQuery(Seq(
+      graft.index.FieldKey.encode("t", "a"), graft.index.FieldKey.encode("t", "b"))))
+    // single-word phrase degrades to a term
+    assert(Query.parse("\"a\"") == TermQuery("a"))
+    assert(Query.parse("x AND \"a b\"") ==
+      BoolQuery(Seq(TermQuery("x") -> (Occur.Must: Occur),
+        PhraseQuery(Seq("a", "b")) -> (Occur.Must: Occur))))
+    intercept[IllegalArgumentException](Query.parse("\"a b"))
+  }
+
+  test("parser: multi-term atoms route through the rewriter") {
+    var seen = List.empty[MultiTerm]
+    val rw: MultiTerm => Query = { mt => seen ::= mt; TermQuery("sentinel") }
+    Query.parse("pre* w?ld term~1 fuzz~ [aa TO bb] {cc TO dd}", rewrite = rw)
+    assert(seen.reverse == List(
+      MultiTerm.Prefix("pre"), MultiTerm.Wildcard("w?ld"),
+      MultiTerm.Fuzzy("term", 1), MultiTerm.Fuzzy("fuzz", 2),
+      MultiTerm.Range("aa", "bb", includeLo = true, includeHi = true),
+      MultiTerm.Range("cc", "dd", includeLo = false, includeHi = false)))
+    // pure parser rejects multi-term syntax without a dictionary
+    intercept[IllegalArgumentException](Query.parse("pre*"))
+  }
+
+  test("parseFull: dictionary-backed expansion end to end") {
+    // 'dat*' -> prefix expansion (constant score); 'tble~1' -> fuzzy 'table'
+    val hits = searcher.topK(searcher.parseFull("\"data query\"~1 AND tbl~2"), 10)
+      .collect().map(_.docId).toSet
+    assert(hits == Set(1L, 4L)) // phrase-window docs that also match ~table
+    val wild = searcher.topK(searcher.parseFull("quer?"), 10).collect().map(_.docId).toSet
+    assert(wild == Set(0L, 1L, 2L, 4L))
+    val range = searcher.topK(searcher.parseFull("[table TO tablf]"), 10)
+      .collect().map(_.docId).toSet
+    assert(range == Set(1L, 3L, 4L))
+  }
+
+  // ------------------------------------------------------- percolator
+
+  test("percolator evaluates phrase clauses on both paths") {
+    import spark.implicits._
+    val docs = pages.zipWithIndex
+      .map { case ((_, t), i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val stored = Seq(
+      "q_exact" -> Query.parse("\"data query\""),
+      "q_slop" -> Query.parse("\"data query\"~1"),
+      "q_mix" -> Query.parse("table AND \"data query\""))
+    // sloppy phrase present -> dispatches to the broadcast path
+    val got = graft.streaming.Streaming
+      .percolate(docs, "doc_id", "text", stored)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(
+      ("q_exact", 0L), ("q_exact", 4L),
+      ("q_slop", 0L), ("q_slop", 1L), ("q_slop", 4L),
+      ("q_mix", 4L)))
+    // folded path (exact phrases only) agrees
+    val folded = graft.streaming.Streaming
+      .percolate(docs, "doc_id", "text",
+        Seq("q_exact" -> Query.parse("\"data query\""),
+          "q_mix" -> Query.parse("table AND \"data query\"")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(folded == Set(("q_exact", 0L), ("q_exact", 4L), ("q_mix", 4L)))
+  }
+
+  test("phrase on a positions-free index fails fast in parseFull") {
+    import spark.implicits._
+    val dir = tmpDir("phq-nopos")
+    IndexBuilder.buildSegment(
+      spark.createDataset(Seq("d0" -> "a b")), dir,
+      IndexConfig(bucketShift = 9, numPostingPartitions = 2, numDocPartitions = 1))
+    val s2 = new IndexSearcher(spark, Seq(Manifest.read(dir).get))
+    intercept[IllegalArgumentException](s2.parseFull("\"a b\""))
+  }
+}
