@@ -388,6 +388,18 @@ object SparkEntry {
         .orderBy($"score".desc, $"doc_id".asc)
         .limit(10)
     }),
+    "ft_multiphrase_topk" -> ((s, d) => {
+      // MultiPhraseQuery: 'data' followed by (query | stream) — per-slot
+      // term alternation scored over merged slot positions (ref
+      // search/MultiPhraseQuery.java union postings)
+      val se = searcherFor(s, d)
+      import s.implicits._
+      val q = MultiPhraseQuery(Seq(0 -> Seq("data"), 1 -> Seq("query", "stream")))
+      se.fetchDocs(topKVerified(se, q, 10))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc)
+        .limit(10)
+    }),
     "ft_near_topk" -> ((s, d) => {
       // interval query: unordered near(data, query) within a width-8 window
       // (ref queries/intervals/Intervals.java), ranked by best proximity —
@@ -1067,6 +1079,34 @@ object SparkEntry {
          |           (1.0 / (1.2 * (0.25 + 0.75 * qlen.qdl / (SELECT avgdl FROM stats)))))
          |         + 1.0 AS score
          |       FROM pf JOIN wild USING (doc_id) JOIN qlen ON qlen.doc_id = pf.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM sc
+         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+    "ft_multiphrase_topk" -> {
+      val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
+      // tf = base positions p with data@p and (query|stream)@p+1;
+      // idf = idf(data) + idf(query) + idf(stream) (stats union)
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         |             generate_subscripts(string_split(text, ' '), 1) AS pos
+         |      FROM documents),
+         |dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |qlen AS (SELECT doc_id, dl,
+         |  (SELECT max(v) FROM (VALUES $vals) b4(v) WHERE v <= dl) AS qdl FROM dlen),
+         |stats AS (SELECT count(*)::DOUBLE AS n,
+         |                 sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dlen),
+         |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+         |       WHERE term IN ('data', 'query', 'stream') GROUP BY term),
+         |idfsum AS (SELECT sum(ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))) AS idf
+         |           FROM df),
+         |pf AS (SELECT a.doc_id, count(DISTINCT a.pos)::DOUBLE AS f
+         |       FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |       WHERE a.term = 'data' AND b.term IN ('query', 'stream')
+         |       GROUP BY a.doc_id),
+         |sc AS (SELECT pf.doc_id,
+         |         (SELECT idf FROM idfsum) - (SELECT idf FROM idfsum) / (1 + pf.f *
+         |           (1.0 / (1.2 * (0.25 + 0.75 * qlen.qdl / (SELECT avgdl FROM stats))))) AS score
+         |       FROM pf JOIN qlen ON qlen.doc_id = pf.doc_id)
          |SELECT doc_id, round(score, 6) AS score FROM sc
          |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
     },

@@ -303,6 +303,8 @@ final class IndexSearcher(
       case cs: ConstScoreQuery => walk(cs.query, boost)
       case pq: PhraseQuery =>
         Map(Executor.skey(pq.key, boost) -> phraseSim(pq, ts, boost))
+      case mq: MultiPhraseQuery =>
+        Map(Executor.skey(mq.key, boost) -> multiPhraseSim(mq, ts, boost))
       case bq: BoolQuery => bq.clauses.iterator.map(_._1).flatMap(walk(_, boost)).toMap
     }
     walk(query, 1.0)
@@ -315,29 +317,46 @@ final class IndexSearcher(
     */
   private def phraseSim(pq: PhraseQuery, ts: Map[String, TermStat], boost: Double): SimScorer =
     if (pq.phraseTerms.exists(t => !ts.contains(t))) new ConstScorer(0.0)
-    else {
-      val st = statsFor(graft.index.FieldKey.fieldOf(pq.phraseTerms.head))
-      similarity match {
-        case Similarity.Bm25 => precision match {
-          case Precision.FloatExact =>
-            val idf = pq.phraseTerms.map(t => Bm25.idf(ts(t).docFreq, st.docCount).toDouble).sum
-            new Bm25FloatScorer(k1.toFloat, b.toFloat,
-              (boost * idf).toFloat, Bm25.avgFieldLength(st))
-          case Precision.DoubleOracle =>
-            val idf = pq.phraseTerms.map(t => Bm25.idfD(ts(t).docFreq, st.docCount)).sum
-            new Bm25DoubleScorer(k1, b, boost * idf, Bm25.avgFieldLengthD(st))
-        }
-        case Similarity.Classic => precision match {
-          case Precision.FloatExact =>
-            val idf = pq.phraseTerms.map(t => TfIdf.idf(ts(t).docFreq, st.docCount).toDouble).sum
-            new TfIdfFloatScorer((boost * idf).toFloat)
-          case Precision.DoubleOracle =>
-            new TfIdfDoubleScorer(
-              boost * pq.phraseTerms.map(t => TfIdf.idfD(ts(t).docFreq, st.docCount)).sum)
-        }
-        case Similarity.Bool => new ConstScorer(boost)
+    else sumIdfSim(pq.phraseTerms, ts, boost)
+
+  /** MultiPhrase weight: idf summed over every EXISTING term of every slot
+    * (the reference's `MultiPhraseWeight` term-stats union); a slot with no
+    * existing term makes the query unmatchable.
+    */
+  private def multiPhraseSim(
+      mq: MultiPhraseQuery, ts: Map[String, TermStat], boost: Double): SimScorer = {
+    val perSlot = mq.slots.map { case (_, slotTs) => slotTs.filter(ts.contains) }
+    if (perSlot.exists(_.isEmpty)) new ConstScorer(0.0)
+    else sumIdfSim(perSlot.flatten.distinct, ts, boost)
+  }
+
+  /** Σ-idf weight over `terms` (all present in `ts`) for the active
+    * (similarity, precision) mode — the multi-term stats construction shared
+    * by phrase and multiphrase weights.
+    */
+  private def sumIdfSim(terms: Seq[String], ts: Map[String, TermStat], boost: Double): SimScorer = {
+    val st = statsFor(graft.index.FieldKey.fieldOf(terms.head))
+    similarity match {
+      case Similarity.Bm25 => precision match {
+        case Precision.FloatExact =>
+          val idf = terms.map(t => Bm25.idf(ts(t).docFreq, st.docCount).toDouble).sum
+          new Bm25FloatScorer(k1.toFloat, b.toFloat,
+            (boost * idf).toFloat, Bm25.avgFieldLength(st))
+        case Precision.DoubleOracle =>
+          val idf = terms.map(t => Bm25.idfD(ts(t).docFreq, st.docCount)).sum
+          new Bm25DoubleScorer(k1, b, boost * idf, Bm25.avgFieldLengthD(st))
       }
+      case Similarity.Classic => precision match {
+        case Precision.FloatExact =>
+          val idf = terms.map(t => TfIdf.idf(ts(t).docFreq, st.docCount).toDouble).sum
+          new TfIdfFloatScorer((boost * idf).toFloat)
+        case Precision.DoubleOracle =>
+          new TfIdfDoubleScorer(
+            boost * terms.map(t => TfIdf.idfD(ts(t).docFreq, st.docCount)).sum)
+      }
+      case Similarity.Bool => new ConstScorer(boost)
     }
+  }
 
   private def scorerFor(term: String, ts: Map[String, TermStat], boost: Double): SimScorer =
     ts.get(term) match {
@@ -1178,6 +1197,34 @@ final class IndexSearcher(
                   s"dl, quantized field length (norm byte $norm)")))
           }
         }
+      case mq: MultiPhraseQuery =>
+        val pos = positionsAt(mq.terms.toSeq.sorted, seg, local)
+        val perSlot = mq.slots.map { case (_, slotTs) =>
+          slotTs.flatMap(pos.get).foldLeft(Array.empty[Int]) { (acc, p) =>
+            (acc ++ p).distinct.sorted
+          }
+        }
+        if (perSlot.exists(_.isEmpty))
+          Explanation.noMatch(s"a multiphrase slot has no term in doc $docId")
+        else {
+          val slotPos = perSlot.toArray
+          val f =
+            if (mq.slop > 0) IndexSearcher.countSloppy(slotPos, mq.slop)
+            else IndexSearcher.countExactOffsets(slotPos, mq.slots.map(_._1).toArray)
+          if (f == 0)
+            Explanation.noMatch(s"multiphrase does not occur in doc $docId")
+          else {
+            val norm = fn(mq.slots.head._2.find(fn.contains).get)._2
+            val sim = multiPhraseSim(mq, ts, boost)
+            Explanation(sim.score(f, norm),
+              s"weight(multiphrase ${mq.key} in $docId)",
+              details = Seq(
+                Explanation(boost, "boost"),
+                Explanation(f.toDouble, "phraseFreq"),
+                Explanation(graft.codec.SmallFloat.lengthTable(norm & 0xff).toDouble,
+                  s"dl, quantized field length (norm byte $norm)")))
+          }
+        }
       case dm: DisMaxQuery =>
         val kids = dm.disjuncts.map(walk(_, boost))
         val matched = kids.filter(_.matched)
@@ -1249,6 +1296,7 @@ final class IndexSearcher(
     case BoostQuery(q2, b2)  => s"boost($b2,${cacheKey(q2)})"
     case sq: SynonymQuery    => sq.synonyms.sorted.mkString("syn:", ",", "")
     case pq: PhraseQuery     => pq.key // slot order is semantic — no sorting
+    case mq: MultiPhraseQuery => mq.key
     case dm: DisMaxQuery =>
       dm.disjuncts.map(cacheKey).sorted.mkString(s"dm${dm.tieBreaker}(", ",", ")")
     case cs: ConstScoreQuery => s"const(${cs.score},${cacheKey(cs.query)})"
@@ -1366,9 +1414,10 @@ object IndexSearcher {
     total
   }
 
-  /** Any [[PhraseQuery]] node anywhere in the tree? */
+  /** Any positional (phrase / multiphrase) node anywhere in the tree? */
   def hasPhrase(q: Query): Boolean = q match {
     case _: PhraseQuery      => true
+    case _: MultiPhraseQuery => true
     case BoostQuery(q2, _)   => hasPhrase(q2)
     case cs: ConstScoreQuery => hasPhrase(cs.query)
     case dm: DisMaxQuery     => dm.disjuncts.exists(hasPhrase)
@@ -1389,6 +1438,28 @@ object IndexSearcher {
       var k = 1
       while (ok && k < slotPos.length) {
         if (java.util.Arrays.binarySearch(slotPos(k), p0(j) + k) < 0) ok = false
+        k += 1
+      }
+      if (ok) f += 1
+      j += 1
+    }
+    f
+  }
+
+  /** [[countExact]] generalized to explicit slot offsets (MultiPhraseQuery
+    * gaps): slot k must occur at `p + offsets(k) - offsets(0)`.
+    */
+  private[graft] def countExactOffsets(
+      slotPos: Array[Array[Int]], offsets: Array[Int]): Int = {
+    val p0 = slotPos(0)
+    var f = 0
+    var j = 0
+    while (j < p0.length) {
+      var ok = true
+      var k = 1
+      while (ok && k < slotPos.length) {
+        val want = p0(j) + offsets(k) - offsets(0)
+        if (java.util.Arrays.binarySearch(slotPos(k), want) < 0) ok = false
         k += 1
       }
       if (ok) f += 1
@@ -1485,6 +1556,18 @@ object Executor {
         Some(new PhraseScorer(pq.phraseTerms.map(byT).toArray,
           uniqueTerms.map(byT).toArray, pq.slop, sim))
       }
+    case mq: MultiPhraseQuery =>
+      val perSlot = mq.slots.map { case (_, slotTs) => slotTs.distinct.filter(blocks.contains) }
+      if (perSlot.exists(_.isEmpty)) None
+      else {
+        val sim = scorers(skey(mq.key, boost))
+        val uniqueTerms = perSlot.flatten.distinct
+        val byT = uniqueTerms.map(t => t -> new TermScorer(blocks(t), sim)).toMap
+        Some(new MultiPhraseScorer(
+          perSlot.map(_.map(byT).toArray).toArray,
+          mq.slots.map(_._1).toArray,
+          uniqueTerms.map(byT).toArray, mq.slop, sim))
+      }
     case dm: DisMaxQuery =>
       val children = dm.disjuncts.flatMap(build(_, blocks, scorers, boost))
       if (children.isEmpty) None
@@ -1559,6 +1642,8 @@ object Executor {
       build(sq, blocks, scorers).foreach(s => Wand.run(Array(s), None, collector, pruning))
     case pq: PhraseQuery =>
       build(pq, blocks, scorers).foreach(s => Wand.run(Array(s), None, collector, pruning))
+    case mq: MultiPhraseQuery =>
+      build(mq, blocks, scorers).foreach(s => Wand.run(Array(s), None, collector, pruning))
     case bqst: BoostQuery =>
       build(bqst, blocks, scorers).foreach(s => Wand.run(Array(s), None, collector, pruning))
     case dm: DisMaxQuery =>
@@ -1668,6 +1753,7 @@ object Executor {
     case BoostQuery(q2, b2)  => scorerKeys(q2, boost * b2)
     case sq: SynonymQuery    => sq.synonyms.toSet + skey(sq.key, boost)
     case pq: PhraseQuery     => pq.terms + skey(pq.key, boost)
+    case mq: MultiPhraseQuery => mq.terms + skey(mq.key, boost)
     case dm: DisMaxQuery     => dm.disjuncts.iterator.flatMap(scorerKeys(_, boost)).toSet
     case cs: ConstScoreQuery => scorerKeys(cs.query, boost)
     case bq: BoolQuery       => bq.clauses.iterator.flatMap(c => scorerKeys(c._1, boost)).toSet

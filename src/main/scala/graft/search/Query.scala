@@ -78,6 +78,30 @@ final case class PhraseQuery(phraseTerms: Seq[String], slop: Int = 0) extends Qu
   def key: String = phraseTerms.mkString(s"ph$slop:", "|", "")
 }
 
+/** Phrase with term alternation per position slot and explicit slot
+  * offsets — the reference's `MultiPhraseQuery`
+  * (`/root/reference/lucene/core/src/java/org/apache/lucene/search/MultiPhraseQuery.java`:
+  * `Builder.add(Term[], position)`): slot s matches when ANY of its terms
+  * occurs at `p + offset(s)`; offsets may have gaps (stopword-removed
+  * analysis positions). Scored like [[PhraseQuery]]: tf = phrase frequency,
+  * weight = Σ idf over ALL terms in all slots (the reference's
+  * `MultiPhraseWeight` stats union). Sloppy mode uses the ordered-window
+  * count over each slot's merged position list.
+  */
+final case class MultiPhraseQuery(
+    slots: Seq[(Int, Seq[String])],
+    slop: Int = 0
+) extends Query {
+  require(slots.nonEmpty, "empty multiphrase")
+  require(slots.forall(_._2.nonEmpty), "empty slot")
+  require(slots.map(_._1) == slots.map(_._1).sorted, "slot offsets must ascend")
+  require(slop >= 0, s"negative slop $slop")
+  def terms: Set[String] = slots.iterator.flatMap(_._2).toSet
+  def key: String =
+    slots.map { case (o, ts) => s"$o=${ts.sorted.mkString("|")}" }
+      .mkString(s"mph$slop:", ",", "")
+}
+
 /** @param minimumShouldMatch docs must match at least this many SHOULD
   *   clauses (ref `search/BooleanQuery.java#getMinimumNumberShouldMatch`,
   *   scorer semantics `search/WANDScorer.java` minShouldMatch mode). 0 keeps

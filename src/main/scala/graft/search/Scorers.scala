@@ -320,6 +320,137 @@ final class PhraseScorer(
   def blockBoundary: Long = unique.map(_.blockBoundary).min
 }
 
+/** MultiPhraseQuery scorer (ref `search/MultiPhraseQuery.java` union
+  * postings): each slot is a disjunction of its terms; a doc aligns when
+  * EVERY slot has at least one term present, and the slot's position list is
+  * the deduplicated merge of its matching terms' positions. Exact mode
+  * honors the slot offsets (gaps); sloppy mode is the same ordered-window
+  * count as [[PhraseScorer]] over the merged lists. Bounds: phraseFreq ≤
+  * min over slots of Σ term max freqs.
+  */
+final class MultiPhraseScorer(
+    slotTerms: Array[Array[TermScorer]],
+    offsets: Array[Int],
+    unique: Array[TermScorer],
+    slop: Int,
+    sim: SimScorer
+) extends DocScorer {
+  import DocScorer.NoMoreDocs
+  private var cur: Long = -1L
+  private var curFreq = 0
+
+  override val cost: Long = slotTerms.map(_.map(_.cost).sum).min
+  override lazy val maxScore: Double = sim.score(
+    slotTerms.map(_.map(_.globalMaxFreq.toLong).sum.min(Int.MaxValue).toInt).min,
+    unique.map(_.globalMinNorm).min)
+
+  private def slotAdvance(s: Int, target: Long): Long = {
+    val ts = slotTerms(s)
+    var min = NoMoreDocs
+    var i = 0
+    while (i < ts.length) {
+      val d = if (ts(i).docId < target) ts(i).advance(target) else ts(i).docId
+      if (d < min) min = d
+      i += 1
+    }
+    min
+  }
+
+  /** Merged (sorted, deduplicated) positions of slot s's terms at doc d. */
+  private def slotPositions(s: Int, d: Long): Array[Int] = {
+    val ts = slotTerms(s)
+    var merged: Array[Int] = null
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).docId == d) {
+        val p = ts(i).positions
+        merged =
+          if (merged == null) p
+          else {
+            val out = new Array[Int](merged.length + p.length)
+            var a = 0; var b = 0; var n = 0
+            while (a < merged.length && b < p.length) {
+              val v = if (merged(a) <= p(b)) { val x = merged(a); a += 1; x }
+                      else { val x = p(b); b += 1; x }
+              if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
+            }
+            while (a < merged.length) {
+              if (n == 0 || out(n - 1) != merged(a)) { out(n) = merged(a); n += 1 }
+              a += 1
+            }
+            while (b < p.length) {
+              if (n == 0 || out(n - 1) != p(b)) { out(n) = p(b); n += 1 }
+              b += 1
+            }
+            java.util.Arrays.copyOf(out, n)
+          }
+      }
+      i += 1
+    }
+    merged
+  }
+
+  private def freqAt(d: Long): Int = {
+    val slotPos = new Array[Array[Int]](slotTerms.length)
+    var s = 0
+    while (s < slotTerms.length) { slotPos(s) = slotPositions(s, d); s += 1 }
+    if (slop > 0) IndexSearcher.countSloppy(slotPos, slop)
+    else IndexSearcher.countExactOffsets(slotPos, offsets)
+  }
+
+  def docId: Long = cur
+
+  private def doNext(target0: Long): Long = {
+    var target = target0
+    var done = false
+    while (!done) {
+      val cand = slotAdvance(0, target)
+      if (cand == NoMoreDocs) { cur = NoMoreDocs; return cur }
+      var s = 1
+      var ok = true
+      while (s < slotTerms.length && ok) {
+        val d = slotAdvance(s, cand)
+        if (d == NoMoreDocs) { cur = NoMoreDocs; return cur }
+        if (d != cand) { target = d; ok = false }
+        s += 1
+      }
+      if (ok) {
+        val f = freqAt(cand)
+        if (f > 0) { curFreq = f; cur = cand; return cur }
+        target = cand + 1
+      }
+    }
+    cur
+  }
+
+  def nextDoc(): Long =
+    if (cur == NoMoreDocs) NoMoreDocs else doNext(cur + 1)
+
+  def advance(target: Long): Long =
+    if (cur >= target) cur else doNext(target)
+
+  def score: Double = {
+    // any term sitting on cur carries the doc's norm
+    var i = 0
+    var norm = 0
+    var found = false
+    while (i < unique.length && !found) {
+      if (unique(i).docId == cur) { norm = unique(i).norm; found = true }
+      i += 1
+    }
+    sim.score(curFreq, norm)
+  }
+
+  def advanceShallow(target: Long): Unit = {
+    var i = 0
+    while (i < unique.length) { unique(i).advanceShallow(target); i += 1 }
+  }
+  def blockMaxScore: Double = sim.score(
+    slotTerms.map(_.map(_.shallowMaxFreq.toLong).sum.min(Int.MaxValue).toInt).min,
+    unique.map(_.shallowMinNorm).min)
+  def blockBoundary: Long = unique.map(_.blockBoundary).min
+}
+
 /** Leapfrog intersection (AND) — smallest-cost leads (ref
   * `search/ConjunctionDISI.java`). Score = sum of scoring children;
   * `nonScoring` children must match but contribute nothing (FILTER — ref

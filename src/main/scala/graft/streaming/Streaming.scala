@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.search.{BoolQuery, BoostQuery, ConstScoreQuery, DisMaxQuery, IndexSearcher, Occur, PhraseQuery, Query, SynonymQuery, TermQuery}
+import graft.search.{BoolQuery, BoostQuery, ConstScoreQuery, DisMaxQuery, IndexSearcher, MultiPhraseQuery, Occur, PhraseQuery, Query, SynonymQuery, TermQuery}
 
 /** Streaming surfaces of the engine (SURVEY.md §2.4):
   *
@@ -43,6 +43,9 @@ object Streaming {
           "sloppy phrases are not foldable — percolate dispatches them to the broadcast path")
         concat(lit(" "), array_join(toks, " "), lit(" "))
           .contains(" " + pq.phraseTerms.mkString(" ") + " ")
+      case _: MultiPhraseQuery =>
+        throw new IllegalArgumentException(
+          "multiphrase is not foldable — percolate dispatches it to the broadcast path")
       case bq: BoolQuery =>
         val must = bq.must.map(matchExpr(_, toks)) ++ bq.filter.map(matchExpr(_, toks))
         val should = bq.should.map(matchExpr(_, toks))
@@ -86,16 +89,17 @@ object Streaming {
     */
   val FoldedPlanLimit = 64
 
-  /** Any sloppy-phrase clause anywhere in the tree? (Those cannot fold into
-    * a codegen'd Column predicate — the broadcast evaluator handles them.)
+  /** Any clause that cannot fold into a codegen'd Column predicate (sloppy
+    * phrases, multiphrase)? The broadcast evaluator handles those.
     */
   private[streaming] def hasSloppyPhrase(q: Query): Boolean = q match {
-    case pq: PhraseQuery     => pq.slop > 0
-    case BoostQuery(q2, _)   => hasSloppyPhrase(q2)
-    case cs: ConstScoreQuery => hasSloppyPhrase(cs.query)
-    case dm: DisMaxQuery     => dm.disjuncts.exists(hasSloppyPhrase)
-    case bq: BoolQuery       => bq.clauses.exists(c => hasSloppyPhrase(c._1))
-    case _                   => false
+    case pq: PhraseQuery      => pq.slop > 0
+    case _: MultiPhraseQuery  => true
+    case BoostQuery(q2, _)    => hasSloppyPhrase(q2)
+    case cs: ConstScoreQuery  => hasSloppyPhrase(cs.query)
+    case dm: DisMaxQuery      => dm.disjuncts.exists(hasSloppyPhrase)
+    case bq: BoolQuery        => bq.clauses.exists(c => hasSloppyPhrase(c._1))
+    case _                    => false
   }
 
   /** Driver-side boolean evaluation of a query against a doc's token set —
@@ -127,6 +131,17 @@ object Streaming {
         val f =
           if (pq.slop > 0) IndexSearcher.countSloppy(slotPos, pq.slop)
           else IndexSearcher.countExact(slotPos)
+        f > 0
+      }
+    case mq: MultiPhraseQuery =>
+      mq.slots.forall { case (_, slotTs) => slotTs.exists(toks.contains) } && {
+        val p = pos()
+        val slotPos = mq.slots.map { case (_, slotTs) =>
+          slotTs.flatMap(p.get).flatten.distinct.sorted.toArray
+        }.toArray
+        val f =
+          if (mq.slop > 0) IndexSearcher.countSloppy(slotPos, mq.slop)
+          else IndexSearcher.countExactOffsets(slotPos, mq.slots.map(_._1).toArray)
         f > 0
       }
     case bq: BoolQuery =>
@@ -161,6 +176,8 @@ object Streaming {
       case sq: SynonymQuery    => Some(sq.synonyms)
       // every phrase term is required — any single one is a cover
       case pq: PhraseQuery     => Some(Seq(pq.phraseTerms.head))
+      // every slot is required — the smallest slot's term set is a cover
+      case mq: MultiPhraseQuery => Some(mq.slots.map(_._2).minBy(_.size))
       case dm: DisMaxQuery     => unionAll(dm.disjuncts)
       case bq: BoolQuery =>
         // any MUST/FILTER clause's cover works alone (the clause is

@@ -101,6 +101,51 @@ class PhraseQuerySpec extends SparkTestBase {
     assert(!miss.matched)
   }
 
+  test("multiphrase: slot alternation, gap offsets, degenerate equality") {
+    def docs(q: Query) = searcher.topK(q, 10).collect().map(_.docId).toSet
+    // data followed by (query | table)
+    val alt = MultiPhraseQuery(Seq(0 -> Seq("data"), 1 -> Seq("query", "table")))
+    assert(docs(alt) == Set(0L, 4L))
+    // explicit gap: data at p, query at p+2 (doc1 "data x query table")
+    val gap = MultiPhraseQuery(Seq(0 -> Seq("data"), 2 -> Seq("query")))
+    assert(docs(gap) == Set(1L))
+    // single-term slots at consecutive offsets == PhraseQuery, scores too
+    val viaMulti = searcher.topK(
+      MultiPhraseQuery(Seq(0 -> Seq("data"), 1 -> Seq("query"))), 10)
+      .collect().map(h => h.docId -> h.score).toMap
+    val viaPhrase = searcher.topK(PhraseQuery(Seq("data", "query")), 10)
+      .collect().map(h => h.docId -> h.score).toMap
+    assert(viaMulti == viaPhrase)
+  }
+
+  test("multiphrase: sloppy mode, boolean composition, explain parity") {
+    val mq = MultiPhraseQuery(
+      Seq(0 -> Seq("data"), 1 -> Seq("query", "stream")), slop = 1)
+    // ordered window span <= 2 over merged slot lists:
+    // doc0 data@0,query@1; doc1 data@0,query@2; doc3 data@0,stream@3? span 4 no
+    val hits = searcher.topK(mq, 10).collect()
+    assert(hits.map(_.docId).toSet == Set(0L, 1L, 4L))
+    hits.foreach { h =>
+      val e = searcher.explain(mq, h.docId)
+      assert(e.matched && math.abs(e.value - h.score) < 1e-9, s"doc ${h.docId}")
+    }
+    val combined = BoolQuery(Seq(
+      mq -> (Occur.Must: Occur), TermQuery("table") -> (Occur.MustNot: Occur)))
+    assert(searcher.topK(combined, 10).collect().map(_.docId).toSet == Set(0L))
+  }
+
+  test("percolator evaluates multiphrase via the broadcast path") {
+    import spark.implicits._
+    val docs = pages.zipWithIndex
+      .map { case ((_, t), i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val stored = Seq("q_alt" ->
+      (MultiPhraseQuery(Seq(0 -> Seq("data"), 1 -> Seq("query", "table"))): Query))
+    val got = graft.streaming.Streaming
+      .percolate(docs, "doc_id", "text", stored)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("q_alt", 0L), ("q_alt", 4L)))
+  }
+
   // ------------------------------------------------------- parser syntax
 
   test("parser: quoted phrase, slop, boost, field scope") {
