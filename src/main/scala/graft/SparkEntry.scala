@@ -640,6 +640,21 @@ object SparkEntry {
       // either way (PipelineSpec proves variant equality)
       Dedup.jaccardPairsAuto(docsDf(s, d), "doc_id", "text", w = 2, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
+    "dedup_clusters" -> ((s, d) => {
+      // cluster formation after pair generation: connected components over
+      // the exact-Jaccard pairs via distributed min-label propagation with
+      // per-round compression (never a driver union-find)
+      val pairs = Dedup.jaccardPairsAuto(docsDf(s, d), "doc_id", "text",
+        w = 2, threshold = 0.5)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy(col("doc_id"))
+    }),
+    "pipe_split" -> ((s, d) =>
+      // deterministic hashed-id train/val/test split, audited per stratum —
+      // stable under reruns and upstream row changes (pure function of id)
+      graft.pipeline.Sampling.splitCounts(docsDf(s, d), "doc_id", "lang")
+        .orderBy(col("split"), col("lang"))),
     "dedup_minhash_lsh" -> ((s, d) => // no SQL oracle: seeded-hash approximation
       Dedup.minHashLshPairs(docsDf(s, d), "doc_id", "text", w = 2,
         bands = 8, rowsPerBand = 4, minSigSim = 0.5)
@@ -1314,6 +1329,46 @@ object SparkEntry {
         |FROM pairs JOIN n na ON na.id = id_a JOIN n nb ON nb.id = id_b
         |WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 4) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents
+        |), big AS (
+        |  SELECT doc_id AS id,
+        |         term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS s
+        |  FROM t
+        |), sh AS (SELECT DISTINCT id, s FROM big WHERE s IS NOT NULL),
+        |n AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2
+        |),
+        |jp AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  JOIN n na ON na.id = id_a JOIN n nb ON nb.id = id_b
+        |  WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 4) >= 0.5
+        |),
+        |e AS (SELECT id_a AS a, id_b AS b FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+        |nodes AS (SELECT DISTINCT a AS id FROM e),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r
+        |)
+        |SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id
+        |ORDER BY doc_id""".stripMargin,
+    "pipe_split" ->
+      """WITH s AS (
+        |  SELECT lang, CASE WHEN b < 80 THEN 'train'
+        |                    WHEN b < 90 THEN 'val'
+        |                    ELSE 'test' END AS split
+        |  FROM (SELECT lang,
+        |          ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+        |        FROM documents)
+        |)
+        |SELECT split, lang, count(*) AS n FROM s GROUP BY 1, 2
+        |ORDER BY split, lang""".stripMargin,
     "dedup_embed_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos

@@ -316,4 +316,56 @@ object Dedup {
         round(Similarity.cosine(col("va"), col("vb")), 4).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /** Connected components over near-dup pairs — the cluster-formation step
+    * every dedup pipeline runs after pair generation: each node gets the
+    * SMALLEST reachable id as its cluster id. Distributed min-label
+    * propagation with a label-of-label compression step per round (the
+    * pointer-doubling idea of the alternating-star MapReduce CC algorithms,
+    * e.g. Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014): convergence in O(log n) rounds of two shuffles each, never
+    * a driver-side union-find — node count at 100 TB exceeds any driver.
+    * Deterministic (min is order-free).
+    *
+    * @return (id, cluster) for every id appearing in `pairs`
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 50
+  ): DataFrame = {
+    // localCheckpoint truncates the logical plan each round — without it
+    // the iterative lineage grows unboundedly and analysis time explodes
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .dropDuplicates("src", "dst")
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // each node pulls the min label among itself and its neighbors
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("comp")).as("nbr"))
+      val pulled = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+      // compression: follow the label's label (halves chain length / round)
+      val next = pulled.as("l1")
+        .join(pulled.select(col("id").as("cid"), col("comp").as("ccomp")).as("l2"),
+          col("l1.comp") === col("l2.cid"), "left")
+        .select(col("l1.id").as("id"),
+          least(col("l1.comp"), coalesce(col("ccomp"), col("l1.comp"))).as("comp"))
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.select(col("id"), col("comp").as("old")), "id")
+        .where(col("comp") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("id"), col("comp").as("cluster"))
+  }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Sampling}
+
+/** Connected-components cluster formation and deterministic split/sampling. */
+class CcSamplingSpec extends SparkTestBase {
+
+  test("connected components: chains, triangles, singletons-by-absence") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components: long path converges (pointer doubling)") {
+    import spark.implicits._
+    // a 64-node path — plain propagation needs 63 rounds; compression
+    // must converge far faster than maxIter=20
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 64 && got.values.forall(_ == 0L))
+  }
+
+  test("splits: deterministic, stable, percentages roughly hold") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
+    val a = Sampling.assignSplits(df, "id").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = Sampling.assignSplits(df, "id").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a == b) // rerun-stable
+    // removing rows never moves survivors between splits
+    val half = Sampling.assignSplits(df.where($"id" % 2 === 0), "id").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    half.foreach { case (id, s) => assert(a(id) == s) }
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes("train") > 700 && sizes("train") < 900)
+    assert(sizes("val") > 50 && sizes("val") < 150)
+    assert(sizes("test") > 50 && sizes("test") < 150)
+  }
+
+  test("hashBucket matches the oracle's md5-hex arithmetic") {
+    import spark.implicits._
+    val got = Seq(123L).toDF("id")
+      .select(Sampling.hashBucket($"id", 1000000000).as("b"))
+      .head().getLong(0)
+    // DuckDB: ('0x' || substr(md5('123'),1,8))::BIGINT % 1e9 = 539801954
+    assert(got == 539801954L)
+  }
+
+  test("sampleByStratum keeps a stable deterministic subset") {
+    import spark.implicits._
+    val df = (0L until 2000L).toDF("id")
+    val kept = Sampling.sampleByStratum(df, "id", 0.25).collect().map(_.getLong(0)).toSet
+    assert(math.abs(kept.size - 500) < 120)
+    val again = Sampling.sampleByStratum(df, "id", 0.25).collect().map(_.getLong(0)).toSet
+    assert(kept == again)
+    // monotone: a larger fraction strictly contains the smaller one
+    val more = Sampling.sampleByStratum(df, "id", 0.5).collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(more))
+  }
+}
