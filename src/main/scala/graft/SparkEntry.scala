@@ -28,7 +28,7 @@ object SparkEntry {
 
   private def indexDirFor(sfDir: String): java.nio.file.Path =
     java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-idx-v4", // vN = segment format rev
+      sys.props("java.io.tmpdir"), "graft-idx-v5", // vN = segment format/config rev (v5: multi-field positions)
       java.lang.Integer.toHexString(sfDir.hashCode))
 
   private val fieldSearchers = TrieMap[String, IndexSearcher]()
@@ -51,7 +51,7 @@ object SparkEntry {
             "body" -> toks.drop(8).mkString(" ")))
         }
       val cfg = IndexConfig(bucketShift = 8, numPostingPartitions = 8,
-        numDocPartitions = 4)
+        numDocPartitions = 4, storePositions = true)
       IndexBuilder.buildSegmentFields(pages, s"$dir/segf", cfg)
       new IndexSearcher(spark, Seq(Manifest.read(s"$dir/segf").get),
         precision = Precision.DoubleOracle, k1 = K1, b = B)
@@ -383,6 +383,17 @@ object SparkEntry {
       val se = searcherFor(s, d)
       import s.implicits._
       val q = se.parseFull("\"data query\"~1 AND tab*")
+      se.fetchDocs(topKVerified(se, q, 10))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc)
+        .limit(10)
+    }),
+    "ft_field_phrase" -> ((s, d) => {
+      // field-scoped phrase over the two-field index: per-field positions
+      // (restart per field) + per-field stats/norms drive the PhraseScorer
+      val se = fieldSearcherFor(s, d)
+      import s.implicits._
+      val q = se.parse("body:\"data query\"")
       se.fetchDocs(topKVerified(se, q, 10))
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc)
@@ -729,6 +740,9 @@ object SparkEntry {
     "text_termstats" -> ((s, d) =>
       TextOps.termStats(docsDf(s, d), "doc_id", "text")
         .orderBy(col("doc_freq").desc, col("term").asc).limit(25)),
+    "text_repetition" -> ((s, d) =>
+      // duplicated-3-gram ratio (boilerplate / degenerate-text filter)
+      TextOps.repetition(docsDf(s, d), "doc_id", "text").orderBy(col("doc_id"))),
     "text_shingles" -> ((s, d) =>
       // 2-gram shingle stats (ref analysis/shingle/ShingleFilter): narrow
       // codegen'd window expansion + partial-agg count
@@ -1097,6 +1111,50 @@ object SparkEntry {
          |SELECT doc_id, round(score, 6) AS score FROM sc
          |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
     },
+    "ft_field_phrase" -> {
+      val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
+      // body field = tokens 9..len; per-field stats over docs with a body;
+      // phrase freq = adjacent (data, query) within the body slice
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |bfld AS (SELECT doc_id, list_slice(ts, 9, len(ts)) AS toks FROM base),
+         |blen AS (SELECT doc_id, len(toks) AS dl FROM bfld),
+         |bq AS (SELECT doc_id, dl,
+         |  (SELECT max(v) FROM (VALUES $vals) b4(v) WHERE v <= dl) AS qdl FROM blen),
+         |bstats AS (SELECT count(*) FILTER (dl > 0)::DOUBLE AS n,
+         |                  sum(dl)::DOUBLE / count(*) FILTER (dl > 0)::DOUBLE AS avgdl
+         |           FROM blen),
+         |btok AS (SELECT doc_id, unnest(toks) AS term,
+         |                generate_subscripts(toks, 1) AS pos FROM bfld),
+         |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM btok
+         |       WHERE term IN ('data', 'query') GROUP BY term),
+         |idfsum AS (SELECT sum(ln(1 + ((SELECT n FROM bstats) - df + 0.5) / (df + 0.5))) AS idf
+         |           FROM df),
+         |pf AS (SELECT a.doc_id, count(*)::DOUBLE AS f
+         |       FROM btok a JOIN btok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |       WHERE a.term = 'data' AND b.term = 'query' GROUP BY a.doc_id),
+         |sc AS (SELECT pf.doc_id,
+         |         (SELECT idf FROM idfsum) - (SELECT idf FROM idfsum) / (1 + pf.f *
+         |           (1.0 / (1.2 * (0.25 + 0.75 * bq.qdl / (SELECT avgdl FROM bstats))))) AS score
+         |       FROM pf JOIN bq ON bq.doc_id = pf.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM sc
+         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |w AS (SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i FROM t),
+        |g AS (SELECT doc_id,
+        |        w || '_' || lead(w, 1) OVER win || '_' || lead(w, 2) OVER win AS s
+        |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+        |gg AS (SELECT doc_id, s FROM g WHERE s IS NOT NULL),
+        |agg AS (SELECT doc_id, count(*) AS n_grams, count(DISTINCT s) AS n_unique
+        |        FROM gg GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+        |       coalesce(n_unique, 0) AS n_unique,
+        |       round(CASE WHEN coalesce(n_grams, 0) > 0
+        |                  THEN 1.0 - n_unique::DOUBLE / n_grams
+        |                  ELSE 0.0 END, 4) AS dup_ratio
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "ft_multiphrase_topk" -> {
       val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
       // tf = base positions p with data@p and (query|stream)@p+1;

@@ -157,6 +157,24 @@ object TextOps {
       )).otherwise(array().cast("array<string>"))
   }
 
+  /** Repetition signal: fraction of duplicated word n-grams per doc
+    * (1 − unique/total, 0 for docs shorter than n) — the boilerplate /
+    * degenerate-generation detector web-scale training pipelines run
+    * (e.g. the Gopher/MassiveText repetition filters). Codegen'd: one
+    * shingle expansion + two array sizes, no shuffle.
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val sh = shinglesCol(col(textCol), n)
+    df.select(
+      col(idCol),
+      size(sh).cast("bigint").as("n_grams"),
+      size(array_distinct(sh)).cast("bigint").as("n_unique"),
+      round(
+        when(size(sh) > 0,
+          lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+          .otherwise(lit(0.0)), 4).as("dup_ratio"))
+  }
+
   /** Corpus shingle statistics: (shingle, count) over every document. */
   def shingleStats(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol), explode(shinglesCol(col(textCol), n)).as("shingle"))

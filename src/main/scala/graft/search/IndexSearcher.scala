@@ -420,12 +420,18 @@ final class IndexSearcher(
     * the driver — the postings table is only scanned for the remaining
     * terms, and not at all when every query term is a hapax.
     */
-  private def queryBlocks(qTerms: Seq[String], rows: Seq[SegTermRow]): Dataset[QBlock] = {
+  private def queryBlocks(qTerms: Seq[String], rows: Seq[SegTermRow],
+      positional: Boolean = false): Dataset[QBlock] = {
     import graft.codec.{BlockCodec, Impacts}
-    val singles: Map[String, SegTermRow] = rows.groupBy(_.term).collect {
-      case (t, rs) if rs.map(_.docFreq).sum == 1 && rs.exists(_.singletonDocId >= 0) =>
-        t -> rs.find(_.singletonDocId >= 0).get
-    }
+    // positional queries must read the real blocks: the synthesized
+    // singleton block carries no .pos payload, so a phrase over a hapax
+    // term would otherwise crash in the positions decode
+    val singles: Map[String, SegTermRow] =
+      if (positional) Map.empty
+      else rows.groupBy(_.term).collect {
+        case (t, rs) if rs.map(_.docFreq).sum == 1 && rs.exists(_.singletonDocId >= 0) =>
+          t -> rs.find(_.singletonDocId >= 0).get
+      }
     val restTerms = qTerms.filter(t => !singles.contains(t) && rows.exists(_.term == t))
     val scanned: Option[Dataset[QBlock]] =
       if (restTerms.isEmpty) None else Some(blocksFor(restTerms))
@@ -463,7 +469,7 @@ final class IndexSearcher(
     val basesL = bases
     val q = query
     val tombs = tombstones
-    val candidates = queryBlocks(qTerms, rows)
+    val candidates = queryBlocks(qTerms, rows, IndexSearcher.hasPhrase(query))
       .groupByKey(bk => (bk.seg, bk.bucket))
       .flatMapGroups { (key: (Int, Long), it: Iterator[QBlock]) =>
         val seg = key._1
@@ -495,7 +501,7 @@ final class IndexSearcher(
     val basesL = bases
     val q = query
     val tombs = tombstones
-    queryBlocks(qTerms, rows)
+    queryBlocks(qTerms, rows, IndexSearcher.hasPhrase(query))
       .groupByKey(bk => (bk.seg, bk.bucket))
       .flatMapGroups { (key: (Int, Long), it: Iterator[QBlock]) =>
         val seg = key._1
@@ -659,7 +665,7 @@ final class IndexSearcher(
     val basesL = bases
     val q = query
     val tombs = tombstones
-    queryBlocks(qTerms, segTermRows(qTerms))
+    queryBlocks(qTerms, segTermRows(qTerms), IndexSearcher.hasPhrase(query))
       .groupByKey(bk => (bk.seg, bk.bucket))
       .flatMapGroups { (key: (Int, Long), it: Iterator[QBlock]) =>
         val seg = key._1

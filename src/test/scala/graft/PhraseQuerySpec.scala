@@ -214,6 +214,31 @@ class PhraseQuerySpec extends SparkTestBase {
     assert(folded == Set(("q_exact", 0L), ("q_exact", 4L), ("q_mix", 4L)))
   }
 
+  test("field-scoped phrase: per-field positions, no cross-field match") {
+    import spark.implicits._
+    val dir = tmpDir("phq-fields")
+    val pages = Seq(
+      "doc0" -> Seq("title" -> "alpha beta", "body" -> "gamma delta"),
+      "doc1" -> Seq("title" -> "x beta", "body" -> "beta gamma here"),
+      "doc2" -> Seq("title" -> "x y", "body" -> "gamma beta"))
+    graft.index.IndexBuilder.buildSegmentFields(
+      spark.createDataset(pages), dir,
+      graft.index.IndexConfig(bucketShift = 9, numPostingPartitions = 4,
+        numDocPartitions = 2, storePositions = true))
+    val se = new IndexSearcher(spark,
+      Seq(graft.index.Manifest.read(dir).get), precision = Precision.DoubleOracle)
+    def docs(q: String) = se.parse(q) match {
+      case p => se.topK(p, 10).collect().map(_.docId).toSet
+    }
+    // beta@title-end + gamma@body-start must NOT form a body phrase (doc0:
+    // fields are separate streams; doc1 has it inside body)
+    assert(docs("body:\"beta gamma\"") == Set(1L))
+    assert(docs("body:\"gamma delta\"") == Set(0L))
+    assert(docs("title:\"alpha beta\"") == Set(0L))
+    // same words in the wrong field never match
+    assert(docs("title:\"gamma delta\"") == Set.empty)
+  }
+
   test("phrase on a positions-free index fails fast in parseFull") {
     import spark.implicits._
     val dir = tmpDir("phq-nopos")
