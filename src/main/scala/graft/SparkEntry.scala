@@ -411,6 +411,19 @@ object SparkEntry {
         .orderBy($"score".desc, $"doc_id".asc)
         .limit(10)
     }),
+    "ft_interval_topk" -> ((s, d) => {
+      // SCORED interval query (ref queries/intervals/IntervalQuery):
+      // saturation of the sloppy interval frequency, f/(f+1) with
+      // f = sum 1/max(len-minExtent+1, 1) over minimal intervals
+      val se = searcherFor(s, d)
+      import s.implicits._
+      import graft.search.Intervals.{MaxWidth, Term, Unordered}
+      val q = IntervalQuery(MaxWidth(Unordered(Seq(Term("data"), Term("query"))), 8))
+      se.fetchDocs(topKVerified(se, q, 10))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc)
+        .limit(10)
+    }),
     "ft_near_topk" -> ((s, d) => {
       // interval query: unordered near(data, query) within a width-8 window
       // (ref queries/intervals/Intervals.java), ranked by best proximity —
@@ -1191,6 +1204,23 @@ object SparkEntry {
         |FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.pos - a.pos <= 3
         |WHERE a.term = 'data' AND b.term = 'query'
         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+    "ft_interval_topk" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |             generate_subscripts(string_split(text, ' '), 1) AS pos
+        |      FROM documents),
+        |a AS (SELECT doc_id, pos FROM t WHERE term = 'data'),
+        |b AS (SELECT doc_id, pos FROM t WHERE term = 'query'),
+        |iv AS (SELECT DISTINCT a.doc_id, least(a.pos, b.pos) AS s,
+        |              greatest(a.pos, b.pos) AS e
+        |       FROM a JOIN b ON b.doc_id = a.doc_id),
+        |mini AS (SELECT i.doc_id, i.s, i.e FROM iv i WHERE NOT EXISTS (
+        |          SELECT 1 FROM iv j WHERE j.doc_id = i.doc_id
+        |            AND j.s >= i.s AND j.e <= i.e AND (j.s <> i.s OR j.e <> i.e))),
+        |fil AS (SELECT * FROM mini WHERE e - s + 1 <= 8),
+        |fr AS (SELECT doc_id, sum(1.0 / greatest(e - s, 1)) AS f
+        |       FROM fil GROUP BY doc_id)
+        |SELECT doc_id, round(f / (f + 1), 6) AS score FROM fr
+        |ORDER BY round(f / (f + 1), 6) DESC, doc_id ASC LIMIT 10""".stripMargin,
     "ft_near_topk" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
         |                  generate_subscripts(string_split(text, ' '), 1) AS pos

@@ -305,6 +305,7 @@ final class IndexSearcher(
         Map(Executor.skey(pq.key, boost) -> phraseSim(pq, ts, boost))
       case mq: MultiPhraseQuery =>
         Map(Executor.skey(mq.key, boost) -> multiPhraseSim(mq, ts, boost))
+      case _: IntervalQuery => Map.empty // saturation score needs no stats
       case bq: BoolQuery => bq.clauses.iterator.map(_._1).flatMap(walk(_, boost)).toMap
     }
     walk(query, 1.0)
@@ -1231,6 +1232,24 @@ final class IndexSearcher(
                   s"dl, quantized field length (norm byte $norm)")))
           }
         }
+      case iq: IntervalQuery =>
+        val pos = positionsAt(iq.terms.toSeq.sorted, seg, local)
+        val emptyPos = Array.emptyIntArray
+        val ivs = Intervals.eval(iq.source, t => pos.getOrElse(t, emptyPos))
+        if (ivs.isEmpty)
+          Explanation.noMatch(s"no interval of ${iq.source} in doc $docId")
+        else {
+          val minExt = Intervals.minExtent(iq.source)
+          val f = ivs.map { iv =>
+            1.0 / math.max(Intervals.endOf(iv) - Intervals.startOf(iv) + 1 - minExt + 1, 1)
+          }.sum
+          Explanation(boost * f / (f + iq.pivot),
+            s"interval(${iq.source}) saturation(pivot=${iq.pivot})",
+            details = Seq(
+              Explanation(boost, "boost"),
+              Explanation(f, "sloppyFreq, sum of 1/max(len-minExtent+1, 1)"),
+              Explanation(ivs.length.toDouble, "interval count")))
+        }
       case dm: DisMaxQuery =>
         val kids = dm.disjuncts.map(walk(_, boost))
         val matched = kids.filter(_.matched)
@@ -1303,6 +1322,7 @@ final class IndexSearcher(
     case sq: SynonymQuery    => sq.synonyms.sorted.mkString("syn:", ",", "")
     case pq: PhraseQuery     => pq.key // slot order is semantic — no sorting
     case mq: MultiPhraseQuery => mq.key
+    case iq: IntervalQuery   => iq.key
     case dm: DisMaxQuery =>
       dm.disjuncts.map(cacheKey).sorted.mkString(s"dm${dm.tieBreaker}(", ",", ")")
     case cs: ConstScoreQuery => s"const(${cs.score},${cacheKey(cs.query)})"
@@ -1424,6 +1444,7 @@ object IndexSearcher {
   def hasPhrase(q: Query): Boolean = q match {
     case _: PhraseQuery      => true
     case _: MultiPhraseQuery => true
+    case _: IntervalQuery    => true
     case BoostQuery(q2, _)   => hasPhrase(q2)
     case cs: ConstScoreQuery => hasPhrase(cs.query)
     case dm: DisMaxQuery     => dm.disjuncts.exists(hasPhrase)
@@ -1562,6 +1583,15 @@ object Executor {
         Some(new PhraseScorer(pq.phraseTerms.map(byT).toArray,
           uniqueTerms.map(byT).toArray, pq.slop, sim))
       }
+    case iq: IntervalQuery =>
+      val unique = iq.source.terms.distinct.filter(blocks.contains)
+      val required = iq.source.required.distinct
+      if (required.exists(t => !blocks.contains(t)) || unique.isEmpty) None
+      else {
+        val byT = unique.map(t => t -> new TermScorer(blocks(t), new ConstScorer(1.0))).toMap
+        Some(new IntervalDocScorer(byT, required.map(byT).toArray,
+          iq.source, Intervals.minExtent(iq.source), iq.pivot, boost))
+      }
     case mq: MultiPhraseQuery =>
       val perSlot = mq.slots.map { case (_, slotTs) => slotTs.distinct.filter(blocks.contains) }
       if (perSlot.exists(_.isEmpty)) None
@@ -1650,6 +1680,8 @@ object Executor {
       build(pq, blocks, scorers).foreach(s => Wand.run(Array(s), None, collector, pruning))
     case mq: MultiPhraseQuery =>
       build(mq, blocks, scorers).foreach(s => Wand.run(Array(s), None, collector, pruning))
+    case iq: IntervalQuery =>
+      build(iq, blocks, scorers).foreach(s => Wand.run(Array(s), None, collector, pruning))
     case bqst: BoostQuery =>
       build(bqst, blocks, scorers).foreach(s => Wand.run(Array(s), None, collector, pruning))
     case dm: DisMaxQuery =>
@@ -1760,6 +1792,7 @@ object Executor {
     case sq: SynonymQuery    => sq.synonyms.toSet + skey(sq.key, boost)
     case pq: PhraseQuery     => pq.terms + skey(pq.key, boost)
     case mq: MultiPhraseQuery => mq.terms + skey(mq.key, boost)
+    case iq: IntervalQuery   => iq.terms
     case dm: DisMaxQuery     => dm.disjuncts.iterator.flatMap(scorerKeys(_, boost)).toSet
     case cs: ConstScoreQuery => scorerKeys(cs.query, boost)
     case bq: BoolQuery       => bq.clauses.iterator.flatMap(c => scorerKeys(c._1, boost)).toSet

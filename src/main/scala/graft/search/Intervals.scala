@@ -123,6 +123,25 @@ object Intervals {
     def required: Seq[String] = minuend.required
   }
 
+  /** Minimum possible extent (width) of any interval the source can emit —
+    * the reference's `IntervalsSource#minExtent`, which anchors the sloppy
+    * frequency `1 / max(len - minExtent + 1, 1)` so a tightest-possible
+    * match contributes exactly 1.
+    */
+  def minExtent(src: Source): Int = src match {
+    case Term(_)              => 1
+    case Phrase(cs)           => cs.map(minExtent).sum
+    case Ordered(cs)          => cs.map(minExtent).sum
+    case Unordered(cs)        => cs.map(minExtent).sum
+    case Or(cs)               => cs.map(minExtent).min
+    case MaxWidth(c, _)       => minExtent(c)
+    case Containing(big, _)   => minExtent(big)
+    case ContainedBy(s, _)    => minExtent(s)
+    case NotContaining(m, _)  => minExtent(m)
+    case NotContainedBy(s, _) => minExtent(s)
+    case NonOverlapping(m, _) => minExtent(m)
+  }
+
   // ---------------------------------------------------------- evaluation
 
   // Intervals pack as (start << 32) | end; lists sorted by start (and,

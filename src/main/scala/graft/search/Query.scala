@@ -102,6 +102,23 @@ final case class MultiPhraseQuery(
       .mkString(s"mph$slop:", ",", "")
 }
 
+/** Scored interval query — the reference's queries-module `IntervalQuery`
+  * (`/root/reference/lucene/queries/src/java/org/apache/lucene/queries/intervals/IntervalQuery.java`):
+  * matches docs where the interval source yields at least one minimal
+  * interval; scores by the saturation of the sloppy interval frequency,
+  * `score = boost · f / (f + pivot)` with
+  * `f = Σ_intervals 1 / max(len − minExtent + 1, 1)` (`IntervalScorer.java`
+  * ensureFreq + `IntervalScoreFunction.saturationFunction`). Scores are
+  * bounded in [0, boost) and independent of norms/idf, exactly like the
+  * reference. Evaluated in double precision in every mode.
+  */
+final case class IntervalQuery(source: Intervals.Source, pivot: Double = 1.0)
+    extends Query {
+  require(pivot > 0, s"pivot must be > 0, got $pivot")
+  def terms: Set[String] = source.terms.toSet
+  def key: String = s"iq:$pivot:${source.toString}"
+}
+
 /** @param minimumShouldMatch docs must match at least this many SHOULD
   *   clauses (ref `search/BooleanQuery.java#getMinimumNumberShouldMatch`,
   *   scorer semantics `search/WANDScorer.java` minShouldMatch mode). 0 keeps

@@ -451,6 +451,145 @@ final class MultiPhraseScorer(
   def blockBoundary: Long = unique.map(_.blockBoundary).min
 }
 
+/** Scored interval iterator — `IntervalQuery` in the scorer tree (ref
+  * `queries/intervals/IntervalScorer.java`): candidate docs align via the
+  * leapfrog conjunction of the source's required terms (disjunctive sweep
+  * for a pure OR source), each candidate's minimal intervals are evaluated
+  * from the lazily decoded positions, and the score is the saturation
+  * `boost · f / (f + pivot)` of the sloppy frequency
+  * `f = Σ 1 / max(len − minExtent + 1, 1)`. Docs with no interval are
+  * skipped. maxScore = boost (the saturation supremum) — a valid, if loose,
+  * pruning bound; interval scores never exceed it.
+  */
+final class IntervalDocScorer(
+    byTerm: Map[String, TermScorer],
+    required: Array[TermScorer],
+    src: Intervals.Source,
+    minExtent: Int,
+    pivot: Double,
+    boost: Double
+) extends DocScorer {
+  import DocScorer.NoMoreDocs
+  private var cur: Long = -1L
+  private var curFreq = 0.0
+
+  private val all: Array[TermScorer] = byTerm.values.toArray
+  private val optional: Array[TermScorer] = all.filterNot(required.contains)
+  private val lead: TermScorer =
+    if (required.nonEmpty) required.minBy(_.cost) else null
+
+  override val cost: Long =
+    if (required.nonEmpty) required.map(_.cost).min else all.map(_.cost).sum
+  override val maxScore: Double = boost
+
+  def docId: Long = cur
+
+  private val emptyPos = Array.emptyIntArray
+
+  private def freqAt(d: Long): Double = {
+    val posOf: String => Array[Int] = t => byTerm.get(t) match {
+      case Some(s) if s.docId == d => s.positions
+      case _ => emptyPos
+    }
+    val ivs = Intervals.eval(src, posOf)
+    var f = 0.0
+    var i = 0
+    while (i < ivs.length) {
+      val len = Intervals.endOf(ivs(i)) - Intervals.startOf(ivs(i)) + 1
+      f += 1.0 / math.max(len - minExtent + 1, 1)
+      i += 1
+    }
+    f
+  }
+
+  private def doNext(target0: Long): Long = {
+    if (required.nonEmpty) {
+      var d = if (lead.docId < target0) lead.advance(target0) else lead.docId
+      while (d != NoMoreDocs) {
+        var aligned = true
+        var i = 0
+        while (i < required.length && aligned) {
+          val s = required(i)
+          if (s ne lead) {
+            val sd = if (s.docId < d) s.advance(d) else s.docId
+            if (sd != d) {
+              aligned = false
+              d = if (sd == NoMoreDocs) NoMoreDocs else lead.advance(sd)
+            }
+          }
+          i += 1
+        }
+        if (aligned && d != NoMoreDocs) {
+          var j = 0
+          while (j < optional.length) {
+            if (optional(j).docId < d) optional(j).advance(d)
+            j += 1
+          }
+          val f = freqAt(d)
+          if (f > 0) { curFreq = f; cur = d; return cur }
+          d = lead.nextDoc()
+        }
+      }
+      cur = NoMoreDocs
+    } else {
+      // pure disjunction: sweep the union of the present terms' docs
+      var i = 0
+      while (i < all.length) {
+        if (all(i).docId < target0) all(i).advance(target0)
+        i += 1
+      }
+      var done = false
+      while (!done) {
+        var d = NoMoreDocs
+        i = 0
+        while (i < all.length) {
+          if (all(i).docId < d) d = all(i).docId
+          i += 1
+        }
+        if (d == NoMoreDocs) { cur = NoMoreDocs; done = true }
+        else {
+          val f = freqAt(d)
+          if (f > 0) { curFreq = f; cur = d; done = true }
+          else {
+            i = 0
+            while (i < all.length) {
+              if (all(i).docId == d) all(i).nextDoc()
+              i += 1
+            }
+          }
+        }
+      }
+    }
+    cur
+  }
+
+  def nextDoc(): Long =
+    if (cur == NoMoreDocs) NoMoreDocs
+    else if (required.nonEmpty && cur >= 0) { lead.nextDoc(); doNext(cur + 1) }
+    else if (cur < 0) doNext(0L)
+    else {
+      // disjunctive mode: push every iterator sitting on cur forward
+      var i = 0
+      while (i < all.length) {
+        if (all(i).docId == cur) all(i).nextDoc()
+        i += 1
+      }
+      doNext(cur + 1)
+    }
+
+  def advance(target: Long): Long =
+    if (cur >= target) cur else doNext(target)
+
+  def score: Double = boost * curFreq / (curFreq + pivot)
+
+  def advanceShallow(target: Long): Unit = {
+    var i = 0
+    while (i < all.length) { all(i).advanceShallow(target); i += 1 }
+  }
+  def blockMaxScore: Double = boost
+  def blockBoundary: Long = all.map(_.blockBoundary).min
+}
+
 /** Leapfrog intersection (AND) — smallest-cost leads (ref
   * `search/ConjunctionDISI.java`). Score = sum of scoring children;
   * `nonScoring` children must match but contribute nothing (FILTER — ref

@@ -46,6 +46,9 @@ object Streaming {
       case _: MultiPhraseQuery =>
         throw new IllegalArgumentException(
           "multiphrase is not foldable — percolate dispatches it to the broadcast path")
+      case _: graft.search.IntervalQuery =>
+        throw new IllegalArgumentException(
+          "interval queries are not foldable — percolate dispatches them to the broadcast path")
       case bq: BoolQuery =>
         val must = bq.must.map(matchExpr(_, toks)) ++ bq.filter.map(matchExpr(_, toks))
         val should = bq.should.map(matchExpr(_, toks))
@@ -95,6 +98,7 @@ object Streaming {
   private[streaming] def hasSloppyPhrase(q: Query): Boolean = q match {
     case pq: PhraseQuery      => pq.slop > 0
     case _: MultiPhraseQuery  => true
+    case _: graft.search.IntervalQuery => true
     case BoostQuery(q2, _)    => hasSloppyPhrase(q2)
     case cs: ConstScoreQuery  => hasSloppyPhrase(cs.query)
     case dm: DisMaxQuery      => dm.disjuncts.exists(hasSloppyPhrase)
@@ -132,6 +136,13 @@ object Streaming {
           if (pq.slop > 0) IndexSearcher.countSloppy(slotPos, pq.slop)
           else IndexSearcher.countExact(slotPos)
         f > 0
+      }
+    case iq: graft.search.IntervalQuery =>
+      iq.source.required.forall(toks.contains) && {
+        val p = pos()
+        graft.search.Intervals
+          .eval(iq.source, t => p.getOrElse(t, Array.emptyIntArray))
+          .nonEmpty
       }
     case mq: MultiPhraseQuery =>
       mq.slots.forall { case (_, slotTs) => slotTs.exists(toks.contains) } && {
@@ -178,6 +189,11 @@ object Streaming {
       case pq: PhraseQuery     => Some(Seq(pq.phraseTerms.head))
       // every slot is required — the smallest slot's term set is a cover
       case mq: MultiPhraseQuery => Some(mq.slots.map(_._2).minBy(_.size))
+      // required terms are conjunctive (any one covers); a pure-OR source
+      // needs the union of its terms
+      case iq: graft.search.IntervalQuery =>
+        if (iq.source.required.nonEmpty) Some(Seq(iq.source.required.head))
+        else Some(iq.source.terms.distinct)
       case dm: DisMaxQuery     => unionAll(dm.disjuncts)
       case bq: BoolQuery =>
         // any MUST/FILTER clause's cover works alone (the clause is

@@ -146,6 +146,44 @@ class PhraseQuerySpec extends SparkTestBase {
     assert(got == Set(("q_alt", 0L), ("q_alt", 4L)))
   }
 
+  test("interval query: saturation scoring matches the reference formula") {
+    import graft.search.Intervals.{MaxWidth, Term, Unordered}
+    val iq = IntervalQuery(MaxWidth(Unordered(Seq(Term("data"), Term("query"))), 8))
+    // minimal unordered intervals (minExtent 2, f = sum 1/max(len-1, 1)):
+    //   doc0 [0,1] -> f=1 -> 0.5 ; doc1 [0,2] -> f=1/2 -> 1/3
+    //   doc2 [0,1] -> 0.5 ; doc4 [0,1],[1,2],[2,3] -> f=3 -> 0.75
+    val hits = searcher.topK(iq, 10).collect().map(h => h.docId -> h.score).toMap
+    assert(hits.keySet == Set(0L, 1L, 2L, 4L))
+    assert(math.abs(hits(4L) - 0.75) < 1e-9)
+    assert(math.abs(hits(0L) - 0.5) < 1e-9)
+    assert(math.abs(hits(1L) - 1.0 / 3) < 1e-9)
+    // boost scales the saturation; explain agrees with search
+    val boosted = searcher.topK(BoostQuery(iq, 2.0), 10).collect()
+      .map(h => h.docId -> h.score).toMap
+    assert(math.abs(boosted(4L) - 1.5) < 1e-9)
+    hits.keys.foreach { d =>
+      val e = searcher.explain(iq, d)
+      assert(e.matched && math.abs(e.value - hits(d)) < 1e-9, s"doc $d")
+    }
+    // composes in booleans
+    val both = BoolQuery(Seq(
+      iq -> (Occur.Must: Occur), TermQuery("table") -> (Occur.Must: Occur)))
+    assert(searcher.topK(both, 10).collect().map(_.docId).toSet == Set(1L, 4L))
+    assert(searcher.count(iq) == 4L)
+  }
+
+  test("percolator evaluates interval queries via the broadcast path") {
+    import spark.implicits._
+    import graft.search.Intervals.{MaxWidth, Term, Unordered}
+    val docs = pages.zipWithIndex
+      .map { case ((_, t), i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val stored = Seq("q_iv" ->
+      (IntervalQuery(MaxWidth(Unordered(Seq(Term("data"), Term("query"))), 3)): Query))
+    val got = graft.streaming.Streaming.percolate(docs, "doc_id", "text", stored)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("q_iv", 0L), ("q_iv", 1L), ("q_iv", 2L), ("q_iv", 4L)))
+  }
+
   // ------------------------------------------------------- parser syntax
 
   test("parser: quoted phrase, slop, boost, field scope") {
