@@ -57,7 +57,8 @@ object Bench {
       "ft_field_topk", "ft_msm_topk", "ft_boost_topk", "ft_dismax_topk",
       "ft_facet_range", "ft_highlight_best", "ft_fuzzy_match", "ft_spell",
       "ft_suggest_infix", "ft_stem_topk", "ft_nb_classify", "text_shingles",
-      "ft_classic_parse", "ft_multiphrase_topk",
+      "ft_classic_parse", "ft_multiphrase_topk", "ft_interval_topk",
+      "ft_field_phrase", "text_repetition",
       "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_embed",
       "dedup_clusters", "pipe_split",
       "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
