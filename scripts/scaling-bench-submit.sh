@@ -2,7 +2,7 @@
 # Run the two-parallelism scaling benchmark under spark-submit (the north
 # rule's execution mode). Packages the library jar, then submits
 # graft.ScalingBench, which builds + queries the same corpus at local[8]
-# and local[32] and writes BENCH/BASELINE.md.
+# and local[32] and writes BENCH/scaling-latest.md (appends BENCH/scaling-runs.jsonl).
 #
 # Usage: scripts/scaling-bench-submit.sh [nDocs]
 set -euo pipefail

@@ -90,7 +90,9 @@ object ScalingBench {
 
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toLong).getOrElse(150000L)
-    val outMd = args.lift(1).getOrElse("BENCH/BASELINE.md")
+    // default to a scratch file: BENCH/BASELINE.md carries the hand-curated
+    // multi-run history table and must not be clobbered by a single run
+    val outMd = args.lift(1).getOrElse("BENCH/scaling-latest.md")
     val nLo = args.lift(2).map(_.toInt).getOrElse(2)
     val nHi = args.lift(3).map(_.toInt).getOrElse(8)
     val work = java.nio.file.Files.createTempDirectory("graft-scaling").toString
@@ -144,6 +146,12 @@ object ScalingBench {
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.writeString(p, md)
     println(md)
-    println(s"""{"scaling_efficiency":$eff,"docs_per_sec_$nLo":${rLo.docsPerSec},"docs_per_sec_$nHi":${rHi.docsPerSec},"docs_per_sec_32":${rSat.docsPerSec},"eff_${nHi}_32":$effSat}""")
+    val jsonLine = s"""{"scaling_efficiency":$eff,"docs_per_sec_$nLo":${rLo.docsPerSec},"docs_per_sec_$nHi":${rHi.docsPerSec},"docs_per_sec_32":${rSat.docsPerSec},"eff_${nHi}_32":$effSat,"n_docs":$nDocs}"""
+    println(jsonLine)
+    // append-only run log so history survives reruns
+    val logPath = java.nio.file.Paths.get("BENCH/scaling-runs.jsonl")
+    if (logPath.getParent != null) java.nio.file.Files.createDirectories(logPath.getParent)
+    java.nio.file.Files.writeString(logPath, jsonLine + "\n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }
 }
