@@ -258,6 +258,18 @@ object SparkEntry {
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc).limit(10)
     }),
+    "ft_combined_topk" -> ((s, d) => {
+      // BM25F: one term scored against the weighted union of title+body as
+      // a synthetic combined field — pseudo df = max over fields, weighted
+      // avgdl, freq = sum weight*tf, additive re-encoded norms (ref
+      // search/CombinedFieldQuery.java + MultiNormsLeafSimScorer.java)
+      val se = fieldSearcherFor(s, d)
+      import s.implicits._
+      val q = CombinedFieldQuery("data", Seq("title" -> 2.0, "body" -> 1.0))
+      se.fetchDocs(topKVerified(se, q, 10))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc).limit(10)
+    }),
     "ft_boost_topk" -> ((s, d) =>
       // per-clause boost: weight = boost * idf (ref search/BoostQuery.java)
       ftTopK(s, d, "data^2 OR query", 10)),
@@ -997,6 +1009,48 @@ object SparkEntry {
          |scored AS (SELECT doc_id, sum(s) AS score
          |           FROM (SELECT * FROM tsc UNION ALL SELECT * FROM bsc)
          |           GROUP BY doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM scored
+         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+    "ft_combined_topk" -> {
+      // BM25F replica: title (first 8 tokens, weight 2) + body (rest,
+      // weight 1) as one pseudo-field. Pseudo docCount = max over fields,
+      // sttf = 2*sttf_title + sttf_body, df = max per-field df; per doc
+      // freq = 2*tf_t + tf_b and the norm is the byte4 re-quantization of
+      // 2*qdl_t + qdl_b summed over MATCHED fields only (the engine reads
+      // norms off the matched postings).
+      val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |tlen AS (SELECT doc_id, len(list_slice(ts, 1, 8)) AS dl FROM base),
+         |blen AS (SELECT doc_id, len(list_slice(ts, 9, len(ts))) AS dl FROM base),
+         |tq AS (SELECT doc_id, (SELECT max(v) FROM (VALUES $vals) b4(v) WHERE v <= dl) AS qdl FROM tlen),
+         |bq AS (SELECT doc_id, (SELECT max(v) FROM (VALUES $vals) b4(v) WHERE v <= dl) AS qdl FROM blen),
+         |pseudo AS (SELECT
+         |  greatest((SELECT count(*) FILTER (dl > 0) FROM tlen),
+         |           (SELECT count(*) FILTER (dl > 0) FROM blen))::DOUBLE AS n,
+         |  (2 * (SELECT sum(dl) FROM tlen) + (SELECT sum(dl) FROM blen))::DOUBLE AS sttf),
+         |ttf AS (SELECT doc_id, count(*)::DOUBLE AS freq
+         |        FROM (SELECT doc_id, unnest(list_slice(ts, 1, 8)) AS term FROM base)
+         |        WHERE term = 'data' GROUP BY doc_id),
+         |btf AS (SELECT doc_id, count(*)::DOUBLE AS freq
+         |        FROM (SELECT doc_id, unnest(list_slice(ts, 9, len(ts))) AS term FROM base)
+         |        WHERE term = 'data' GROUP BY doc_id),
+         |dfp AS (SELECT greatest((SELECT count(*) FROM ttf), (SELECT count(*) FROM btf)) AS df),
+         |idf AS (SELECT ln(1 + ((SELECT n FROM pseudo) - df + 0.5) / (df + 0.5)) AS idf FROM dfp),
+         |perdoc AS (SELECT coalesce(t.doc_id, b.doc_id) AS doc_id,
+         |  2 * coalesce(t.freq, 0) + coalesce(b.freq, 0) AS f,
+         |  (CASE WHEN t.doc_id IS NOT NULL THEN 2 * tq.qdl ELSE 0 END) +
+         |  (CASE WHEN b.doc_id IS NOT NULL THEN bq.qdl ELSE 0 END) AS lensum
+         |  FROM ttf t FULL OUTER JOIN btf b ON t.doc_id = b.doc_id
+         |  LEFT JOIN tq ON tq.doc_id = coalesce(t.doc_id, b.doc_id)
+         |  LEFT JOIN bq ON bq.doc_id = coalesce(t.doc_id, b.doc_id)),
+         |normq AS (SELECT doc_id, f,
+         |  (SELECT max(v) FROM (VALUES $vals) b4(v) WHERE v <= round(lensum)) AS qn
+         |  FROM perdoc),
+         |scored AS (SELECT doc_id,
+         |  (SELECT idf FROM idf) - (SELECT idf FROM idf) / (1 + f *
+         |    (1.0 / (1.2 * (0.25 + 0.75 * qn / ((SELECT sttf FROM pseudo) / (SELECT n FROM pseudo)))))) AS score
+         |  FROM normq)
          |SELECT doc_id, round(score, 6) AS score FROM scored
          |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
     },

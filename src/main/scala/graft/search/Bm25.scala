@@ -45,6 +45,14 @@ object Bm25 {
 sealed trait SimScorer extends Serializable {
   def weightD: Double // per-term weight upper bound helper
   def score(freq: Int, norm: Int): Double
+
+  /** Fractional-frequency variant — the reference's `SimScorer.score(float
+    * freq, long norm)` takes a float freq, which `CombinedFieldQuery`
+    * exploits to score weighted cross-field frequency sums
+    * (`CombinedFieldScorer#freq()`). Defaults to the same formula with the
+    * frequency left unrounded.
+    */
+  def scoreF(freq: Double, norm: Int): Double = score(freq.toInt, norm)
 }
 
 /** Float-exact BM25 per-term scorer (rank-identity mode). */
@@ -57,6 +65,10 @@ final class Bm25FloatScorer(k1: Float, b: Float, val weight: Float, avgdl: Float
     val normInverse = cache(norm & 0xff)
     (weight - weight / (1f + freq * normInverse)).toDouble
   }
+  override def scoreF(freq: Double, norm: Int): Double = {
+    val normInverse = cache(norm & 0xff)
+    (weight - weight / (1f + freq.toFloat * normInverse)).toDouble
+  }
   def weightD: Double = weight.toDouble
 }
 
@@ -67,6 +79,10 @@ final class Bm25DoubleScorer(k1: Double, b: Double, val weight: Double, avgdl: D
     1d / (k1 * ((1 - b) + b * SmallFloat.lengthTable(i) / avgdl))
   }
   def score(freq: Int, norm: Int): Double = {
+    val normInverse = cache(norm & 0xff)
+    weight - weight / (1d + freq * normInverse)
+  }
+  override def scoreF(freq: Double, norm: Int): Double = {
     val normInverse = cache(norm & 0xff)
     weight - weight / (1d + freq * normInverse)
   }
@@ -115,6 +131,10 @@ final class TfIdfFloatScorer(val weight: Float) extends SimScorer {
     val raw = math.sqrt(freq.toDouble).toFloat * weight
     (raw * normTable(norm & 0xff)).toDouble
   }
+  override def scoreF(freq: Double, norm: Int): Double = {
+    val raw = math.sqrt(freq).toFloat * weight
+    (raw * normTable(norm & 0xff)).toDouble
+  }
   def weightD: Double = weight.toDouble
 }
 
@@ -129,5 +149,7 @@ final class TfIdfDoubleScorer(val weight: Double) extends SimScorer {
   }
   def score(freq: Int, norm: Int): Double =
     math.sqrt(freq.toDouble) * weight * normTable(norm & 0xff)
+  override def scoreF(freq: Double, norm: Int): Double =
+    math.sqrt(freq) * weight * normTable(norm & 0xff)
   def weightD: Double = weight
 }

@@ -299,6 +299,8 @@ final class IndexSearcher(
         val df = if (dfs.isEmpty) 0L else dfs.max
         val st = statsFor(graft.index.FieldKey.fieldOf(sq.synonyms.head))
         Map(Executor.skey(sq.key, boost) -> simScorer(df, st, boost))
+      case cf: CombinedFieldQuery =>
+        Map(Executor.skey(cf.key, boost) -> combinedFieldSim(cf, ts, boost))
       case dm: DisMaxQuery => dm.disjuncts.iterator.flatMap(walk(_, boost)).toMap
       case cs: ConstScoreQuery => walk(cs.query, boost)
       case pq: PhraseQuery =>
@@ -329,6 +331,28 @@ final class IndexSearcher(
     val perSlot = mq.slots.map { case (_, slotTs) => slotTs.filter(ts.contains) }
     if (perSlot.exists(_.isEmpty)) new ConstScorer(0.0)
     else sumIdfSim(perSlot.flatten.distinct, ts, boost)
+  }
+
+  /** BM25F pseudo-term weight (ref `CombinedFieldQuery.CombinedFieldWeight`):
+    * pseudo docFreq = max over the per-field term stats; pseudo collection
+    * stats merge the per-field stats with docCount = max and
+    * sumTotalTermFreq = Σ weight·sttf accumulated with the reference's
+    * `long += double` truncation (`CombinedFieldQuery.java:311`), so avgdl
+    * reflects the weighted field union.
+    */
+  private[search] def combinedFieldSim(
+      cf: CombinedFieldQuery, ts: Map[String, TermStat], boost: Double): SimScorer = {
+    val df = cf.fieldTerms.iterator
+      .flatMap { case (t, _) => ts.get(t) }.map(_.docFreq)
+      .foldLeft(0L)(math.max)
+    var docCount = 0L
+    var sttf = 0L
+    cf.fields.foreach { case (f, w) =>
+      val st = statsFor(f)
+      docCount = math.max(docCount, st.docCount)
+      sttf = (sttf + w * st.sumTotalTermFreq).toLong
+    }
+    simScorer(df, CollectionStats(docCount, sttf), boost)
   }
 
   /** Σ-idf weight over `terms` (all present in `ts`) for the active
@@ -1178,6 +1202,31 @@ final class IndexSearcher(
               sq.synonyms.flatMap(t => fn.get(t).map(p =>
                 Explanation(p._1.toDouble, s"freq of '$t'"))))
         }
+      case cf: CombinedFieldQuery =>
+        val present = cf.fieldTerms.flatMap { case (t, w) =>
+          fn.get(t).map { case (freq, norm) => (t, w, freq, norm) }
+        }
+        if (present.isEmpty)
+          Explanation.noMatch(s"'${cf.term}' absent from every combined field in doc $docId")
+        else {
+          val f = present.map { case (_, w, freq, _) => w * freq }.sum
+          val len = present.map { case (_, w, _, norm) =>
+            w * graft.codec.SmallFloat.lengthTable(norm & 0xff)
+          }.sum
+          val combined = graft.codec.SmallFloat.intToByte4(math.round(len).toInt) & 0xff
+          val sim = combinedFieldSim(cf, ts, boost)
+          Explanation(sim.scoreF(f, combined),
+            s"combined(${cf.fields.map { case (fl, w) => s"$fl^$w" }.mkString(", ")}:${cf.term}) pseudo freq = $f",
+            details = Seq(
+              Explanation(boost, "boost"),
+              Explanation(f, "freq = sum of weight * per-field freq"),
+              Explanation(len, "combined length = sum of weight * decoded per-field length"),
+              Explanation(combined.toDouble, "re-encoded norm byte")) ++
+              present.map { case (t, w, freq, _) =>
+                Explanation(freq.toDouble,
+                  s"freq of '${cf.term}' in field ${graft.index.FieldKey.fieldOf(t)} (weight $w)")
+              })
+        }
       case pq: PhraseQuery =>
         val pos = positionsAt(pq.phraseTerms.distinct, seg, local)
         if (pq.phraseTerms.exists(t => !pos.contains(t)))
@@ -1320,6 +1369,7 @@ final class IndexSearcher(
     case TermQuery(t)        => s"t:$t"
     case BoostQuery(q2, b2)  => s"boost($b2,${cacheKey(q2)})"
     case sq: SynonymQuery    => sq.synonyms.sorted.mkString("syn:", ",", "")
+    case cf: CombinedFieldQuery => cf.key
     case pq: PhraseQuery     => pq.key // slot order is semantic — no sorting
     case mq: MultiPhraseQuery => mq.key
     case iq: IntervalQuery   => iq.key
@@ -1574,6 +1624,13 @@ object Executor {
       val sim = scorers(skey(sq.key, boost))
       val children = sq.synonyms.flatMap(blocks.get).map(bs => new TermScorer(bs, sim)).toArray
       if (children.isEmpty) None else Some(new SynonymScorer(children, sim))
+    case cf: CombinedFieldQuery =>
+      val sim = scorers(skey(cf.key, boost))
+      val present = cf.fieldTerms.filter { case (t, _) => blocks.contains(t) }
+      if (present.isEmpty) None
+      else Some(new CombinedFieldScorer(
+        present.map { case (t, _) => new TermScorer(blocks(t), sim) }.toArray,
+        present.map(_._2).toArray, sim))
     case pq: PhraseQuery =>
       val uniqueTerms = pq.phraseTerms.distinct
       if (uniqueTerms.exists(t => !blocks.contains(t))) None
@@ -1676,6 +1733,8 @@ object Executor {
       }
     case sq: SynonymQuery =>
       build(sq, blocks, scorers).foreach(s => Wand.run(Array(s), None, collector, pruning))
+    case cf: CombinedFieldQuery =>
+      build(cf, blocks, scorers).foreach(s => Wand.run(Array(s), None, collector, pruning))
     case pq: PhraseQuery =>
       build(pq, blocks, scorers).foreach(s => Wand.run(Array(s), None, collector, pruning))
     case mq: MultiPhraseQuery =>
@@ -1790,6 +1849,7 @@ object Executor {
     case TermQuery(t)        => Set(skey(t, boost))
     case BoostQuery(q2, b2)  => scorerKeys(q2, boost * b2)
     case sq: SynonymQuery    => sq.synonyms.toSet + skey(sq.key, boost)
+    case cf: CombinedFieldQuery => cf.terms + skey(cf.key, boost)
     case pq: PhraseQuery     => pq.terms + skey(pq.key, boost)
     case mq: MultiPhraseQuery => mq.terms + skey(mq.key, boost)
     case iq: IntervalQuery   => iq.terms

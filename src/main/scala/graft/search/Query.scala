@@ -119,6 +119,30 @@ final case class IntervalQuery(source: Intervals.Source, pivot: Double = 1.0)
   def key: String = s"iq:$pivot:${source.toString}"
 }
 
+/** One term scored against a synthetic union of fields — BM25F (ref
+  * `/root/reference/lucene/core/src/java/org/apache/lucene/search/CombinedFieldQuery.java`):
+  * the query pretends the term was indexed in a single combined field whose
+  * values are the union of `fields`' values. Pseudo term stats: docFreq =
+  * max over fields, totalTermFreq = Σ weight·ttf; pseudo collection stats:
+  * docCount = max over fields, sumTotalTermFreq = Σ weight·sttf (so avgdl
+  * reflects the weighted union). Per doc, freq = Σ weight·tf_field and the
+  * norm is the re-encoded weighted sum of decoded per-field lengths
+  * (`MultiNormsLeafSimScorer.MultiFieldNormValues` — additive byte4 norms).
+  * Field weights must be ≥ 1, like the reference's builder.
+  */
+final case class CombinedFieldQuery(term: String, fields: Seq[(String, Double)])
+    extends Query {
+  require(fields.nonEmpty, "CombinedFieldQuery needs at least one field")
+  require(fields.forall(_._2 >= 1.0), "field weights must be >= 1")
+  /** FieldKey-encoded (field, weight) pairs in stable field order. */
+  def fieldTerms: Seq[(String, Double)] =
+    fields.map { case (f, w) => graft.index.FieldKey.encode(f, term) -> w }
+  def terms: Set[String] = fieldTerms.map(_._1).toSet
+  def key: String =
+    fields.sortBy(_._1).map { case (f, w) => s"$f=$w" }
+      .mkString(s"cf:$term:", ",", "")
+}
+
 /** @param minimumShouldMatch docs must match at least this many SHOULD
   *   clauses (ref `search/BooleanQuery.java#getMinimumNumberShouldMatch`,
   *   scorer semantics `search/WANDScorer.java` minShouldMatch mode). 0 keeps

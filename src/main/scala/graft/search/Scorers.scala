@@ -229,6 +229,78 @@ final class SynonymScorer(children: Array[TermScorer], sim: SimScorer) extends D
   def blockBoundary: Long = children.map(_.blockBoundary).min
 }
 
+/** One term scored against the weighted union of several fields — the BM25F
+  * scorer (ref `search/CombinedFieldQuery.java` `CombinedFieldScorer` +
+  * `MultiNormsLeafSimScorer`): a disjunction over the per-field term
+  * iterators; on each doc the pseudo-frequency is `Σ weight·tf_field`
+  * (`CombinedFieldScorer#freq()` — weighted float sum) and the pseudo-norm
+  * is `intToByte4(round(Σ weight·decodedLength_field))`
+  * (`MultiFieldNormValues#advanceExact` — weighted sum of decoded lengths,
+  * re-encoded). One shared SimScorer built from the merged pseudo stats.
+  *
+  * Upper bounds use (Σ weight·maxFreq, min field norm): the combined norm's
+  * decoded length is ≥ any matched field's decoded length (weights ≥ 1),
+  * byte4 encoding is monotone, and the score is antitone in norm — so the
+  * bound never underestimates (duels enforce it).
+  */
+final class CombinedFieldScorer(
+    children: Array[TermScorer],
+    weights: Array[Double],
+    sim: SimScorer
+) extends DocScorer {
+  import DocScorer.NoMoreDocs
+  require(children.length == weights.length)
+  private var cur: Long = -1L
+
+  override val cost: Long = children.map(_.cost).sum
+  override lazy val maxScore: Double =
+    if (children.isEmpty) 0.0
+    else sim.scoreF(
+      children.iterator.zip(weights.iterator).map { case (c, w) => w * c.globalMaxFreq }.sum,
+      children.map(_.globalMinNorm).min)
+
+  def docId: Long = cur
+  def nextDoc(): Long = advance(cur + 1)
+
+  def advance(target: Long): Long = {
+    if (cur == NoMoreDocs) return NoMoreDocs
+    var min = NoMoreDocs
+    var i = 0
+    while (i < children.length) {
+      val d = if (children(i).docId < target) children(i).advance(target)
+              else children(i).docId
+      if (d < min) min = d
+      i += 1
+    }
+    cur = min
+    cur
+  }
+
+  def score: Double = {
+    var f = 0.0
+    var len = 0.0
+    var i = 0
+    while (i < children.length) {
+      if (children(i).docId == cur) {
+        f += weights(i) * children(i).freq
+        len += weights(i) *
+          graft.codec.SmallFloat.lengthTable(children(i).norm & 0xff)
+      }
+      i += 1
+    }
+    val combinedNorm =
+      graft.codec.SmallFloat.intToByte4(math.round(len).toInt) & 0xff
+    sim.scoreF(f, combinedNorm)
+  }
+
+  def advanceShallow(target: Long): Unit = children.foreach(_.advanceShallow(target))
+  def blockMaxScore: Double =
+    sim.scoreF(
+      children.iterator.zip(weights.iterator).map { case (c, w) => w * c.shallowMaxFreq }.sum,
+      children.map(_.shallowMinNorm).min)
+  def blockBoundary: Long = children.map(_.blockBoundary).min
+}
+
 /** Positional phrase scorer — `PhraseQuery` executed inside the scorer tree
   * (ref `search/PhraseScorer.java` + `ExactPhraseMatcher.java:39` /
   * `SloppyPhraseMatcher.java` ordered-window semantics): leapfrog

@@ -34,6 +34,10 @@ object Streaming {
       case cs: ConstScoreQuery => matchExpr(cs.query, toks)
       case sq: SynonymQuery =>
         sq.synonyms.map(t => array_contains(toks, t)).reduce(_ || _)
+      case cf: graft.search.CombinedFieldQuery =>
+        // a percolated doc has no fields: the combined-field union IS the
+        // doc's token stream, so the match condition is term presence
+        array_contains(toks, cf.term)
       case pq: PhraseQuery =>
         // exact phrase over whitespace tokens == substring on the
         // space-joined stream (the percolate paths split on single spaces,
@@ -128,6 +132,7 @@ object Streaming {
     case dm: DisMaxQuery     => dm.disjuncts.exists(evalQuery(_, toks, pos))
     case cs: ConstScoreQuery => evalQuery(cs.query, toks, pos)
     case sq: SynonymQuery    => sq.synonyms.exists(toks.contains)
+    case cf: graft.search.CombinedFieldQuery => toks.contains(cf.term)
     case pq: PhraseQuery =>
       pq.phraseTerms.forall(toks.contains) && {
         val p = pos()
@@ -185,6 +190,7 @@ object Streaming {
       case BoostQuery(q2, _)   => triggerTerms(q2)
       case cs: ConstScoreQuery => triggerTerms(cs.query)
       case sq: SynonymQuery    => Some(sq.synonyms)
+      case cf: graft.search.CombinedFieldQuery => Some(Seq(cf.term))
       // every phrase term is required — any single one is a cover
       case pq: PhraseQuery     => Some(Seq(pq.phraseTerms.head))
       // every slot is required — the smallest slot's term set is a cover
