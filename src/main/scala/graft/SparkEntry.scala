@@ -65,6 +65,7 @@ object SparkEntry {
     fieldSearchers.remove(sfDir)
     classicSearchers.remove(sfDir)
     stemSearchers.remove(sfDir)
+    featureSearchers.remove(sfDir)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit
@@ -150,6 +151,40 @@ object SparkEntry {
       val base = searcherFor(spark, sfDir)
       new IndexSearcher(spark, base.segments, precision = Precision.DoubleOracle,
         k1 = K1, b = B, similarity = graft.search.Similarity.Classic)
+    })
+
+  private val featureSearchers = TrieMap[String, IndexSearcher]()
+
+  /** Index over `documents` carrying a static `pagerank` feature (value =
+    * n_chars mod 400 + 1 — integers ≤ 512 are exactly 17-bit-encodable, so
+    * the index round-trips the oracle's arithmetic losslessly) appended as
+    * feature postings (ref `document/FeatureField.java`).
+    */
+  private def featureSearcherFor(spark: SparkSession, sfDir: String): IndexSearcher =
+    featureSearchers.getOrElseUpdate(sfDir, {
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createDirectories(indexDirFor(sfDir))
+        .toString
+      val pages = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(format_string("doc%012d", $"doc_id").as("url"), $"text")
+        .as[(String, String)]
+      val cfg = IndexConfig(bucketShift = 8, numPostingPartitions = 8,
+        numDocPartitions = 4)
+      IndexBuilder.buildSegment(pages, s"$dir/segfeat", cfg)
+      // the append pass is not idempotent — marker-gate it so a cached
+      // segment from a prior process never gets doubled postings
+      val marker = java.nio.file.Paths.get(s"$dir/segfeat/features_done")
+      if (!java.nio.file.Files.exists(marker)) {
+        val features = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(format_string("doc%012d", $"doc_id").as("url"),
+            lit("pagerank").as("feature"),
+            (pmod($"n_chars", lit(400)) + 1).cast("float").as("value"))
+        graft.index.FeatureIndexer.addFeatures(spark, s"$dir/segfeat", features)
+        java.nio.file.Files.createFile(marker): Unit
+      }
+      new IndexSearcher(spark, Seq(Manifest.read(s"$dir/segfeat").get),
+        precision = Precision.DoubleOracle, k1 = K1, b = B)
     })
 
   private val stemSearchers = TrieMap[String, IndexSearcher]()
@@ -255,6 +290,20 @@ object SparkEntry {
       val se = fieldSearcherFor(s, d)
       import s.implicits._
       se.fetchDocs(topKVerified(se, se.parse("title:data OR body:query"), 10))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc).limit(10)
+    }),
+    "ft_feature_rank" -> ((s, d) => {
+      // FeatureField static ranking signal: BM25(data) + a saturation
+      // transform of the doc's pagerank feature, composed as SHOULD clauses
+      // (ref document/FeatureField.java newSaturationQuery usage)
+      val se = featureSearcherFor(s, d)
+      import s.implicits._
+      val q = BoolQuery(Seq(
+        TermQuery("data") -> (Occur.Should: Occur),
+        FeatureQuery("pagerank", FeatureFunction.Saturation(500.0), 0.8) ->
+          (Occur.Should: Occur)))
+      se.fetchDocs(topKVerified(se, q, 10))
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc).limit(10)
     }),
@@ -1012,6 +1061,17 @@ object SparkEntry {
          |SELECT doc_id, round(score, 6) AS score FROM scored
          |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
     },
+    "ft_feature_rank" ->
+      (bm25Ctes(Seq("data")) +
+        """, feat AS (
+          |  SELECT doc_id, 0.8 * (1 - 500.0 / ((n_chars % 400 + 1) + 500.0)) AS fs
+          |  FROM documents
+          |), scored AS (
+          |  SELECT f.doc_id, coalesce(sc.s, 0) + f.fs AS score
+          |  FROM feat f LEFT JOIN sc ON sc.doc_id = f.doc_id
+          |)
+          |SELECT doc_id, round(score, 6) AS score FROM scored
+          |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin),
     "ft_combined_topk" -> {
       // BM25F replica: title (first 8 tokens, weight 2) + body (rest,
       // weight 1) as one pseudo-field. Pseudo docCount = max over fields,

@@ -74,7 +74,11 @@ object CheckIndex {
         if (fs.max.toInt != b.maxFreq) errs += s"$key: maxFreq mismatch"
         if (ns.min.toInt != b.minNorm) errs += s"$key: minNorm mismatch"
         if (fs.exists(_ < 1)) errs += s"$key: nonpositive freq"
-        if (mustHavePos && b.posPacked == null) errs += s"$key: missing positions"
+        // feature postings carry no positions even in positional segments
+        // (their freq is a value encoding, not an occurrence count)
+        val isFeature = b.term.startsWith(FeatureIndexer.Field + FieldKey.Sep.toString)
+        if (mustHavePos && b.posPacked == null && !isFeature)
+          errs += s"$key: missing positions"
         if (b.posPacked != null) {
           val pos = Positions.decode(b.posPacked, fs, b.numDocs)
           var d = 0
@@ -111,8 +115,13 @@ object CheckIndex {
     if (mismatch > 0) v += s"$mismatch terms with stats disagreeing between dictionary and blocks"
 
     // sum() over zero blocks is null — treat as 0 so the manifest comparison
-    // below reports the inconsistency instead of throwing
-    val sttfRow = blocksDs.agg(sum($"freqSum")).head()
+    // below reports the inconsistency instead of throwing. Feature-field
+    // postings are excluded: their frequencies are FeatureField value
+    // encodings, not token counts, and the manifest's sumTotalTermFreq is
+    // the TEXT token total that drives avgdl (FeatureIndexer contract).
+    val sttfRow = blocksDs
+      .where(!$"term".startsWith(FeatureIndexer.Field + FieldKey.Sep))
+      .agg(sum($"freqSum")).head()
     val sttf = if (sttfRow.isNullAt(0)) 0L else sttfRow.getLong(0)
     if (sttf != manifest.sumTotalTermFreq)
       v += s"sumTotalTermFreq $sttf != manifest ${manifest.sumTotalTermFreq}"

@@ -98,6 +98,35 @@ final class ConstScorer(val value: Double) extends SimScorer {
   def weightD: Double = value
 }
 
+/** Feature-value scorer (ref `document/FeatureField.java` LinearFunction /
+  * LogFunction / SaturationFunction SimScorers): the posting frequency IS
+  * the 17-bit float encoding of the feature value; the score is a monotone
+  * transform of the decoded value and ignores the norm entirely. Float mode
+  * reproduces the reference's float arithmetic; double mode mirrors a SQL
+  * double-math oracle.
+  */
+final class FeatureSimScorer(
+    fn: FeatureFunction, w: Double, floatExact: Boolean) extends SimScorer {
+  def score(freq: Int, norm: Int): Double = {
+    val v = graft.index.FeatureIndexer.decodeValue(freq)
+    if (floatExact) (fn match {
+      case FeatureFunction.Linear => w.toFloat * v
+      case FeatureFunction.Log(a) =>
+        (w * math.log(a + v)).toFloat // ref FeatureField.java:338 float cast
+      case FeatureFunction.Saturation(k) =>
+        // ref FeatureField.java:414: 1 - k/(f+k), the form that stays
+        // monotone in f under float rounding
+        w.toFloat * (1f - k.toFloat / (v + k.toFloat))
+    }).toDouble
+    else fn match {
+      case FeatureFunction.Linear        => w * v
+      case FeatureFunction.Log(a)        => w * math.log(a + v)
+      case FeatureFunction.Saturation(k) => w * (1d - k / (v + k))
+    }
+  }
+  def weightD: Double = w
+}
+
 /** ClassicSimilarity (TF-IDF) statistics, reproducing the reference's float
   * semantics (`search/similarities/ClassicSimilarity.java`):
   *

@@ -301,6 +301,11 @@ final class IndexSearcher(
         Map(Executor.skey(sq.key, boost) -> simScorer(df, st, boost))
       case cf: CombinedFieldQuery =>
         Map(Executor.skey(cf.key, boost) -> combinedFieldSim(cf, ts, boost))
+      case fq: FeatureQuery =>
+        // boost folds into the function weight (ref FeatureQuery weight
+        // creation: the similarity never sees feature postings)
+        Map(Executor.skey(fq.key, boost) -> new FeatureSimScorer(
+          fq.function, fq.weight * boost, precision == Precision.FloatExact))
       case dm: DisMaxQuery => dm.disjuncts.iterator.flatMap(walk(_, boost)).toMap
       case cs: ConstScoreQuery => walk(cs.query, boost)
       case pq: PhraseQuery =>
@@ -1227,6 +1232,18 @@ final class IndexSearcher(
                   s"freq of '${cf.term}' in field ${graft.index.FieldKey.fieldOf(t)} (weight $w)")
               })
         }
+      case fq: FeatureQuery =>
+        fn.get(fq.term) match {
+          case None => Explanation.noMatch(s"doc $docId carries no '${fq.feature}' feature")
+          case Some((freq, norm)) =>
+            val v = graft.index.FeatureIndexer.decodeValue(freq)
+            val sim = new FeatureSimScorer(fq.function, fq.weight * boost,
+              precision == Precision.FloatExact)
+            Explanation(sim.score(freq, norm),
+              s"feature(${fq.feature}, ${fq.function})", details = Seq(
+                Explanation(fq.weight * boost, "w, function weight (boost folded)"),
+                Explanation(v.toDouble, "S, decoded feature value")))
+        }
       case pq: PhraseQuery =>
         val pos = positionsAt(pq.phraseTerms.distinct, seg, local)
         if (pq.phraseTerms.exists(t => !pos.contains(t)))
@@ -1370,6 +1387,7 @@ final class IndexSearcher(
     case BoostQuery(q2, b2)  => s"boost($b2,${cacheKey(q2)})"
     case sq: SynonymQuery    => sq.synonyms.sorted.mkString("syn:", ",", "")
     case cf: CombinedFieldQuery => cf.key
+    case fq: FeatureQuery    => fq.key
     case pq: PhraseQuery     => pq.key // slot order is semantic — no sorting
     case mq: MultiPhraseQuery => mq.key
     case iq: IntervalQuery   => iq.key
@@ -1631,6 +1649,11 @@ object Executor {
       else Some(new CombinedFieldScorer(
         present.map { case (t, _) => new TermScorer(blocks(t), sim) }.toArray,
         present.map(_._2).toArray, sim))
+    case fq: FeatureQuery =>
+      // a feature posting is an ordinary posting whose freq encodes the
+      // value — the plain TermScorer with a FeatureSimScorer gives exact
+      // scores AND sound impact bounds (monotone decode)
+      blocks.get(fq.term).map(bs => new TermScorer(bs, scorers(skey(fq.key, boost))))
     case pq: PhraseQuery =>
       val uniqueTerms = pq.phraseTerms.distinct
       if (uniqueTerms.exists(t => !blocks.contains(t))) None
@@ -1735,6 +1758,8 @@ object Executor {
       build(sq, blocks, scorers).foreach(s => Wand.run(Array(s), None, collector, pruning))
     case cf: CombinedFieldQuery =>
       build(cf, blocks, scorers).foreach(s => Wand.run(Array(s), None, collector, pruning))
+    case fq: FeatureQuery =>
+      build(fq, blocks, scorers).foreach(s => Wand.run(Array(s), None, collector, pruning))
     case pq: PhraseQuery =>
       build(pq, blocks, scorers).foreach(s => Wand.run(Array(s), None, collector, pruning))
     case mq: MultiPhraseQuery =>
@@ -1850,6 +1875,7 @@ object Executor {
     case BoostQuery(q2, b2)  => scorerKeys(q2, boost * b2)
     case sq: SynonymQuery    => sq.synonyms.toSet + skey(sq.key, boost)
     case cf: CombinedFieldQuery => cf.terms + skey(cf.key, boost)
+    case fq: FeatureQuery    => Set(skey(fq.key, boost))
     case pq: PhraseQuery     => pq.terms + skey(pq.key, boost)
     case mq: MultiPhraseQuery => mq.terms + skey(mq.key, boost)
     case iq: IntervalQuery   => iq.terms

@@ -143,6 +143,41 @@ final case class CombinedFieldQuery(term: String, fields: Seq[(String, Double)])
       .mkString(s"cf:$term:", ",", "")
 }
 
+/** Score transforms for static-feature queries (ref `FeatureField.java`
+  * LinearFunction / LogFunction / SaturationFunction): monotone in the
+  * feature value, so posting-freq impacts give sound WAND bounds.
+  */
+sealed trait FeatureFunction extends Serializable
+object FeatureFunction {
+  /** score = w · S (`FeatureField.newLinearQuery`). */
+  case object Linear extends FeatureFunction
+  /** score = w · ln(a + S), a ≥ 1 (`FeatureField.newLogQuery`). */
+  final case class Log(scalingFactor: Double) extends FeatureFunction {
+    require(scalingFactor >= 1.0, s"scalingFactor must be >= 1, got $scalingFactor")
+  }
+  /** score = w · S / (S + k), k > 0 (`FeatureField.newSaturationQuery`). */
+  final case class Saturation(pivot: Double) extends FeatureFunction {
+    require(pivot > 0, s"pivot must be > 0, got $pivot")
+  }
+}
+
+/** Static per-document ranking signal read from a feature posting's term
+  * frequency (ref `document/FeatureQuery.java` via `FeatureField`'s query
+  * factories): matches every doc carrying the feature; the score is a
+  * monotone transform of the decoded feature value and ignores norms/idf.
+  * Typically composed as a SHOULD clause beside a text query.
+  */
+final case class FeatureQuery(
+    feature: String,
+    function: FeatureFunction,
+    weight: Double = 1.0
+) extends Query {
+  require(weight > 0, s"weight must be > 0, got $weight")
+  def term: String = graft.index.FeatureIndexer.featureTerm(feature)
+  def terms: Set[String] = Set(term)
+  def key: String = s"feat:$feature:$function:$weight"
+}
+
 /** @param minimumShouldMatch docs must match at least this many SHOULD
   *   clauses (ref `search/BooleanQuery.java#getMinimumNumberShouldMatch`,
   *   scorer semantics `search/WANDScorer.java` minShouldMatch mode). 0 keeps

@@ -38,6 +38,10 @@ object Streaming {
         // a percolated doc has no fields: the combined-field union IS the
         // doc's token stream, so the match condition is term presence
         array_contains(toks, cf.term)
+      case fq: graft.search.FeatureQuery =>
+        // percolated docs carry no feature postings; matches only if the
+        // doc literally contains the feature term (normally never)
+        array_contains(toks, fq.term)
       case pq: PhraseQuery =>
         // exact phrase over whitespace tokens == substring on the
         // space-joined stream (the percolate paths split on single spaces,
@@ -133,6 +137,7 @@ object Streaming {
     case cs: ConstScoreQuery => evalQuery(cs.query, toks, pos)
     case sq: SynonymQuery    => sq.synonyms.exists(toks.contains)
     case cf: graft.search.CombinedFieldQuery => toks.contains(cf.term)
+    case fq: graft.search.FeatureQuery => toks.contains(fq.term)
     case pq: PhraseQuery =>
       pq.phraseTerms.forall(toks.contains) && {
         val p = pos()
@@ -191,6 +196,7 @@ object Streaming {
       case cs: ConstScoreQuery => triggerTerms(cs.query)
       case sq: SynonymQuery    => Some(sq.synonyms)
       case cf: graft.search.CombinedFieldQuery => Some(Seq(cf.term))
+      case fq: graft.search.FeatureQuery => Some(Seq(fq.term))
       // every phrase term is required — any single one is a cover
       case pq: PhraseQuery     => Some(Seq(pq.phraseTerms.head))
       // every slot is required — the smallest slot's term set is a cover
