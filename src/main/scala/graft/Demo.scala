@@ -138,6 +138,22 @@ object Demo {
           if (!r.ok) bad += 1
         }
         if (bad > 0) { System.err.println(s"[demo] $bad segment(s) failed"); sys.exit(1) }
+      case "snapshot" :: dir :: Nil =>
+        // pin the current commit point (ref SnapshotDeletionPolicy#snapshot)
+        graft.index.LiveSet.snapshot(dir) match {
+          case Some(gen) => println(s"[demo] snapshotted generation $gen " +
+            s"(pinned: ${graft.index.LiveSet.snapshots(dir).mkString(",")})")
+          case None =>
+            System.err.println("[demo] no committed generation to snapshot " +
+              "(single-build layout — run ingest first)")
+            sys.exit(1)
+        }
+      case "rollback" :: dir :: gen :: Nil =>
+        // restore a pinned commit point as a NEW generation
+        val g = graft.index.LiveSet.rollback(dir, gen.toLong)
+        println(s"[demo] rolled back to generation ${gen.toLong} " +
+          s"(committed as generation $g); orphans: " +
+          graft.index.LiveSet.gcOrphans(dir).mkString(","))
       case "explain" :: dir :: rest if rest.nonEmpty =>
         val searcher = IndexSearcher.open(spark, dir)
         val q = searcher.parse(rest.mkString(" "))

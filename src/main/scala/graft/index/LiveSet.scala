@@ -44,15 +44,24 @@ object LiveSet {
       }.sortBy(_._1).toSeq
   }
 
+  private def parseGenFile(f: java.io.File): Seq[String] = {
+    val json = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+    "\"([^\"]+)\"".r.findAllMatchIn(
+      json.substring(json.indexOf('['), json.lastIndexOf(']') + 1))
+      .map(_.group(1)).toSeq
+  }
+
   /** Latest committed (generation, segment dir names), if any commit exists. */
   def read(indexDir: String): Option[(Long, Seq[String])] =
     genFiles(indexDir).reverse.iterator.flatMap { case (gen, f) =>
-      val json = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-      val segs = "\"([^\"]+)\"".r.findAllMatchIn(
-        json.substring(json.indexOf('['), json.lastIndexOf(']') + 1))
-        .map(_.group(1)).toSeq
-      Some((gen, segs))
+      Some((gen, parseGenFile(f)))
     }.nextOption()
+
+  /** Segment names of one specific committed generation, if its
+    * `segments_N` file still exists (recent or snapshot-pinned).
+    */
+  def readGen(indexDir: String, gen: Long): Option[Seq[String]] =
+    genFiles(indexDir).find(_._1 == gen).map(g => parseGenFile(g._2))
 
   /** Atomically commit a new generation holding exactly `segNames` (relative
     * dir names under `indexDir`). Keeps the last few generations for
@@ -67,8 +76,78 @@ object LiveSet {
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(indexDir, f"$Prefix$gen%012d.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    genFiles(indexDir).dropRight(5).foreach(_._2.delete())
+    // prune old generation files, but never a snapshotted one (the
+    // SnapshotDeletionPolicy contract: a snapshotted commit point survives
+    // until released)
+    val pinned = snapshots(indexDir).toSet
+    genFiles(indexDir).dropRight(5)
+      .filterNot { case (g, _) => pinned.contains(g) }
+      .foreach(_._2.delete())
     gen
+  }
+
+  // ---------------------------------------------------------- snapshots
+
+  private val SnapFile = "snapshots.json"
+
+  /** Snapshotted generations, ascending (ref
+    * `index/SnapshotDeletionPolicy.java`: commit points a writer must not
+    * delete — here: `segments_N` files [[commit]] must not prune and
+    * segment dirs [[gcOrphans]] must not collect).
+    */
+  def snapshots(indexDir: String): Seq[Long] = {
+    val p = Paths.get(indexDir, SnapFile)
+    if (!Files.exists(p)) Seq.empty
+    else {
+      val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      "\\d+".r.findAllIn(json).map(_.toLong).toSeq.distinct.sorted
+    }
+  }
+
+  private def writeSnapshots(indexDir: String, gens: Seq[Long]): Unit = {
+    val json = gens.distinct.sorted.mkString("[", ",", "]")
+    val tmp = Paths.get(indexDir, s".$SnapFile.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(indexDir, SnapFile),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** Pin the current generation (`SnapshotDeletionPolicy#snapshot`): its
+    * `segments_N` file and every segment dir it references survive pruning
+    * and orphan GC until [[release]]d. Returns the pinned generation; None
+    * when no generation was ever committed (legacy layout — commit first).
+    */
+  def snapshot(indexDir: String): Option[Long] =
+    read(indexDir).map { case (gen, _) =>
+      writeSnapshots(indexDir, snapshots(indexDir) :+ gen)
+      gen
+    }
+
+  /** Unpin a snapshotted generation (`SnapshotDeletionPolicy#release`); its
+    * file and non-live segments become collectable again.
+    */
+  def release(indexDir: String, gen: Long): Unit =
+    writeSnapshots(indexDir, snapshots(indexDir).filterNot(_ == gen))
+
+  /** Segment names referenced by any snapshotted generation. */
+  def snapshotSegments(indexDir: String): Set[String] =
+    snapshots(indexDir).flatMap(g => readGen(indexDir, g).getOrElse(Seq.empty)).toSet
+
+  /** Restore a snapshotted (or still-retained) generation by committing a
+    * NEW generation with exactly its segment set — the rollback-to-commit
+    * shape (`IndexWriter#rollback` / restoring a snapshot): every segment
+    * added or merged since the snapshot drops out of the live set (and is
+    * collected by the next [[gcOrphans]] unless another snapshot pins it).
+    * Per-segment delete generations are NOT versioned by snapshots: deletes
+    * written inside a still-live segment dir after the snapshot remain
+    * visible (documented divergence from the reference's per-commit
+    * delGen).
+    */
+  def rollback(indexDir: String, gen: Long): Long = {
+    val segs = readGen(indexDir, gen).getOrElse(
+      throw new IllegalArgumentException(
+        s"generation $gen is not retained at $indexDir (snapshot it before overwriting)"))
+    commit(indexDir, segs)
   }
 
   /** Current live names; on a legacy layout (committed segment dirs, no
@@ -119,7 +198,8 @@ object LiveSet {
     read(indexDir) match {
       case None => Seq.empty
       case Some((_, live)) =>
-        val liveSet = live.toSet
+        // snapshot-pinned segments are protected like live ones
+        val liveSet = live.toSet ++ snapshotSegments(indexDir)
         val root = new java.io.File(indexDir)
         if (!root.isDirectory) Seq.empty
         else root.listFiles()

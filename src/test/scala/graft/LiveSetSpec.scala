@@ -141,4 +141,41 @@ class LiveSetSpec extends SparkTestBase {
     assert(IndexSearcher.open(spark, dir).stats.docCount == 300)
     assert(LiveSet.gcOrphans(dir).isEmpty, "GC must be a no-op without a live set")
   }
+
+  test("snapshot pins a commit point through pruning and GC; rollback restores it") {
+    val dir = tmpDir("liveset-snap")
+    buildSeg(dir, "seg00", 0, 300)
+    LiveSet.add(dir, Seq("seg00"))
+    val snapGen = LiveSet.snapshot(dir).get
+    assert(LiveSet.snapshots(dir) == Seq(snapGen))
+
+    // replace seg00 with a merged/updated segment, then churn generations
+    // far past the keep-5 window
+    buildSeg(dir, "seg01", 300, 200)
+    LiveSet.swap(dir, Seq("seg00"), Seq("seg01"))
+    (0 until 8).foreach(_ => LiveSet.add(dir, Seq("seg01")))
+
+    // the snapshotted generation FILE survived pruning; the seg00 DIR
+    // survived orphan GC despite not being live
+    assert(LiveSet.readGen(dir, snapGen).contains(Seq("seg00")))
+    assert(LiveSet.gcOrphans(dir).isEmpty, "snapshot-pinned segment must not be collected")
+    assert(new java.io.File(s"$dir/seg00").isDirectory)
+    assert(IndexSearcher.open(spark, dir).stats.docCount == 200) // live = seg01
+
+    // rollback: reader sees exactly the snapshot's doc set again
+    LiveSet.rollback(dir, snapGen)
+    val se = IndexSearcher.open(spark, dir)
+    assert(se.segments.map(_.dir) == Seq(s"$dir/seg00"))
+    assert(se.stats.docCount == 300)
+    // seg01 fell out of the live set and is collectable now
+    assert(LiveSet.gcOrphans(dir) == Seq("seg01"))
+
+    // release: the pin goes away; after the file ages out of the keep
+    // window, rollback to it must fail fast
+    LiveSet.release(dir, snapGen)
+    assert(LiveSet.snapshots(dir).isEmpty)
+    (0 until 8).foreach(_ => LiveSet.add(dir, Seq("seg00")))
+    assert(LiveSet.readGen(dir, snapGen).isEmpty, "released generation file must age out")
+    intercept[IllegalArgumentException](LiveSet.rollback(dir, snapGen))
+  }
 }
