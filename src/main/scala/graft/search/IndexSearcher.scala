@@ -360,6 +360,20 @@ final class IndexSearcher(
     simScorer(df, CollectionStats(docCount, sttf), boost)
   }
 
+  /** Default saturation pivot for a feature: the decoded average posting
+    * frequency (ref `FeatureField.computePivotFeatureValue` — "a reasonable
+    * default is the average feature value"); 1 when the feature is absent.
+    */
+  def defaultFeaturePivot(feature: String): Float = {
+    val t = graft.index.FeatureIndexer.featureTerm(feature)
+    termStats(Seq(t)).get(t) match {
+      case None => 1f
+      case Some(st) =>
+        val avgFreq = (st.totalTermFreq.toDouble / st.docFreq).toFloat
+        graft.index.FeatureIndexer.decodeValue(avgFreq.toInt)
+    }
+  }
+
   /** Σ-idf weight over `terms` (all present in `ts`) for the active
     * (similarity, precision) mode — the multi-term stats construction shared
     * by phrase and multiphrase weights.

@@ -113,6 +113,14 @@ class FeatureFieldSpec extends SparkTestBase {
     }
   }
 
+  test("default saturation pivot = decoded average posting freq") {
+    val avgFreq = (sorted.map(p =>
+      FeatureIndexer.encodeValue(rawValue(p.url)).toLong).sum.toDouble / NDocs).toFloat
+    val expected = FeatureIndexer.decodeValue(avgFreq.toInt)
+    assert(searcher.defaultFeaturePivot("pagerank") == expected)
+    assert(searcher.defaultFeaturePivot("nosuch") == 1f)
+  }
+
   test("CheckIndex passes after the feature append (manifest stays consistent)") {
     val report = graft.index.CheckIndex.check(spark, segDir)
     assert(report.violations.isEmpty, report.violations.mkString("; "))
