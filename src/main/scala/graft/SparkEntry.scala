@@ -307,6 +307,18 @@ object SparkEntry {
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc).limit(10)
     }),
+    "ft_feature_sort" -> ((s, d) => {
+      // sort by static feature value desc (ref FeatureField.newFeatureSort):
+      // the linear feature scorer at weight 1 IS the decoded value, so the
+      // sort is a scoreMatches + ORDER BY — no docs-table column needed
+      val se = featureSearcherFor(s, d)
+      import s.implicits._
+      val q = FeatureQuery("pagerank", FeatureFunction.Linear, 1.0)
+      se.scoreMatches(q).toDF("docId", "pagerank")
+        .join(se.docsTable.select($"docId", $"url"), "docId")
+        .select(docIdOf($"url"), $"pagerank")
+        .orderBy($"pagerank".desc, $"doc_id".asc).limit(15)
+    }),
     "ft_combined_topk" -> ((s, d) => {
       // BM25F: one term scored against the weighted union of title+body as
       // a synthetic combined field — pseudo df = max over fields, weighted
@@ -509,6 +521,19 @@ object SparkEntry {
         .join(se.docsTable.select($"docId", $"url"), "docId")
         .select(docIdOf($"url")).distinct()
         .orderBy($"doc_id")
+    }),
+    "ft_near_prefix" -> ((s, d) => {
+      // multi-term interval source: unordered near(data, quer*) within a
+      // width-8 window (ref Intervals.java prefix() — dictionary-expanded
+      // OR source), ranked by best proximity
+      val se = searcherFor(s, d)
+      import s.implicits._
+      import graft.search.Intervals._
+      se.intervalHits(MaxWidth(Unordered(Seq(Term("data"), se.intervalPrefix("quer"))), 8))
+        .toDF("docId", "n", "minWidth")
+        .join(se.docsTable.select($"docId", $"url"), "docId")
+        .select(docIdOf($"url"), $"minWidth".cast("bigint").as("min_width"))
+        .orderBy($"min_width".asc, $"doc_id".asc).limit(15)
     }),
     "ft_near_phrase" -> ((s, d) => {
       // composed intervals: near(phrase(data query), stream) within width 12
@@ -1072,6 +1097,9 @@ object SparkEntry {
           |)
           |SELECT doc_id, round(score, 6) AS score FROM scored
           |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin),
+    "ft_feature_sort" ->
+      """SELECT doc_id, (n_chars % 400 + 1)::DOUBLE AS pagerank FROM documents
+        |ORDER BY pagerank DESC, doc_id ASC LIMIT 15""".stripMargin,
     "ft_combined_topk" -> {
       // BM25F replica: title (first 8 tokens, weight 2) + body (rest,
       // weight 1) as one pseudo-field. Pseudo docCount = max over fields,
@@ -1343,6 +1371,17 @@ object SparkEntry {
         |             greatest(a.pos, b.pos) - least(a.pos, b.pos) + 1 AS w
         |      FROM t a JOIN t b ON b.doc_id = a.doc_id
         |      WHERE a.term = 'data' AND b.term = 'query'
+        |        AND greatest(a.pos, b.pos) - least(a.pos, b.pos) + 1 <= 8)
+        |SELECT doc_id, min(w)::BIGINT AS min_width FROM p GROUP BY doc_id
+        |ORDER BY min_width ASC, doc_id ASC LIMIT 15""".stripMargin,
+    "ft_near_prefix" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |                  generate_subscripts(string_split(text, ' '), 1) AS pos
+        |           FROM documents),
+        |p AS (SELECT a.doc_id,
+        |             greatest(a.pos, b.pos) - least(a.pos, b.pos) + 1 AS w
+        |      FROM t a JOIN t b ON b.doc_id = a.doc_id
+        |      WHERE a.term = 'data' AND b.term LIKE 'quer%'
         |        AND greatest(a.pos, b.pos) - least(a.pos, b.pos) + 1 <= 8)
         |SELECT doc_id, min(w)::BIGINT AS min_width FROM p GROUP BY doc_id
         |ORDER BY min_width ASC, doc_id ASC LIMIT 15""".stripMargin,

@@ -360,6 +360,29 @@ final class IndexSearcher(
     simScorer(df, CollectionStats(docCount, sttf), boost)
   }
 
+  /** Multi-term interval sources (ref `queries/intervals/Intervals.java`
+    * `prefix`/`wildcard`/`fuzzyTerm`): the pattern expands against the
+    * dictionary (bounded at `max`, the reference's 128-expansion default)
+    * into an OR of term sources. An empty expansion degenerates to the
+    * literal term source, which is absent from the dictionary and matches
+    * nothing.
+    */
+  def intervalPrefix(prefix: String, max: Int = 128): Intervals.Source =
+    orIntervalSource(prefix, expandPrefix(prefix, max))
+
+  def intervalWildcard(pattern: String, max: Int = 128): Intervals.Source =
+    orIntervalSource(pattern, expandWildcard(pattern, max))
+
+  def intervalFuzzy(term: String, maxEdits: Int = 2, max: Int = 128): Intervals.Source =
+    orIntervalSource(term, expandFuzzy(term, maxEdits = maxEdits, max = max))
+
+  private def orIntervalSource(orig: String, expanded: Seq[String]): Intervals.Source =
+    expanded match {
+      case Seq()  => Intervals.Term(orig)
+      case Seq(t) => Intervals.Term(t)
+      case ts     => Intervals.Or(ts.map(Intervals.Term(_)))
+    }
+
   /** Default saturation pivot for a feature: the decoded average posting
     * frequency (ref `FeatureField.computePivotFeatureValue` — "a reasonable
     * default is the average feature value"); 1 when the feature is absent.

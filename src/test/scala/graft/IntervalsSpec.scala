@@ -236,6 +236,29 @@ class IntervalsSpec extends SparkTestBase {
     }
   }
 
+  test("multi-term interval sources: prefix/wildcard/fuzzy expand to OR sources") {
+    import spark.implicits._
+    val urlOf = se.docsTable.select($"docId", $"url").as[(Long, String)]
+      .collect().toMap
+    // dictionary-backed expansion == hand-built OR over the same terms
+    val pSrc = se.intervalPrefix("cou")
+    val expTerms = se.expandPrefix("cou", 128)
+    assert(expTerms.nonEmpty)
+    val near = MaxWidth(Unordered(Seq(Term("law"), pSrc)), 8)
+    val indexed = se.intervalHits(near).collect()
+      .map { case (d, n, w) => urlOf(d) -> (n, w) }.toMap
+    val handOr =
+      if (expTerms.size == 1) Term(expTerms.head) else Or(expTerms.map(Term(_)))
+    val expected = bruteCorpus(MaxWidth(Unordered(Seq(Term("law"), handOr)), 8))
+    assert(indexed == expected)
+    assert(expected.nonEmpty, "vacuous prefix-near duel")
+    // wildcard and fuzzy expansions produce consistent sources
+    assert(se.intervalWildcard("cou*").terms.toSet == expTerms.toSet)
+    assert(se.intervalFuzzy("cuort", maxEdits = 2).terms.contains("court"))
+    // unmatched pattern degenerates to a no-match term source
+    assert(se.intervalHits(se.intervalPrefix("zzzqx")).collect().isEmpty)
+  }
+
   test("intervals compose with boolean filters at the document level") {
     import spark.implicits._
     val src = MaxWidth(Unordered(Seq(Term("court"), Term("law"))), 10)
