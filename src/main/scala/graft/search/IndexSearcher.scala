@@ -1814,31 +1814,39 @@ object Executor {
       val should = bq.should.flatMap(build(_, blocks, scorers))
       val excl = orScorer(bq.mustNot.flatMap(build(_, blocks, scorers)))
       if (should.nonEmpty) Wand.run(should.toArray, excl, collector, pruning)
-    case bq: BoolQuery if bq.should.isEmpty && bq.must.nonEmpty =>
-      // pure conjunction: block-max AND (ref
-      // search/BlockMaxConjunctionBulkScorer.java via
-      // BooleanScorerSupplier.java:412-414)
+    case bq: BoolQuery
+        if (bq.must.nonEmpty || bq.filter.nonEmpty) &&
+          (bq.minimumShouldMatch == 0 || bq.should.isEmpty) =>
+      // required clauses drive: block-max AND over MUST/FILTER, with SHOULD
+      // clauses scored as optionals whose block maxima join the pruning
+      // bound (ref search/BlockMaxConjunctionBulkScorer.java +
+      // ReqOptSumScorer via BooleanScorerSupplier.java:412-414)
       val musts = bq.must.map(build(_, blocks, scorers))
       val filters = bq.filter.map(build(_, blocks, scorers))
       if (musts.exists(_.isEmpty) || filters.exists(_.isEmpty)) return
+      val optional = bq.should.flatMap(build(_, blocks, scorers))
       val excl = orScorer(bq.mustNot.flatMap(build(_, blocks, scorers)))
       blockMaxConjunction(musts.flatten.toArray, filters.flatten.toArray,
-        excl, collector, pruning)
+        optional.toArray, excl, collector, pruning)
     case _ =>
       build(query, blocks, scorers).foreach(Wand.drain(_, collector))
   }
 
-  /** Block-max conjunction: leapfrog intersection led by the cheapest
-    * clause; before scoring a matched doc, the scoring clauses' summed
-    * per-block maxima are checked against the collector's k-th score — a
-    * non-competitive block is skipped wholesale (to just past the tightest
-    * block boundary) without decoding. Results are identical to exhaustive
-    * draining (duels enforce it): a doc is only skipped when its score
-    * upper bound cannot exceed the current threshold.
+  /** Block-max conjunction with optional clauses: leapfrog intersection led
+    * by the cheapest required clause; before scoring a matched doc, the
+    * scoring clauses' summed per-block maxima (MUST plus SHOULD optionals)
+    * are checked against the collector's k-th score — a non-competitive
+    * block is skipped wholesale (to just past the tightest block boundary
+    * across ALL scoring clauses, since an optional's next block could raise
+    * the bound) without decoding. Optionals add their score on docs they
+    * also match (the ReqOptSumScorer shape). Results are identical to
+    * exhaustive draining (duels enforce it): a doc is only skipped when its
+    * score upper bound cannot exceed the current threshold.
     */
   private def blockMaxConjunction(
       musts: Array[DocScorer],
       filters: Array[DocScorer],
+      optional: Array[DocScorer],
       excl: Option[DocScorer],
       collector: TopKCollector,
       pruning: Boolean
@@ -1874,6 +1882,14 @@ object Executor {
             ub += musts(j).blockMaxScore
             j += 1
           }
+          j = 0
+          while (j < optional.length) {
+            if (optional(j).docId != NoMoreDocs) {
+              optional(j).advanceShallow(d)
+              ub += optional(j).blockMaxScore
+            }
+            j += 1
+          }
           prune = ub <= thr
         }
         if (prune) {
@@ -1882,6 +1898,16 @@ object Executor {
           while (j < musts.length) {
             val b = musts(j).blockBoundary
             if (b < bnd) bnd = b
+            j += 1
+          }
+          // an optional's bound only holds inside its current block — the
+          // skip must not overshoot any scoring clause's boundary
+          j = 0
+          while (j < optional.length) {
+            if (optional(j).docId != NoMoreDocs) {
+              val b = optional(j).blockBoundary
+              if (b < bnd) bnd = b
+            }
             j += 1
           }
           val skipTo =
@@ -1896,6 +1922,15 @@ object Executor {
             var s = 0.0
             var j = 0
             while (j < musts.length) { s += musts(j).score; j += 1 }
+            j = 0
+            while (j < optional.length) {
+              val o = optional(j)
+              if (o.docId != NoMoreDocs) {
+                val od = if (o.docId < d) o.advance(d) else o.docId
+                if (od == d) s += o.score
+              }
+              j += 1
+            }
             collector.collect(d, s)
           }
           d = lead.nextDoc()

@@ -74,6 +74,32 @@ class IndexSearchSpec extends SparkTestBase {
     }
   }
 
+  test("duel: mixed required+optional (block-max req-opt) == exhaustive == oracle") {
+    import Occur._
+    val shapes: Seq[BoolQuery] = Seq(
+      BoolQuery(Seq(TermQuery("court") -> Must, TermQuery("law") -> Should)),
+      BoolQuery(Seq(TermQuery("court") -> Must, TermQuery("law") -> Should,
+        TermQuery("state") -> Should)),
+      BoolQuery(Seq(TermQuery("the") -> Must, TermQuery("of") -> Must,
+        TermQuery("court") -> Should)),
+      BoolQuery(Seq(TermQuery("court") -> Filter, TermQuery("law") -> Should)),
+      BoolQuery(Seq(TermQuery("court") -> Must, TermQuery("law") -> Should,
+        TermQuery("state") -> MustNot)),
+      BoolQuery(Seq(TermQuery("court") -> Must,
+        BoolQuery(Seq(TermQuery("law") -> Should, TermQuery("state") -> Should)) -> Should)),
+      BoolQuery(Seq(TermQuery("court") -> Must, TermQuery("zzzznothere") -> Should)))
+    for (q <- shapes) {
+      val expected = oracle.topK(q, 10)
+      val pruned = searcher.topK(q, 10, pruning = true).collect()
+        .map(s => (s.docId, s.score)).toSeq
+      val exhaustive = searcher.topK(q, 10, pruning = false).collect()
+        .map(s => (s.docId, s.score)).toSeq
+      assert(pruned == exhaustive, s"req-opt pruning changed results for: $q")
+      assert(pruned == expected, s"req-opt engine != oracle for: $q")
+      assert(expected.nonEmpty, s"vacuous req-opt duel for $q")
+    }
+  }
+
   test("fuzzy suggest duel: prefix-edit-distance completions == brute force") {
     import graft.functions.EditDistance
     for (q <- Seq("stae", "cort", "lwa", "st")) {
