@@ -293,6 +293,7 @@ final class IndexSearcher(
   private def scorerMap(query: Query, ts: Map[String, TermStat]): Map[String, SimScorer] = {
     def walk(q: Query, boost: Double): Map[String, SimScorer] = q match {
       case TermQuery(t) => Map(Executor.skey(t, boost) -> scorerFor(t, ts, boost))
+      case MatchNoneQuery => Map.empty
       case BoostQuery(inner, b2) => walk(inner, boost * b2)
       case sq: SynonymQuery =>
         val dfs = sq.synonyms.flatMap(ts.get).map(_.docFreq)
@@ -528,7 +529,8 @@ final class IndexSearcher(
   // ------------------------------------------------------------ search
 
   /** Top-k by BM25, rank-identical tie-break (score desc, docId asc). */
-  def topK(query: Query, k: Int, pruning: Boolean = true): Dataset[ScoredDoc] = {
+  def topK(query0: Query, k: Int, pruning: Boolean = true): Dataset[ScoredDoc] = {
+    val query = Query.rewrite(query0) // BooleanQuery#rewrite normalizations
     val qTerms = query.terms.toSeq.sorted
     val rows = segTermRows(qTerms)
     val ts = aggStats(rows)
@@ -560,7 +562,8 @@ final class IndexSearcher(
   /** Score every matching doc (no top-k cut) — feeds grouping/facet/rescore
     * paths that need the full scored match set.
     */
-  def scoreMatches(query: Query): Dataset[ScoredDoc] = {
+  def scoreMatches(query0: Query): Dataset[ScoredDoc] = {
+    val query = Query.rewrite(query0)
     val qTerms = query.terms.toSeq.sorted
     val rows = segTermRows(qTerms)
     val ts = aggStats(rows)
@@ -726,7 +729,8 @@ final class IndexSearcher(
   /** All matching docIds (no scoring) — the FILTER/semi-join path feeding
     * facets, grouping, and joins.
     */
-  def matching(query: Query): Dataset[Long] = {
+  def matching(query0: Query): Dataset[Long] = {
+    val query = Query.rewrite(query0)
     val qTerms = query.terms.toSeq.sorted
     val scorers: Map[String, SimScorer] = qTerms.map(t => t -> new ConstScorer(1.0)).toMap
     val basesL = bases
@@ -1211,6 +1215,7 @@ final class IndexSearcher(
     val ts = aggStats(segTermRows(qTerms))
     val fn = freqNormAt(qTerms, seg, local)
     def walk(q: Query, boost: Double): Explanation = q match {
+      case MatchNoneQuery => Explanation.noMatch("MatchNoneQuery matches nothing")
       case TermQuery(t) =>
         fn.get(t) match {
           case None => Explanation.noMatch(s"no occurrence of '$t' in doc $docId")
@@ -1421,6 +1426,7 @@ final class IndexSearcher(
     */
   private def cacheKey(q: Query): String = q match {
     case TermQuery(t)        => s"t:$t"
+    case MatchNoneQuery      => "none"
     case BoostQuery(q2, b2)  => s"boost($b2,${cacheKey(q2)})"
     case sq: SynonymQuery    => sq.synonyms.sorted.mkString("syn:", ",", "")
     case cf: CombinedFieldQuery => cf.key
@@ -1452,12 +1458,13 @@ final class IndexSearcher(
   /** Hit count. Single term: O(1) from the term dictionary (ref
     * `search/Weight.java#count` shortcut); otherwise counts matches.
     */
-  def count(query: Query): Long = query match {
+  def count(query: Query): Long = Query.rewrite(query) match {
+    case MatchNoneQuery => 0L
     // docFreq shortcut is only valid with no pending deletes (the reference's
     // Weight#count returns -1 on segments with deletions)
     case TermQuery(t) if !hasDeletes =>
       termStats(Seq(t)).get(t).map(_.docFreq).getOrElse(0L)
-    case _ => matching(query).count()
+    case q => matching(q).count()
   }
 
   /** Fetch stored docs (url etc.) for a scored page — the stored-fields
@@ -1671,6 +1678,7 @@ object Executor {
       scorers: Map[String, SimScorer],
       boost: Double = 1.0
   ): Option[DocScorer] = query match {
+    case MatchNoneQuery => None
     case TermQuery(t) =>
       blocks.get(t).map(bs => new TermScorer(bs, scorers(skey(t, boost))))
     case BoostQuery(inner, b2) =>
@@ -1944,6 +1952,7 @@ object Executor {
     */
   def scorerKeys(q: Query, boost: Double = 1.0): Set[String] = q match {
     case TermQuery(t)        => Set(skey(t, boost))
+    case MatchNoneQuery      => Set.empty
     case BoostQuery(q2, b2)  => scorerKeys(q2, boost * b2)
     case sq: SynonymQuery    => sq.synonyms.toSet + skey(sq.key, boost)
     case cf: CombinedFieldQuery => cf.terms + skey(cf.key, boost)

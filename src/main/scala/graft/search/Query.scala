@@ -24,6 +24,13 @@ final case class TermQuery(term: String) extends Query {
   def terms: Set[String] = Set(term)
 }
 
+/** Provably matches nothing — the rewrite sink for contradictory or empty
+  * booleans (ref `search/MatchNoDocsQuery.java`).
+  */
+case object MatchNoneQuery extends Query {
+  def terms: Set[String] = Set.empty
+}
+
 /** Multiple surface forms scored as one pseudo-term: summed per-doc tf, max
   * docFreq (ref `/root/reference/lucene/core/src/java/org/apache/lucene/search/SynonymQuery.java:54`
   * — "scores as if you had indexed all variants as one term").
@@ -213,6 +220,126 @@ object MultiTerm {
 object Query {
   def and(ts: String*): BoolQuery = BoolQuery(ts.map(t => TermQuery(t) -> (Occur.Must: Occur)))
   def or(ts: String*): BoolQuery = BoolQuery(ts.map(t => TermQuery(t) -> (Occur.Should: Occur)))
+
+  /** Score-preserving query rewrite — the reference's `BooleanQuery#rewrite`
+    * normalizations (`search/BooleanQuery.java:269-470`), applied before
+    * execution: empty / pure-negative / contradictory booleans collapse to
+    * [[MatchNoneQuery]], single-clause booleans flatten, duplicate
+    * FILTER/MUST_NOT clauses deduplicate, a FILTER duplicating a MUST drops,
+    * a FILTER duplicating a SHOULD promotes the SHOULD to MUST, and
+    * duplicate SHOULD/MUST scoring clauses merge by summing boosts (every
+    * scorer weight is linear in boost, so scores are bit-identical — the
+    * reference relies on the same linearity). Boost wrappers fold
+    * (`BoostQuery.java` rewrite): boost 1 elides, nested boosts multiply.
+    */
+  def rewrite(q: Query): Query = q match {
+    case BoostQuery(inner, b) =>
+      rewrite(inner) match {
+        case MatchNoneQuery         => MatchNoneQuery
+        case BoostQuery(i2, b2)     => if (b * b2 == 1.0) i2 else BoostQuery(i2, b * b2)
+        case i2 if b == 1.0         => i2
+        case i2                     => BoostQuery(i2, b)
+      }
+    case cs: ConstScoreQuery =>
+      rewrite(cs.query) match {
+        case MatchNoneQuery           => MatchNoneQuery
+        case ConstScoreQuery(i2, _)   => ConstScoreQuery(i2, cs.score)
+        case i2                       => ConstScoreQuery(i2, cs.score)
+      }
+    case dm: DisMaxQuery =>
+      val ds = dm.disjuncts.map(rewrite).filterNot(_ == MatchNoneQuery)
+      ds match {
+        case Seq()  => MatchNoneQuery
+        case Seq(d) => d
+        case more   => DisMaxQuery(more, dm.tieBreaker)
+      }
+    case bq: BoolQuery => rewriteBool(bq)
+    case other => other
+  }
+
+  /** Unwrap a boost for clause-identity comparison: (core query, boost). */
+  private def unboost(q: Query): (Query, Double) = q match {
+    case BoostQuery(inner, b) => val (c, b2) = unboost(inner); (c, b * b2)
+    case other                => (other, 1.0)
+  }
+
+  private def reboost(core: Query, b: Double): Query =
+    if (b == 1.0) core else BoostQuery(core, b)
+
+  private def rewriteBool(bq: BoolQuery): Query = {
+    import Occur._
+    // recursively rewrite children; drop SHOULD/MUST_NOT MatchNone, fail
+    // the whole query on a required MatchNone
+    var clauses = bq.clauses.map { case (c, o) => (rewrite(c), o) }
+    if (clauses.exists { case (c, o) =>
+        c == MatchNoneQuery && (o == Must || o == Filter) })
+      return MatchNoneQuery
+    clauses = clauses.filterNot(_._1 == MatchNoneQuery)
+    var msm = bq.minimumShouldMatch
+    val nShould = clauses.count(_._2 == Should)
+    if (msm > nShould && bq.clauses.exists(c => c._2 == Should)) return MatchNoneQuery
+
+    if (clauses.isEmpty) return MatchNoneQuery
+    if (clauses.forall(_._2 == MustNot)) return MatchNoneQuery
+
+    // single-clause flattening (:280-297)
+    if (clauses.size == 1) {
+      val (c, o) = clauses.head
+      (o, msm) match {
+        case (Should, m) if m <= 1 => return c
+        case (Must, _)             => return c
+        case (Filter, 0)           => return ConstScoreQuery(c, 0.0)
+        case _                     => // keep (msm>1 single SHOULD etc.)
+      }
+    }
+
+    // deduplicate non-scoring clauses (:344-363)
+    val filters0 = clauses.collect { case (c, Filter) => c }.distinct
+    val mustNots = clauses.collect { case (c, MustNot) => c }.distinct
+    val musts0 = clauses.collect { case (c, Must) => c }
+    val shoulds0 = clauses.collect { case (c, Should) => c }
+
+    // required-and-excluded contradiction (:365-371)
+    val reqSet = (musts0 ++ filters0).toSet
+    if (mustNots.exists(reqSet.contains)) return MatchNoneQuery
+
+    // a FILTER that duplicates a MUST adds nothing (:375-395)
+    val mustSet = musts0.toSet
+    var filters = filters0.filterNot(mustSet.contains)
+
+    // a FILTER that duplicates a SHOULD: promote the SHOULD to MUST
+    // (:397-426)
+    val shouldSet = shoulds0.toSet
+    val promoted = filters.filter(shouldSet.contains)
+    var musts = musts0
+    var shoulds = shoulds0
+    if (promoted.nonEmpty) {
+      musts = musts ++ promoted
+      shoulds = shoulds.filterNot(promoted.contains)
+      filters = filters.filterNot(promoted.contains)
+      msm = math.max(0, msm - promoted.size)
+    }
+
+    // merge duplicate scoring clauses by summing boosts (:428-470);
+    // SHOULD only when msm <= 1 (dedup would change the match count)
+    def mergeBoosts(cs: Seq[Query]): Seq[Query] = {
+      val order = scala.collection.mutable.LinkedHashMap[Query, Double]()
+      cs.foreach { c =>
+        val (core, b) = unboost(c)
+        order.updateWith(core) { prev => Some(prev.getOrElse(0.0) + b) }
+      }
+      order.iterator.map { case (core, b) => reboost(core, b) }.toSeq
+    }
+    if (msm <= 1) shoulds = mergeBoosts(shoulds)
+    musts = mergeBoosts(musts)
+
+    val rebuilt =
+      musts.map(_ -> (Must: Occur)) ++ filters.map(_ -> (Filter: Occur)) ++
+        shoulds.map(_ -> (Should: Occur)) ++ mustNots.map(_ -> (MustNot: Occur))
+    // re-flatten if the dedup left one clause
+    if (rebuilt.size == 1 && msm <= 1) rewriteBool(BoolQuery(rebuilt, msm))
+    else BoolQuery(rebuilt, msm)
+  }
 
   /** Rewriter used by the pure parser: multi-term syntax needs a term
     * dictionary, which only a searcher has (`IndexSearcher.parseFull`).

@@ -28,6 +28,7 @@ object Streaming {
   def matchExpr(q: Query, toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     q match {
       case TermQuery(t) => array_contains(toks, t)
+      case graft.search.MatchNoneQuery => lit(false)
       case BoostQuery(q2, _) => matchExpr(q2, toks) // boost is score-only
       case dm: DisMaxQuery =>
         dm.disjuncts.map(matchExpr(_, toks)).reduce(_ || _)
@@ -132,6 +133,7 @@ object Streaming {
   def evalQuery(q: Query, toks: Set[String],
       pos: () => Map[String, Array[Int]]): Boolean = q match {
     case TermQuery(t)        => toks.contains(t)
+    case graft.search.MatchNoneQuery => false
     case BoostQuery(q2, _)   => evalQuery(q2, toks, pos)
     case dm: DisMaxQuery     => dm.disjuncts.exists(evalQuery(_, toks, pos))
     case cs: ConstScoreQuery => evalQuery(cs.query, toks, pos)
@@ -192,6 +194,8 @@ object Streaming {
     }
     q match {
       case TermQuery(t)        => Some(Seq(t))
+      // matches nothing -> empty cover: never a candidate
+      case graft.search.MatchNoneQuery => Some(Seq.empty)
       case BoostQuery(q2, _)   => triggerTerms(q2)
       case cs: ConstScoreQuery => triggerTerms(cs.query)
       case sq: SynonymQuery    => Some(sq.synonyms)

@@ -87,7 +87,16 @@ class IndexSearchSpec extends SparkTestBase {
         TermQuery("state") -> MustNot)),
       BoolQuery(Seq(TermQuery("court") -> Must,
         BoolQuery(Seq(TermQuery("law") -> Should, TermQuery("state") -> Should)) -> Should)),
-      BoolQuery(Seq(TermQuery("court") -> Must, TermQuery("zzzznothere") -> Should)))
+      BoolQuery(Seq(TermQuery("court") -> Must, TermQuery("zzzznothere") -> Should)),
+      // duplicate scoring clauses: the engine rewrites to a summed boost
+      // (BooleanQuery#rewrite) while the oracle evaluates the raw tree —
+      // scores must still agree exactly (weight linearity)
+      BoolQuery(Seq(TermQuery("court") -> Should, TermQuery("court") -> Should,
+        TermQuery("law") -> Should)),
+      BoolQuery(Seq(TermQuery("court") -> Must, TermQuery("court") -> Must,
+        TermQuery("law") -> Should)),
+      BoolQuery(Seq(TermQuery("court") -> Should, TermQuery("court") -> Filter,
+        TermQuery("law") -> Should)))
     for (q <- shapes) {
       val expected = oracle.topK(q, 10)
       val pruned = searcher.topK(q, 10, pruning = true).collect()
