@@ -307,6 +307,15 @@ object SparkEntry {
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc).limit(10)
     }),
+    "ft_wordbreak" -> ((s, d) => {
+      // word-break suggestions for a run-together term (ref
+      // suggest/spell/WordBreakSpellChecker.java): one break, both parts
+      // dictionary words, ranked by summed docFreq
+      val se = searcherFor(s, d)
+      import s.implicits._
+      se.wordBreaks("dataquery", maxChanges = 1, n = 5)
+        .select($"suggestion", $"freq")
+    }),
     "ft_feature_sort" -> ((s, d) => {
       // sort by static feature value desc (ref FeatureField.newFeatureSort):
       // the linear feature scorer at weight 1 IS the decoded value, so the
@@ -1097,6 +1106,19 @@ object SparkEntry {
           |)
           |SELECT doc_id, round(score, 6) AS score FROM scored
           |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin),
+    "ft_wordbreak" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), dict AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+        |), splits AS (
+        |  SELECT substr('dataquery', 1, i::INT) AS a,
+        |         substr('dataquery', i::INT + 1) AS b
+        |  FROM generate_series(1, len('dataquery') - 1) t(i)
+        |)
+        |SELECT a || ' ' || b AS suggestion, (da.df + db.df)::BIGINT AS freq
+        |FROM splits JOIN dict da ON da.term = a JOIN dict db ON db.term = b
+        |ORDER BY freq DESC, suggestion ASC LIMIT 5""".stripMargin,
     "ft_feature_sort" ->
       """SELECT doc_id, (n_chars % 400 + 1)::DOUBLE AS pagerank FROM documents
         |ORDER BY pagerank DESC, doc_id ASC LIMIT 15""".stripMargin,

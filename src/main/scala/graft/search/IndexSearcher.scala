@@ -693,6 +693,47 @@ final class IndexSearcher(
       .limit(n)
   }
 
+  /** Word-break suggestions — the re-expression of
+    * `lucene/suggest/src/java/org/apache/lucene/search/suggest/spell/WordBreakSpellChecker.java`
+    * `suggestWordBreaks`: segment a run-together term into dictionary
+    * words, up to `maxChanges` break points, each part at least
+    * `minBreakLength` chars and with docFreq ≥ `minSuggestionFrequency`.
+    * All O(len²) substrings resolve in ONE pruned `term IN (...)`
+    * dictionary scan; segmentation enumeration is a driver-side DP over
+    * the ≤ len² hits (metadata-sized, like the reference's in-memory
+    * recursion). Ranked fewest-changes-first, then summed docFreq — the
+    * `NUM_CHANGES_THEN_MAX_FREQUENCY` sort.
+    */
+  def wordBreaks(term: String, maxChanges: Int = 2, minBreakLength: Int = 1,
+      minSuggestionFrequency: Long = 1L, n: Int = 5): DataFrame = {
+    val subs = (for {
+      i <- 0 until term.length
+      j <- (i + minBreakLength) to term.length
+    } yield term.substring(i, j)).distinct
+    val df: Map[String, Long] = termStats(subs).collect {
+      case (t, st) if st.docFreq >= minSuggestionFrequency => t -> st.docFreq
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(String, Int, Long)]()
+    def walk(start: Int, parts: List[String], freq: Long): Unit = {
+      if (start == term.length) {
+        if (parts.length > 1) // a suggestion needs at least one break
+          out += ((parts.reverse.mkString(" "), parts.length - 1, freq))
+      } else if (parts.length <= maxChanges) { // parts-1 breaks so far
+        var j = start + minBreakLength
+        while (j <= term.length) {
+          val piece = term.substring(start, j)
+          df.get(piece).foreach(f => walk(j, piece :: parts, freq + f))
+          j += 1
+        }
+      }
+    }
+    walk(0, Nil, 0L)
+    import spark.implicits._
+    out.toSeq.toDF("suggestion", "changes", "freq")
+      .orderBy($"changes".asc, $"freq".desc, $"suggestion".asc)
+      .limit(n)
+  }
+
   /** Fuzzy-prefix autocomplete — the re-expression of
     * `lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/FuzzySuggester.java`
     * (defaults mirrored: maxEdits=1, transpositions via Damerau,

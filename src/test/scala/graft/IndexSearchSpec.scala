@@ -109,6 +109,27 @@ class IndexSearchSpec extends SparkTestBase {
     }
   }
 
+  test("word breaks: segmentations == brute force; multi-change recursion") {
+    // brute: one-break segmentations of 'courtlaw' over the oracle's dfs
+    val q = "courtlaw"
+    val brute = (1 until q.length).flatMap { i =>
+      val (a, b) = (q.substring(0, i), q.substring(i))
+      val (da, db) = (oracle.docFreq(a), oracle.docFreq(b))
+      if (da > 0 && db > 0) Some((s"$a $b", da + db)) else None
+    }.sortBy { case (s, f) => (-f, s) }.take(5)
+    val got = searcher.wordBreaks(q, maxChanges = 1, n = 5)
+      .select("suggestion", "freq").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == brute)
+    assert(brute.nonEmpty, "vacuous word-break duel")
+    // three-part segmentation needs maxChanges = 2
+    val three = searcher.wordBreaks("thecourtlaw", maxChanges = 2, n = 20)
+      .select("suggestion").collect().map(_.getString(0)).toSeq
+    assert(three.contains("the court law"))
+    assert(searcher.wordBreaks("thecourtlaw", maxChanges = 1, n = 20)
+      .collect().forall(_.getString(0).count(_ == ' ') == 1))
+  }
+
   test("fuzzy suggest duel: prefix-edit-distance completions == brute force") {
     import graft.functions.EditDistance
     for (q <- Seq("stae", "cort", "lwa", "st")) {
