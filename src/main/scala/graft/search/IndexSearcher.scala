@@ -734,6 +734,36 @@ final class IndexSearcher(
       .limit(n)
   }
 
+  /** The combination direction of the same checker
+    * (`WordBreakSpellChecker#suggestWordCombinations`): adjacent query
+    * terms whose concatenation is a dictionary word, runs of up to
+    * `maxChanges`+1 terms and `maxCombineWordLength` chars. One pruned
+    * `term IN` dictionary scan over the O(|terms|·maxChanges) candidates;
+    * ranked fewest-combinations-first, then docFreq.
+    */
+  def wordCombinations(terms: Seq[String], maxChanges: Int = 2,
+      maxCombineWordLength: Int = 20, minSuggestionFrequency: Long = 1L,
+      n: Int = 5): DataFrame = {
+    val cands = for {
+      i <- terms.indices
+      j <- (i + 1) until terms.length
+      if j - i <= maxChanges
+      combined = terms.slice(i, j + 1).mkString
+      if combined.length <= maxCombineWordLength
+    } yield (combined, i, j)
+    val df = termStats(cands.map(_._1).distinct)
+    val rows = cands.flatMap { case (c, i, j) =>
+      df.get(c).collect {
+        case st if st.docFreq >= minSuggestionFrequency =>
+          (c, i, j, j - i, st.docFreq)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("combined", "start", "end", "changes", "freq")
+      .orderBy($"changes".asc, $"freq".desc, $"combined".asc)
+      .limit(n)
+  }
+
   /** Fuzzy-prefix autocomplete — the re-expression of
     * `lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/FuzzySuggester.java`
     * (defaults mirrored: maxEdits=1, transpositions via Damerau,

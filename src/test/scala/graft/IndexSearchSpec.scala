@@ -128,6 +128,17 @@ class IndexSearchSpec extends SparkTestBase {
     assert(three.contains("the court law"))
     assert(searcher.wordBreaks("thecourtlaw", maxChanges = 1, n = 20)
       .collect().forall(_.getString(0).count(_ == ' ') == 1))
+    // combination direction: adjacent fragments whose concat is a word
+    val comb = searcher.wordCombinations(Seq("the", "cou", "rt", "law"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(4)))
+    assert(comb.exists { case (c, s, e, f) =>
+      c == "court" && s == 1 && e == 2 && f == oracle.docFreq("court") })
+    // a 3-term combine needs maxChanges >= 2
+    val comb3 = searcher.wordCombinations(Seq("c", "our", "t"), maxChanges = 2)
+      .collect().map(_.getString(0))
+    assert(comb3.contains("court"))
+    assert(!searcher.wordCombinations(Seq("c", "our", "t"), maxChanges = 1)
+      .collect().map(_.getString(0)).contains("court"))
   }
 
   test("fuzzy suggest duel: prefix-edit-distance completions == brute force") {
