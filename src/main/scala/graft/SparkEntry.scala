@@ -666,6 +666,27 @@ object SparkEntry {
         .orderBy($"parent_score".desc, $"source".asc)
         .limit(5)
     }),
+    "ft_child_join" -> ((s, d) => {
+      // ToChildBlockJoin re-expression (ref lucene/join
+      // ToChildBlockJoinQuery): parents matched by the query (parent score
+      // = max of matching children) fan back out to ALL their children,
+      // each child carrying its parent's score
+      val se = searcherFor(s, d)
+      import s.implicits._
+      val childScores = se.scoreMatches(se.parse("data AND query"))
+        .join(se.docsTable.select($"docId", $"url"), "docId")
+        .select(docIdOf($"url"), $"score")
+      val topParents = childScores
+        .join(docsDf(s, d).select($"doc_id", $"source"), "doc_id")
+        .groupBy($"source")
+        .agg(round(max($"score"), 6).as("parent_score"))
+        .orderBy($"parent_score".desc, $"source".asc)
+        .limit(3)
+      docsDf(s, d).select($"doc_id", $"source")
+        .join(broadcast(topParents), "source")
+        .select($"doc_id", $"parent_score")
+        .orderBy($"doc_id")
+    }),
     "ft_expr_rank" -> ((s, d) => {
       // expressions module re-expression: a scalar ranking formula over
       // (score, doc-value) columns — Catalyst codegen instead of the
@@ -1515,6 +1536,20 @@ object SparkEntry {
           |FROM ranked r JOIN documents d USING (doc_id)
           |GROUP BY d.source
           |ORDER BY parent_score DESC, d.source ASC LIMIT 5""".stripMargin),
+    "ft_child_join" ->
+      (bm25Ctes(Seq("data", "query")) +
+        """, scored AS (
+          |  SELECT doc_id, sum(s) AS score, count(*) AS nmatch FROM sc GROUP BY doc_id
+          |), m AS (
+          |  SELECT doc_id, score FROM scored WHERE nmatch = 2
+          |), p AS (
+          |  SELECT d.source, round(max(m.score), 6) AS parent_score
+          |  FROM m JOIN documents d USING (doc_id) GROUP BY d.source
+          |  ORDER BY parent_score DESC, d.source ASC LIMIT 3
+          |)
+          |SELECT d.doc_id, p.parent_score
+          |FROM documents d JOIN p ON d.source = p.source
+          |ORDER BY d.doc_id""".stripMargin),
     "ft_expr_rank" ->
       (bm25Ctes(Seq("data", "query")) +
         """, scored AS (

@@ -361,6 +361,37 @@ final class IndexSearcher(
     simScorer(df, CollectionStats(docCount, sttf), boost)
   }
 
+  /** Multi-field query parsing (ref
+    * `queryparser/.../MultiFieldQueryParser.java`): every unscoped term (or
+    * phrase) in the parsed tree expands into a SHOULD disjunction of its
+    * field-scoped versions, with optional per-field boosts; explicitly
+    * `field:`-scoped atoms stay scoped. `CombinedFieldQuery` is the
+    * BM25F alternative when one blended score is wanted instead of a
+    * per-field sum.
+    */
+  def parseMultiField(s: String, fields: Seq[(String, Double)]): Query = {
+    require(fields.nonEmpty)
+    def perField(mk: String => Query): Query =
+      BoolQuery(fields.map { case (f, w) =>
+        val scoped = mk(f)
+        (if (w == 1.0) scoped else BoostQuery(scoped, w)) -> (Occur.Should: Occur)
+      })
+    def xf(q: Query): Query = q match {
+      case TermQuery(t) if !t.contains(graft.index.FieldKey.Sep) =>
+        perField(f => TermQuery(graft.index.FieldKey.encode(f, t)))
+      case pq: PhraseQuery if !pq.phraseTerms.exists(_.contains(graft.index.FieldKey.Sep)) =>
+        perField(f => PhraseQuery(
+          pq.phraseTerms.map(graft.index.FieldKey.encode(f, _)), pq.slop))
+      case BoolQuery(clauses, msm) =>
+        BoolQuery(clauses.map { case (c, o) => xf(c) -> o }, msm)
+      case BoostQuery(inner, b)  => BoostQuery(xf(inner), b)
+      case cs: ConstScoreQuery   => ConstScoreQuery(xf(cs.query), cs.score)
+      case dm: DisMaxQuery       => DisMaxQuery(dm.disjuncts.map(xf), dm.tieBreaker)
+      case other                 => other
+    }
+    xf(parse(s))
+  }
+
   /** Multi-term interval sources (ref `queries/intervals/Intervals.java`
     * `prefix`/`wildcard`/`fuzzyTerm`): the pattern expands against the
     * dictionary (bounded at `max`, the reference's 128-expansion default)

@@ -233,6 +233,24 @@ class MultiFieldSpec extends SparkTestBase {
     assert(byUrl(seM) == byUrl(searcher), "merged ranking != single-segment ranking")
   }
 
+  test("parseMultiField: unscoped terms expand across fields (MultiFieldQueryParser)") {
+    // ranking == the hand-written per-field disjunction
+    val q = searcher.parseMultiField("court law", Seq("title" -> 1.0, "body" -> 1.0))
+    val manual = searcher.parse("title:court OR body:court OR title:law OR body:law")
+    val got = searcher.topK(q, 10).collect().map(s => (s.docId, s.score)).toSeq
+    val expected = searcher.topK(manual, 10).collect().map(s => (s.docId, s.score)).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // per-field boosts wrap the scoped clause; explicit scoping is preserved
+    val qb = searcher.parseMultiField("court", Seq("title" -> 2.0, "body" -> 1.0))
+    val manualB = searcher.parse("title:court^2 OR body:court")
+    assert(searcher.topK(qb, 10).collect().toSeq ==
+      searcher.topK(manualB, 10).collect().toSeq)
+    val scoped = searcher.parseMultiField("title:court", Seq("title" -> 1.0, "body" -> 1.0))
+    assert(searcher.topK(scoped, 10).collect().toSeq ==
+      searcher.topK(searcher.parse("title:court"), 10).collect().toSeq)
+  }
+
   test("unscoped query on a multi-field index hits the default field only") {
     // bare terms address FieldKey.DefaultField; this index has no default
     // field, so an unscoped term matches nothing
