@@ -172,17 +172,14 @@ object SparkEntry {
       val cfg = IndexConfig(bucketShift = 8, numPostingPartitions = 8,
         numDocPartitions = 4)
       IndexBuilder.buildSegment(pages, s"$dir/segfeat", cfg)
-      // the append pass is not idempotent — marker-gate it so a cached
-      // segment from a prior process never gets doubled postings
-      val marker = java.nio.file.Paths.get(s"$dir/segfeat/features_done")
-      if (!java.nio.file.Files.exists(marker)) {
-        val features = spark.read.parquet(s"$sfDir/documents.parquet")
-          .select(format_string("doc%012d", $"doc_id").as("url"),
-            lit("pagerank").as("feature"),
-            (pmod($"n_chars", lit(400)) + 1).cast("float").as("value"))
-        graft.index.FeatureIndexer.addFeatures(spark, s"$dir/segfeat", features)
-        java.nio.file.Files.createFile(marker): Unit
-      }
+      // batchId makes the append a no-op when a cached segment from a
+      // prior process already carries this feature batch
+      val features = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(format_string("doc%012d", $"doc_id").as("url"),
+          lit("pagerank").as("feature"),
+          (pmod($"n_chars", lit(400)) + 1).cast("float").as("value"))
+      graft.index.FeatureIndexer.addFeatures(spark, s"$dir/segfeat", features,
+        batchId = Some("pagerank-v1"))
       new IndexSearcher(spark, Seq(Manifest.read(s"$dir/segfeat").get),
         precision = Precision.DoubleOracle, k1 = K1, b = B)
     })

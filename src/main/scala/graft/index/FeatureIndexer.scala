@@ -49,8 +49,22 @@ object FeatureIndexer {
     * and must not distort avgdl (the reference's feature fields likewise
     * live outside text collection stats).
     */
-  def addFeatures(spark: SparkSession, segDir: String, features: DataFrame): SegmentManifest = {
+  /** @param batchId replay guard: when set, a completed append drops a
+    *   marker file and an identical replay becomes a no-op (streaming-replay
+    *   idempotence). A crash in the middle of an un-gated append leaves the
+    *   terms table ahead of the manifest's termCount, which CheckIndex
+    *   reports — rebuild or roll back the segment then.
+    */
+  def addFeatures(spark: SparkSession, segDir: String, features: DataFrame,
+      batchId: Option[String] = None): SegmentManifest = {
     import spark.implicits._
+    val markerPath = batchId.map(id =>
+      java.nio.file.Paths.get(segDir, s".features_done_$id"))
+    markerPath.foreach { p =>
+      if (java.nio.file.Files.exists(p))
+        return Manifest.read(segDir).getOrElse(
+          throw new IllegalStateException(s"no committed segment at $segDir"))
+    }
     val m = Manifest.read(segDir).getOrElse(
       throw new IllegalStateException(s"no committed segment at $segDir"))
     val shift = m.bucketShift
@@ -85,6 +99,7 @@ object FeatureIndexer {
     val updated = m.copy(termCount = m.termCount + nTerms,
       blockCount = m.blockCount + nBlocks)
     Manifest.commit(segDir, updated)
+    markerPath.foreach(p => java.nio.file.Files.createFile(p): Unit)
     updated
   }
 

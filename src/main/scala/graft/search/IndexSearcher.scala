@@ -1939,7 +1939,13 @@ object Executor {
       blockMaxConjunction(musts.flatten.toArray, filters.flatten.toArray,
         optional.toArray, excl, collector, pruning)
     case _ =>
-      build(query, blocks, scorers).foreach(Wand.drain(_, collector))
+      // remaining shapes (msm trees, nested booleans, exclusion wrappers):
+      // single-scorer WAND — every composite carries sound per-block bounds
+      // (advanceShallow/blockMaxScore), so whole blocks whose bound cannot
+      // beat the k-th score skip without decoding; pruning=false degrades
+      // to the exhaustive drain (duels enforce rank identity)
+      build(query, blocks, scorers).foreach(s =>
+        Wand.run(Array(s), None, collector, pruning))
   }
 
   /** Block-max conjunction with optional clauses: leapfrog intersection led

@@ -126,6 +126,24 @@ class FeatureFieldSpec extends SparkTestBase {
     assert(report.violations.isEmpty, report.violations.mkString("; "))
   }
 
+  test("batchId makes the append replay-idempotent") {
+    import spark.implicits._
+    val dir = tmpDir("featreplay")
+    val ds = spark.createDataset(pagesLocal.take(50).map(p => (p.url, p.text)))
+    IndexBuilder.buildSegment(ds, dir,
+      IndexConfig(bucketShift = 9, numPostingPartitions = 2, numDocPartitions = 1))
+    val features = spark.createDataset(pagesLocal.take(50).map(p =>
+      (p.url, "pagerank", 10.0f))).toDF("url", "feature", "value")
+    val m1 = FeatureIndexer.addFeatures(spark, dir, features, batchId = Some("b1"))
+    val m2 = FeatureIndexer.addFeatures(spark, dir, features, batchId = Some("b1"))
+    assert(m1.termCount == m2.termCount && m1.blockCount == m2.blockCount)
+    val se = new IndexSearcher(spark, Seq(Manifest.read(dir).get))
+    // postings were not doubled: every doc matches exactly once with w*v
+    val hits = se.topK(FeatureQuery("pagerank", FeatureFunction.Linear), 60).collect()
+    assert(hits.length == 50 && hits.forall(_.score == 10.0))
+    assert(graft.index.CheckIndex.check(spark, dir).ok)
+  }
+
   test("absent feature -> no match; unknown feature -> empty") {
     import spark.implicits._
     val dir = tmpDir("featpart")
