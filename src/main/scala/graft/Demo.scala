@@ -138,6 +138,40 @@ object Demo {
           if (!r.ok) bad += 1
         }
         if (bad > 0) { System.err.println(s"[demo] $bad segment(s) failed"); sys.exit(1) }
+      case "forcemerge" :: dir :: rest if rest.size <= 1 =>
+        // merge down to maxSegments (default 1) regardless of the tier
+        // budget, purging tombstoned docs (ref IndexWriter#forceMerge /
+        // #forceMergeDeletes)
+        import graft.index.{LiveSet, SegmentMerger}
+        val maxSegments = rest.headOption.map(_.toInt).getOrElse(1)
+        require(maxSegments >= 1, "maxSegments must be >= 1")
+        LiveSet.gcOrphans(dir)
+        var round = 0
+        while (LiveSet.manifests(dir).size > maxSegments) {
+          // fold the smallest segments first (fewest bytes rewritten);
+          // bucketShift must match the inputs' layout
+          val live = LiveSet.manifests(dir).sortBy(_.sizeScore)
+          val cfg = IndexConfig(bucketShift = live.head.bucketShift,
+            numPostingPartitions = cpus.toInt * 2)
+          val group = live.take(math.max(2,
+            live.size - maxSegments + 1)).map(_.dir)
+          val outName = f"force_$round%03d"
+          val m = SegmentMerger.merge(spark, group, s"$dir/$outName", cfg)
+          println(s"[demo] forcemerge $round: ${group.size} segs -> " +
+            s"${m.docCount} docs, ${m.blockCount} blocks")
+          LiveSet.swap(dir, group.map(d => new java.io.File(d).getName), Seq(outName))
+          group.foreach { d =>
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) f.listFiles().foreach(rm)
+              f.delete(): Unit
+            }
+            rm(new java.io.File(d))
+          }
+          round += 1
+        }
+        val segs = LiveSet.manifests(dir)
+        println(s"[demo] forcemerge done: ${segs.size} segment(s), " +
+          s"${segs.map(_.docCount).sum} docs")
       case "snapshot" :: dir :: Nil =>
         // pin the current commit point (ref SnapshotDeletionPolicy#snapshot)
         graft.index.LiveSet.snapshot(dir) match {
