@@ -153,6 +153,18 @@ object SparkEntry {
         k1 = K1, b = B, similarity = graft.search.Similarity.Classic)
     })
 
+  private val lmSearchers = TrieMap[String, IndexSearcher]()
+
+  /** Same segments as [[searcherFor]], scored with the Dirichlet-smoothed
+    * language model (ref `similarities/LMDirichletSimilarity.java`).
+    */
+  private def lmSearcherFor(spark: SparkSession, sfDir: String): IndexSearcher =
+    lmSearchers.getOrElseUpdate(sfDir, {
+      val base = searcherFor(spark, sfDir)
+      new IndexSearcher(spark, base.segments, precision = Precision.DoubleOracle,
+        k1 = K1, b = B, similarity = graft.search.Similarity.LmDirichlet(2000.0))
+    })
+
   private val featureSearchers = TrieMap[String, IndexSearcher]()
 
   /** Index over `documents` carrying a static `pagerank` feature (value =
@@ -301,6 +313,16 @@ object SparkEntry {
         FeatureQuery("pagerank", FeatureFunction.Saturation(500.0), 0.8) ->
           (Occur.Should: Occur)))
       se.fetchDocs(topKVerified(se, q, 10))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc).limit(10)
+    }),
+    "ft_lm_topk" -> ((s, d) => {
+      // Dirichlet-smoothed language model ranking (ref
+      // LMDirichletSimilarity): per-term score = max(0, ln(1 + tf/(mu*p))
+      // + ln(mu/(dl+mu))), p = (ttf+1)/(sttf+1), mu = 2000
+      val se = lmSearcherFor(s, d)
+      import s.implicits._
+      se.fetchDocs(topKVerified(se, Query.or("data", "query"), 10))
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc).limit(10)
     }),
@@ -1124,6 +1146,35 @@ object SparkEntry {
           |)
           |SELECT doc_id, round(score, 6) AS score FROM scored
           |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin),
+    "ft_lm_topk" -> {
+      val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+         |), dlen AS (
+         |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+         |), qlen AS (
+         |  SELECT doc_id,
+         |    (SELECT max(v) FROM (VALUES $vals) b4(v) WHERE v <= dl) AS qdl
+         |  FROM dlen
+         |), stats AS (
+         |  SELECT sum(dl)::DOUBLE AS sttf FROM dlen
+         |), tf AS (
+         |  SELECT doc_id, term, count(*)::DOUBLE AS freq FROM tok
+         |  WHERE term IN ('data', 'query') GROUP BY doc_id, term
+         |), ttf AS (
+         |  SELECT term, count(*)::DOUBLE AS ttf FROM tok
+         |  WHERE term IN ('data', 'query') GROUP BY term
+         |), sc AS (
+         |  SELECT tf.doc_id, greatest(0.0,
+         |    ln(1 + tf.freq / (2000.0 * ((ttf.ttf + 1.0) / ((SELECT sttf FROM stats) + 1.0))))
+         |    + ln(2000.0 / (qlen.qdl + 2000.0))) AS s
+         |  FROM tf JOIN ttf USING (term) JOIN qlen USING (doc_id)
+         |), scored AS (
+         |  SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM scored
+         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
     "ft_wordbreak" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

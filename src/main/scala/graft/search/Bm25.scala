@@ -98,6 +98,27 @@ final class ConstScorer(val value: Double) extends SimScorer {
   def weightD: Double = value
 }
 
+/** Dirichlet-smoothed language-model scorer (ref
+  * `search/similarities/LMDirichletSimilarity.java:score` +
+  * `LMSimilarity.DefaultCollectionModel`): score = boost·max(0,
+  * ln(1 + freq/(μ·p)) + ln(μ/(dl + μ))), p = (ttf+1)/(sttf+1), dl = the
+  * decoded quantized length. The reference computes in double and narrows
+  * the final value to float — `floatExact` reproduces that narrowing.
+  * Monotone in freq, antitone in dl, clamped non-negative → the impacts
+  * skyline bounds it like BM25.
+  */
+final class LmDirichletScorer(
+    mu: Double, boost: Double, p: Double, floatExact: Boolean) extends SimScorer {
+  def score(freq: Int, norm: Int): Double = scoreF(freq.toDouble, norm)
+  override def scoreF(freq: Double, norm: Int): Double = {
+    val dl = SmallFloat.lengthTable(norm & 0xff).toDouble
+    val s = boost * (math.log(1 + freq / (mu * p)) + math.log(mu / (dl + mu)))
+    val clamped = if (s > 0.0) s else 0.0
+    if (floatExact) clamped.toFloat.toDouble else clamped
+  }
+  def weightD: Double = boost
+}
+
 /** Feature-value scorer (ref `document/FeatureField.java` LinearFunction /
   * LogFunction / SaturationFunction SimScorers): the posting frequency IS
   * the 17-bit float encoding of the feature value; the score is a monotone

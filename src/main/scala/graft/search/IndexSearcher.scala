@@ -19,15 +19,23 @@ object Precision {
 
 /** Pluggable per-field scoring model (ref `IndexSearcher#setSimilarity`,
   * `search/similarities/Similarity.java`): BM25 (default), ClassicSimilarity
-  * (TF-IDF) and BooleanSimilarity. All three share the impacts skyline for
-  * block-max pruning — each is non-decreasing in freq and non-increasing in
-  * length, so the (freq, norm) competitive frontier bounds any of them.
+  * (TF-IDF), BooleanSimilarity and the LM Dirichlet language model. All
+  * share the impacts skyline for block-max pruning — each is non-decreasing
+  * in freq and non-increasing in length, so the (freq, norm) competitive
+  * frontier bounds any of them.
   */
 sealed trait Similarity extends Serializable
 object Similarity {
   case object Bm25 extends Similarity
   case object Classic extends Similarity
   case object Bool extends Similarity
+  /** Dirichlet-smoothed language model (ref `LMDirichletSimilarity.java`):
+    * score = boost·max(0, ln(1 + freq/(μ·p)) + ln(μ/(dl + μ))) with
+    * p = (ttf+1)/(sttf+1) (`LMSimilarity.DefaultCollectionModel`).
+    */
+  final case class LmDirichlet(mu: Double = 2000.0) extends Similarity {
+    require(mu >= 0 && java.lang.Double.isFinite(mu), s"illegal mu $mu")
+  }
 }
 
 final case class ScoredDoc(docId: Long, score: Double)
@@ -296,10 +304,11 @@ final class IndexSearcher(
       case MatchNoneQuery => Map.empty
       case BoostQuery(inner, b2) => walk(inner, boost * b2)
       case sq: SynonymQuery =>
-        val dfs = sq.synonyms.flatMap(ts.get).map(_.docFreq)
-        val df = if (dfs.isEmpty) 0L else dfs.max
+        val stats = sq.synonyms.flatMap(ts.get)
+        val df = if (stats.isEmpty) 0L else stats.map(_.docFreq).max
+        val ttf = stats.map(_.totalTermFreq).sum // SynonymQuery ttf = sum
         val st = statsFor(graft.index.FieldKey.fieldOf(sq.synonyms.head))
-        Map(Executor.skey(sq.key, boost) -> simScorer(df, st, boost))
+        Map(Executor.skey(sq.key, boost) -> simScorer(df, ttf, st, boost))
       case cf: CombinedFieldQuery =>
         Map(Executor.skey(cf.key, boost) -> combinedFieldSim(cf, ts, boost))
       case fq: FeatureQuery =>
@@ -358,7 +367,12 @@ final class IndexSearcher(
       docCount = math.max(docCount, st.docCount)
       sttf = (sttf + w * st.sumTotalTermFreq).toLong
     }
-    simScorer(df, CollectionStats(docCount, sttf), boost)
+    // pseudo totalTermFreq = sum of weight*ttf (CombinedFieldQuery.java:285)
+    var ttf = 0L
+    cf.fieldTerms.foreach { case (t, w) =>
+      ttf = (ttf + w * ts.get(t).map(_.totalTermFreq).getOrElse(0L)).toLong
+    }
+    simScorer(df, math.max(1L, ttf), CollectionStats(docCount, sttf), boost)
   }
 
   /** Multi-field query parsing (ref
@@ -454,6 +468,12 @@ final class IndexSearcher(
             boost * terms.map(t => TfIdf.idfD(ts(t).docFreq, st.docCount)).sum)
       }
       case Similarity.Bool => new ConstScorer(boost)
+      case Similarity.LmDirichlet(mu) =>
+        // pseudo-term collection probability from the summed ttf (the
+        // SynonymQuery stats blend applied to the phrase's terms)
+        val ttf = terms.map(t => ts(t).totalTermFreq).sum
+        new LmDirichletScorer(mu, boost, (ttf + 1d) / (st.sumTotalTermFreq + 1d),
+          precision == Precision.FloatExact)
     }
   }
 
@@ -461,13 +481,14 @@ final class IndexSearcher(
     ts.get(term) match {
       case None => new ConstScorer(0.0)
       case Some(t) =>
-        simScorer(t.docFreq, statsFor(graft.index.FieldKey.fieldOf(term)), boost)
+        simScorer(t.docFreq, t.totalTermFreq,
+          statsFor(graft.index.FieldKey.fieldOf(term)), boost)
     }
 
   /** Per-term scorer for the active (similarity, precision) mode; the boost
     * folds into the weight (ref `Similarity#scorer(boost, ...)`).
     */
-  private def simScorer(df: Long, st: CollectionStats, boost: Double): SimScorer =
+  private def simScorer(df: Long, ttf: Long, st: CollectionStats, boost: Double): SimScorer =
     if (df == 0) new ConstScorer(0.0)
     else similarity match {
       case Similarity.Bm25 => precision match {
@@ -485,6 +506,11 @@ final class IndexSearcher(
           new TfIdfDoubleScorer(boost * TfIdf.idfD(df, st.docCount))
       }
       case Similarity.Bool => new ConstScorer(boost)
+      case Similarity.LmDirichlet(mu) =>
+        // p(t|C) = (ttf+1)/(sttf+1), the DefaultCollectionModel
+        new LmDirichletScorer(mu, boost,
+          (ttf + 1d) / (st.sumTotalTermFreq + 1d),
+          precision == Precision.FloatExact)
     }
 
   // ------------------------------------------------------------ blocks
@@ -1226,6 +1252,10 @@ final class IndexSearcher(
             new TfIdfDoubleScorer(terms.map(t => TfIdf.idfD(ts(t).docFreq, stats.docCount)).sum)
         }
         case Similarity.Bool => new ConstScorer(1.0)
+        case Similarity.LmDirichlet(mu) =>
+          val ttf = terms.map(t => ts(t).totalTermFreq).sum
+          new LmDirichletScorer(mu, 1.0, (ttf + 1d) / (stats.sumTotalTermFreq + 1d),
+            precision == Precision.FloatExact)
       }
     phraseFreqs(terms, textByDocId).toDF("docId", "freq")
       .join(docsTable.select($"docId", $"norm"), "docId")

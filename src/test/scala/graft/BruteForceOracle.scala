@@ -23,22 +23,27 @@ final class BruteForceOracle(
   val avgdl: Float = (sumTtf / docCount.toDouble).toFloat
 
   def docFreq(term: String): Long = docTf.count(_._1.containsKey(term)).toLong
+  def totalTermFreq(term: String): Long =
+    docTf.map(d => if (d._1.containsKey(term)) d._1.get(term).toLong else 0L).sum
 
-  private def mkScorer(df: Long, boost: Double): SimScorer = similarity match {
+  private def mkScorer(df: Long, ttf: Long, boost: Double): SimScorer = similarity match {
     case Similarity.Bm25 =>
       // boost folds into the float weight, same expression as the engine
       new Bm25FloatScorer(1.2f, 0.75f, boost.toFloat * Bm25.idf(df, docCount), avgdl)
     case Similarity.Classic =>
       new TfIdfFloatScorer(boost.toFloat * TfIdf.idf(df, docCount))
     case Similarity.Bool => new ConstScorer(boost)
+    case Similarity.LmDirichlet(mu) =>
+      new LmDirichletScorer(mu, boost, (ttf + 1d) / (sumTtf + 1d), floatExact = true)
   }
 
   private val scorerCache = scala.collection.mutable.HashMap[(String, Double), SimScorer]()
   private def scorer(term: String, boost: Double): SimScorer =
-    scorerCache.getOrElseUpdate((term, boost), mkScorer(docFreq(term), boost))
+    scorerCache.getOrElseUpdate((term, boost),
+      mkScorer(docFreq(term), totalTermFreq(term), boost))
 
   private def synScorer(sq: SynonymQuery, boost: Double): SimScorer =
-    mkScorer(sq.synonyms.map(docFreq).max, boost)
+    mkScorer(sq.synonyms.map(docFreq).max, sq.synonyms.map(totalTermFreq).sum, boost)
 
   /** None = no match; Some(score). */
   def eval(q: Query, doc: Int): Option[Double] = {

@@ -182,6 +182,30 @@ class IndexSearchSpec extends SparkTestBase {
     }
   }
 
+  test("LM Dirichlet similarity duel: engine == oracle, pruned == exhaustive") {
+    val lm = new IndexSearcher(spark, Seq(Manifest.read(segDir).get),
+      similarity = Similarity.LmDirichlet(2000.0))
+    val lmOracle = new BruteForceOracle(pagesLocal, StandardAnalyzer.Default,
+      similarity = Similarity.LmDirichlet(2000.0))
+    for (qs <- queryStrings :+ "court^2 OR law") {
+      val q = Query.parse(qs)
+      val expected = lmOracle.topK(q, 10)
+      val pruned = lm.topK(q, 10, pruning = true).collect()
+        .map(s => (s.docId, s.score)).toSeq
+      val exhaustive = lm.topK(q, 10, pruning = false).collect()
+        .map(s => (s.docId, s.score)).toSeq
+      assert(pruned == exhaustive, s"LM pruning changed results for: $qs")
+      assert(pruned == expected, s"LM engine != oracle for: $qs")
+    }
+    // a small mu punishes long docs harder; ranking differs from BM25
+    val lmSmall = new IndexSearcher(spark, Seq(Manifest.read(segDir).get),
+      similarity = Similarity.LmDirichlet(50.0))
+    val got = lmSmall.topK(Query.parse("court"), 10).collect().toSeq
+    val smallOracle = new BruteForceOracle(pagesLocal, StandardAnalyzer.Default,
+      similarity = Similarity.LmDirichlet(50.0))
+    assert(got.map(s => (s.docId, s.score)) == smallOracle.topK(Query.parse("court"), 10))
+  }
+
   test("boolean similarity: every match scores its boost") {
     val bool = new IndexSearcher(spark, Seq(Manifest.read(segDir).get),
       similarity = Similarity.Bool)
