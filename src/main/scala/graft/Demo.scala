@@ -182,6 +182,10 @@ object Demo {
               "(single-build layout — run ingest first)")
             sys.exit(1)
         }
+      case "backup" :: dir :: dest :: Nil =>
+        // snapshot-pinned hot copy to a self-contained index
+        val segs = graft.index.LiveSet.backup(dir, dest)
+        println(s"[demo] backed up ${segs.size} segment(s) to $dest: ${segs.mkString(",")}")
       case "rollback" :: dir :: gen :: Nil =>
         // restore a pinned commit point as a NEW generation
         val g = graft.index.LiveSet.rollback(dir, gen.toLong)

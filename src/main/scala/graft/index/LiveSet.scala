@@ -189,6 +189,35 @@ object LiveSet {
           .flatMap(f => Manifest.read(f.getPath)).toSeq
     }
 
+  /** Hot backup (the replicator-module use of a snapshot, ref
+    * `lucene/replicator` + `SnapshotDeletionPolicy` javadoc): pin the
+    * current generation, copy its segment dirs (postings/terms/docs
+    * Parquet, manifest, tombstones) to `destDir`, commit a fresh
+    * `segments_1` there, release the pin. Writers keep committing during
+    * the copy — the snapshot guarantees the copied files are immutable.
+    * The destination is a self-contained openable index.
+    */
+  def backup(indexDir: String, destDir: String): Seq[String] = {
+    val gen = snapshot(indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed generation at $indexDir — commit a live set first"))
+    try {
+      val segs = readGen(indexDir, gen).getOrElse(Seq.empty)
+      Files.createDirectories(Paths.get(destDir))
+      def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+        Files.createDirectories(dst)
+        Files.list(src).forEach { p =>
+          val t = dst.resolve(p.getFileName)
+          if (Files.isDirectory(p)) copyTree(p, t)
+          else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING): Unit
+        }
+      }
+      segs.foreach(n => copyTree(Paths.get(indexDir, n), Paths.get(destDir, n)))
+      commit(destDir, segs)
+      segs
+    } finally release(indexDir, gen)
+  }
+
   /** Remove committed segment dirs that are NOT in the live set (crash
     * leftovers: merge inputs whose deletion was interrupted, or a built
     * segment whose live-set add never happened — a streaming replay

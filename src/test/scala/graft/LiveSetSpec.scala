@@ -142,6 +142,27 @@ class LiveSetSpec extends SparkTestBase {
     assert(LiveSet.gcOrphans(dir).isEmpty, "GC must be a no-op without a live set")
   }
 
+  test("hot backup: snapshot-pinned copy is self-contained and immune to source churn") {
+    val dir = tmpDir("liveset-backup")
+    val dest = tmpDir("liveset-backup-dest")
+    buildSeg(dir, "seg00", 0, 300)
+    buildSeg(dir, "seg01", 300, 200)
+    LiveSet.add(dir, Seq("seg00", "seg01"))
+    val segs = LiveSet.backup(dir, dest)
+    assert(segs.toSet == Set("seg00", "seg01"))
+    assert(LiveSet.snapshots(dir).isEmpty, "backup releases its pin")
+    // churn the source: replace everything with a new segment and GC
+    buildSeg(dir, "seg02", 500, 100)
+    LiveSet.swap(dir, Seq("seg00", "seg01"), Seq("seg02"))
+    LiveSet.gcOrphans(dir)
+    assert(!new java.io.File(s"$dir/seg00").exists)
+    // the backup still opens to the snapshot's doc set
+    val se = IndexSearcher.open(spark, dest)
+    assert(se.stats.docCount == 500)
+    assert(graft.index.CheckIndex.check(spark, s"$dest/seg00").ok)
+    assert(IndexSearcher.open(spark, dir).stats.docCount == 100)
+  }
+
   test("snapshot pins a commit point through pruning and GC; rollback restores it") {
     val dir = tmpDir("liveset-snap")
     buildSeg(dir, "seg00", 0, 300)
