@@ -92,16 +92,11 @@ object Demo {
           val outName = f"merge_$round%03d"
           val m = SegmentMerger.merge(spark, group, s"$dir/$outName", cfg)
           println(s"[demo] merge $round: ${group.size} segs -> ${m.docCount} docs, ${m.blockCount} blocks")
-          // segments_N protocol: swap the live set atomically, THEN delete
+          // segments_N protocol: swap the live set atomically, THEN
+          // collect the inputs through orphan GC (which spares
+          // snapshot-pinned segments — an explicit rm would not)
           LiveSet.swap(dir, group.map(d => new java.io.File(d).getName), Seq(outName))
-          group.foreach { d =>
-            val p = new java.io.File(d)
-            def rm(f: java.io.File): Unit = {
-              if (f.isDirectory) f.listFiles().foreach(rm)
-              f.delete(): Unit
-            }
-            rm(p)
-          }
+          LiveSet.gcOrphans(dir)
           round += 1
           plan = TieredMergePolicy.findMerges(LiveSet.manifests(dir))
         }
@@ -160,13 +155,7 @@ object Demo {
           println(s"[demo] forcemerge $round: ${group.size} segs -> " +
             s"${m.docCount} docs, ${m.blockCount} blocks")
           LiveSet.swap(dir, group.map(d => new java.io.File(d).getName), Seq(outName))
-          group.foreach { d =>
-            def rm(f: java.io.File): Unit = {
-              if (f.isDirectory) f.listFiles().foreach(rm)
-              f.delete(): Unit
-            }
-            rm(new java.io.File(d))
-          }
+          LiveSet.gcOrphans(dir) // spares snapshot-pinned inputs
           round += 1
         }
         val segs = LiveSet.manifests(dir)

@@ -370,13 +370,8 @@ object Streaming {
           SegmentMerger.merge(spark, plan.head, s"$indexDir/$outName", cfg)
           val inputNames = plan.head.map(d => new java.io.File(d).getName)
           LiveSet.swap(indexDir, inputNames, Seq(outName))
-          plan.head.foreach { d =>
-            def rm(f: java.io.File): Unit = {
-              if (f.isDirectory) f.listFiles().foreach(rm)
-              f.delete(): Unit
-            }
-            rm(new java.io.File(d))
-          }
+          // orphan GC instead of explicit rm: snapshot-pinned inputs survive
+          LiveSet.gcOrphans(indexDir)
           round += 1
           plan = TieredMergePolicy.findMerges(LiveSet.manifests(indexDir))
         }
