@@ -54,7 +54,7 @@ object Bench {
     val headline = Seq(
       "ft_term_topk", "ft_and_topk", "ft_or_topk", "ft_nested_topk",
       "ft_phrase_topk", "ft_phrase_slop", "ft_near_topk", "ft_group_top2",
-      "ft_field_topk", "ft_combined_topk", "ft_feature_rank", "ft_feature_sort", "ft_lm_topk",
+      "ft_field_topk", "ft_combined_topk", "ft_feature_rank", "ft_feature_sort", "ft_lm_topk", "ft_lmjm_topk",
       "ft_near_prefix", "ft_wordbreak", "ft_child_join",
       "ft_msm_topk", "ft_boost_topk", "ft_dismax_topk",
       "ft_facet_range", "ft_highlight_best", "ft_fuzzy_match", "ft_spell",

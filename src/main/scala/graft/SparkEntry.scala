@@ -165,6 +165,15 @@ object SparkEntry {
         k1 = K1, b = B, similarity = graft.search.Similarity.LmDirichlet(2000.0))
     })
 
+  private val jmSearchers = TrieMap[String, IndexSearcher]()
+
+  private def jmSearcherFor(spark: SparkSession, sfDir: String): IndexSearcher =
+    jmSearchers.getOrElseUpdate(sfDir, {
+      val base = searcherFor(spark, sfDir)
+      new IndexSearcher(spark, base.segments, precision = Precision.DoubleOracle,
+        k1 = K1, b = B, similarity = graft.search.Similarity.LmJelinekMercer(0.1))
+    })
+
   private val featureSearchers = TrieMap[String, IndexSearcher]()
 
   /** Index over `documents` carrying a static `pagerank` feature (value =
@@ -321,6 +330,15 @@ object SparkEntry {
       // LMDirichletSimilarity): per-term score = max(0, ln(1 + tf/(mu*p))
       // + ln(mu/(dl+mu))), p = (ttf+1)/(sttf+1), mu = 2000
       val se = lmSearcherFor(s, d)
+      import s.implicits._
+      se.fetchDocs(topKVerified(se, Query.or("data", "query"), 10))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc).limit(10)
+    }),
+    "ft_lmjm_topk" -> ((s, d) => {
+      // Jelinek-Mercer language model (ref LMJelinekMercerSimilarity):
+      // per-term score = ln(1 + ((1-lambda)*tf/dl)/(lambda*p)), lambda 0.1
+      val se = jmSearcherFor(s, d)
       import s.implicits._
       se.fetchDocs(topKVerified(se, Query.or("data", "query"), 10))
         .select(docIdOf($"url"), round($"score", 6).as("score"))
@@ -1168,6 +1186,35 @@ object SparkEntry {
          |  SELECT tf.doc_id, greatest(0.0,
          |    ln(1 + tf.freq / (2000.0 * ((ttf.ttf + 1.0) / ((SELECT sttf FROM stats) + 1.0))))
          |    + ln(2000.0 / (qlen.qdl + 2000.0))) AS s
+         |  FROM tf JOIN ttf USING (term) JOIN qlen USING (doc_id)
+         |), scored AS (
+         |  SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM scored
+         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+    "ft_lmjm_topk" -> {
+      val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+         |), dlen AS (
+         |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+         |), qlen AS (
+         |  SELECT doc_id,
+         |    (SELECT max(v) FROM (VALUES $vals) b4(v) WHERE v <= dl) AS qdl
+         |  FROM dlen
+         |), stats AS (
+         |  SELECT sum(dl)::DOUBLE AS sttf FROM dlen
+         |), tf AS (
+         |  SELECT doc_id, term, count(*)::DOUBLE AS freq FROM tok
+         |  WHERE term IN ('data', 'query') GROUP BY doc_id, term
+         |), ttf AS (
+         |  SELECT term, count(*)::DOUBLE AS ttf FROM tok
+         |  WHERE term IN ('data', 'query') GROUP BY term
+         |), sc AS (
+         |  SELECT tf.doc_id,
+         |    ln(1 + ((1 - 0.1) * tf.freq / qlen.qdl) /
+         |       (0.1 * ((ttf.ttf + 1.0) / ((SELECT sttf FROM stats) + 1.0)))) AS s
          |  FROM tf JOIN ttf USING (term) JOIN qlen USING (doc_id)
          |), scored AS (
          |  SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id

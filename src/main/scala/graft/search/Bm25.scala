@@ -119,6 +119,23 @@ final class LmDirichletScorer(
   def weightD: Double = boost
 }
 
+/** Jelinek-Mercer-smoothed language-model scorer (ref
+  * `search/similarities/LMJelinekMercerSimilarity.java:score`): score =
+  * boost·ln(1 + ((1−λ)·freq/dl) / (λ·p)), p = (ttf+1)/(sttf+1), dl = the
+  * decoded quantized length; non-negative by construction, monotone in
+  * freq and antitone in dl, so the impacts skyline bounds it.
+  */
+final class LmJelinekMercerScorer(
+    lambda: Double, boost: Double, p: Double, floatExact: Boolean) extends SimScorer {
+  def score(freq: Int, norm: Int): Double = scoreF(freq.toDouble, norm)
+  override def scoreF(freq: Double, norm: Int): Double = {
+    val dl = SmallFloat.lengthTable(norm & 0xff).toDouble
+    val s = boost * math.log(1 + ((1 - lambda) * freq / dl) / (lambda * p))
+    if (floatExact) s.toFloat.toDouble else s
+  }
+  def weightD: Double = boost
+}
+
 /** Feature-value scorer (ref `document/FeatureField.java` LinearFunction /
   * LogFunction / SaturationFunction SimScorers): the posting frequency IS
   * the 17-bit float encoding of the feature value; the score is a monotone

@@ -36,6 +36,13 @@ object Similarity {
   final case class LmDirichlet(mu: Double = 2000.0) extends Similarity {
     require(mu >= 0 && java.lang.Double.isFinite(mu), s"illegal mu $mu")
   }
+  /** Jelinek-Mercer-smoothed language model (ref
+    * `LMJelinekMercerSimilarity.java`): score = boost·ln(1 +
+    * ((1−λ)·freq/dl)/(λ·p)).
+    */
+  final case class LmJelinekMercer(lambda: Double = 0.1) extends Similarity {
+    require(lambda > 0 && lambda <= 1, s"illegal lambda $lambda")
+  }
 }
 
 final case class ScoredDoc(docId: Long, score: Double)
@@ -474,6 +481,10 @@ final class IndexSearcher(
         val ttf = terms.map(t => ts(t).totalTermFreq).sum
         new LmDirichletScorer(mu, boost, (ttf + 1d) / (st.sumTotalTermFreq + 1d),
           precision == Precision.FloatExact)
+      case Similarity.LmJelinekMercer(lambda) =>
+        val ttf = terms.map(t => ts(t).totalTermFreq).sum
+        new LmJelinekMercerScorer(lambda, boost, (ttf + 1d) / (st.sumTotalTermFreq + 1d),
+          precision == Precision.FloatExact)
     }
   }
 
@@ -509,6 +520,10 @@ final class IndexSearcher(
       case Similarity.LmDirichlet(mu) =>
         // p(t|C) = (ttf+1)/(sttf+1), the DefaultCollectionModel
         new LmDirichletScorer(mu, boost,
+          (ttf + 1d) / (st.sumTotalTermFreq + 1d),
+          precision == Precision.FloatExact)
+      case Similarity.LmJelinekMercer(lambda) =>
+        new LmJelinekMercerScorer(lambda, boost,
           (ttf + 1d) / (st.sumTotalTermFreq + 1d),
           precision == Precision.FloatExact)
     }
@@ -1255,6 +1270,10 @@ final class IndexSearcher(
         case Similarity.LmDirichlet(mu) =>
           val ttf = terms.map(t => ts(t).totalTermFreq).sum
           new LmDirichletScorer(mu, 1.0, (ttf + 1d) / (stats.sumTotalTermFreq + 1d),
+            precision == Precision.FloatExact)
+        case Similarity.LmJelinekMercer(lambda) =>
+          val ttf = terms.map(t => ts(t).totalTermFreq).sum
+          new LmJelinekMercerScorer(lambda, 1.0, (ttf + 1d) / (stats.sumTotalTermFreq + 1d),
             precision == Precision.FloatExact)
       }
     phraseFreqs(terms, textByDocId).toDF("docId", "freq")

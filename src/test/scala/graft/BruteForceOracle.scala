@@ -35,6 +35,8 @@ final class BruteForceOracle(
     case Similarity.Bool => new ConstScorer(boost)
     case Similarity.LmDirichlet(mu) =>
       new LmDirichletScorer(mu, boost, (ttf + 1d) / (sumTtf + 1d), floatExact = true)
+    case Similarity.LmJelinekMercer(lambda) =>
+      new LmJelinekMercerScorer(lambda, boost, (ttf + 1d) / (sumTtf + 1d), floatExact = true)
   }
 
   private val scorerCache = scala.collection.mutable.HashMap[(String, Double), SimScorer]()

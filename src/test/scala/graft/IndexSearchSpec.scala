@@ -206,6 +206,23 @@ class IndexSearchSpec extends SparkTestBase {
     assert(got.map(s => (s.docId, s.score)) == smallOracle.topK(Query.parse("court"), 10))
   }
 
+  test("LM Jelinek-Mercer similarity duel: engine == oracle, pruned == exhaustive") {
+    val jm = new IndexSearcher(spark, Seq(Manifest.read(segDir).get),
+      similarity = Similarity.LmJelinekMercer(0.1))
+    val jmOracle = new BruteForceOracle(pagesLocal, StandardAnalyzer.Default,
+      similarity = Similarity.LmJelinekMercer(0.1))
+    for (qs <- queryStrings :+ "court^2 OR law") {
+      val q = Query.parse(qs)
+      val expected = jmOracle.topK(q, 10)
+      val pruned = jm.topK(q, 10, pruning = true).collect()
+        .map(s => (s.docId, s.score)).toSeq
+      val exhaustive = jm.topK(q, 10, pruning = false).collect()
+        .map(s => (s.docId, s.score)).toSeq
+      assert(pruned == exhaustive, s"JM pruning changed results for: $qs")
+      assert(pruned == expected, s"JM engine != oracle for: $qs")
+    }
+  }
+
   test("boolean similarity: every match scores its boost") {
     val bool = new IndexSearcher(spark, Seq(Manifest.read(segDir).get),
       similarity = Similarity.Bool)
