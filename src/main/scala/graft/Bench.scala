@@ -62,7 +62,7 @@ object Bench {
       "ft_classic_parse", "ft_multiphrase_topk", "ft_interval_topk",
       "ft_field_phrase", "text_repetition",
       "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_embed",
-      "dedup_clusters", "pipe_split",
+      "dedup_clusters", "pipe_split", "pipe_token_budget",
       "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
       "text_quality", "text_termstats",
       "mm_meta", "rel_agg", "rel_window_top2", "rel_json"

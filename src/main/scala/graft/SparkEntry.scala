@@ -832,6 +832,17 @@ object SparkEntry {
       // stable under reruns and upstream row changes (pure function of id)
       graft.pipeline.Sampling.splitCounts(docsDf(s, d), "doc_id", "lang")
         .orderBy(col("split"), col("lang"))),
+    "pipe_token_budget" -> ((s, d) => {
+      // token-budget selection in deterministic hash order: a global
+      // ordered cumsum by semantics, executed as range-bucket totals +
+      // driver prefix-sum + one boundary-bucket window (never a global
+      // window — the 100 TB shape)
+      import s.implicits._
+      val docs = docsDf(s, d)
+        .select($"doc_id", size(split($"text", " ")).cast("bigint").as("ntok"))
+      graft.pipeline.Sampling.takeTokenBudget(docs, "doc_id", "ntok", 12000L)
+        .select($"doc_id", $"ntok").orderBy($"doc_id")
+    }),
     "dedup_minhash_lsh" -> ((s, d) => // no SQL oracle: seeded-hash approximation
       Dedup.minHashLshPairs(docsDf(s, d), "doc_id", "text", w = 2,
         bands = 8, rowsPerBand = 4, minSigSim = 0.5)
@@ -1762,6 +1773,17 @@ object SparkEntry {
         |)
         |SELECT split, lang, count(*) AS n FROM s GROUP BY 1, 2
         |ORDER BY split, lang""".stripMargin,
+    "pipe_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS ntok,
+        |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, ntok,
+        |         sum(ntok) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, ntok FROM c WHERE cum <= 12000 ORDER BY doc_id""".stripMargin,
     "dedup_embed_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos

@@ -55,6 +55,34 @@ class CcSamplingSpec extends SparkTestBase {
     assert(got == 539801954L)
   }
 
+  test("takeTokenBudget == global-window brute force at every boundary") {
+    import spark.implicits._
+    val n = 800L
+    val df = (0L until n).map(i => (i, 5L + i % 37)).toDF("id", "ntok")
+    // driver brute: global (hash32, id) order, cumulative <= budget
+    def h32(i: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(i.toString.getBytes("UTF-8"))
+          .take(4).map(b => f"$b%02x").mkString, 16)
+    val ordered = (0L until n).map(i => (i, 5L + i % 37)).sortBy { case (i, _) => (h32(i), i) }
+    def brute(budget: Long): Set[Long] = {
+      var cum = 0L
+      ordered.takeWhile { case (_, t) => { cum += t; cum <= budget } }.map(_._1).toSet
+    }
+    val total = ordered.map(_._2).sum
+    // budgets that land mid-bucket, at zero, and beyond the total
+    for (budget <- Seq(0L, 137L, total / 3, total / 2, total - 1, total, total + 10)) {
+      val got = Sampling.takeTokenBudget(df, "id", "ntok", budget)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == brute(budget), s"token budget $budget drifted from global order")
+    }
+    // few-bucket edge: boundary bucket holds most of the data
+    val got2 = Sampling.takeTokenBudget(df, "id", "ntok", total / 2, bucketBits = 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got2 == brute(total / 2))
+  }
+
   test("sampleByStratum keeps a stable deterministic subset") {
     import spark.implicits._
     val df = (0L until 2000L).toDF("id")
