@@ -133,6 +133,36 @@ object Demo {
           if (!r.ok) bad += 1
         }
         if (bad > 0) { System.err.println(s"[demo] $bad segment(s) failed"); sys.exit(1) }
+      case "stats" :: dir :: Nil =>
+        // disk-usage + composition report per live segment (the
+        // luke/IndexDiskUsage observability surface)
+        import graft.index.LiveSet
+        def du(p: java.io.File): Long =
+          if (p.isFile) p.length()
+          else if (p.isDirectory) p.listFiles().map(du).sum
+          else 0L
+        def fmt(b: Long): String =
+          if (b >= 1048576L) f"${b / 1048576.0}%.1f MB" else f"${b / 1024.0}%.1f KB"
+        val live = LiveSet.manifests(dir)
+        for (m <- live) {
+          val root = new java.io.File(m.dir)
+          val parts = Seq("postings", "terms", "docs")
+            .map(t => t -> du(new java.io.File(root, t)))
+          val tomb = Option(root.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.startsWith("tombstones")).map(du).sum
+          val total = du(root)
+          println(s"[demo] segment ${root.getName}: docs=${m.docCount} " +
+            s"terms=${m.termCount} blocks=${m.blockCount} " +
+            (if (m.hasPositions) "[positions] " else "") + s"total=${fmt(total)}")
+          parts.foreach { case (t, b) =>
+            println(f"    $t%-9s ${fmt(b)}%10s (${100.0 * b / math.max(1L, total)}%.0f%%)")
+          }
+          if (tomb > 0) println(f"    tombstones ${fmt(tomb)}%9s")
+        }
+        println(s"[demo] ${live.size} live segment(s), " +
+          s"${live.map(_.docCount).sum} docs, " +
+          fmt(live.map(m => du(new java.io.File(m.dir))).sum) + " on disk; " +
+          s"snapshots pinned: ${LiveSet.snapshots(dir).mkString(",")}")
       case "forcemerge" :: dir :: rest if rest.size <= 1 =>
         // merge down to maxSegments (default 1) regardless of the tier
         // budget, purging tombstoned docs (ref IndexWriter#forceMerge /
