@@ -666,6 +666,18 @@ object SparkEntry {
         .groupBy($"source").agg(count(lit(1)).as("n_docs"))
         .orderBy($"source")
     }),
+    "ft_facet_sampled" -> ((s, d) => {
+      // sampled facet counts (ref facet/RandomSamplingFacetsCollector):
+      // a deterministic hashed 25% sample of the matching docs, counts
+      // scaled back by 1/fraction — at 100 TB the facet pass touches a
+      // quarter of the hit list for ~2% relative error on big counts
+      import s.implicits._
+      ftMatch(s, d, Query.parse("data OR query"))
+        .where(graft.pipeline.Sampling.hashBucket($"doc_id", 100) < 25)
+        .join(docsDf(s, d), "doc_id")
+        .groupBy($"source").agg((count(lit(1)) * 4).cast("bigint").as("est_count"))
+        .orderBy($"source")
+    }),
     "ft_highlight" -> ((s, d) => {
       // highlighter module: snippet = window around the first hit term in
       // the stored text of matching docs
@@ -1701,6 +1713,15 @@ object SparkEntry {
          |m AS (SELECT DISTINCT doc_id FROM documents
          |      WHERE ${hasTerm("data")} OR ${hasTerm("query")})
          |SELECT d.source, count(*) AS n_docs FROM m JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "ft_facet_sampled" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |m AS (SELECT DISTINCT doc_id FROM documents
+         |      WHERE ${hasTerm("data")} OR ${hasTerm("query")}),
+         |sampled AS (SELECT doc_id FROM m
+         |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 25)
+         |SELECT d.source, (count(*) * 4)::BIGINT AS est_count
+         |FROM sampled JOIN documents d USING (doc_id)
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "ft_group_top2" ->
       (bm25Scored(Seq("data", "query"), "TRUE") +
