@@ -736,6 +736,22 @@ object SparkEntry {
         .select($"doc_id", $"parent_score")
         .orderBy($"doc_id")
     }),
+    "ft_distance_rank" -> ((s, d) => {
+      // distance feature (ref document/LongField.newDistanceFeatureQuery /
+      // search/LongDistanceFeatureQuery): boost docs whose numeric value
+      // is near an origin — score = text + w * pivot/(pivot + |v - origin|)
+      val se = searcherFor(s, d)
+      import s.implicits._
+      val scored = se.scoreMatches(se.parse("data OR query"))
+        .join(se.docsTable.select($"docId", $"url"), "docId")
+        .select(docIdOf($"url"), $"score")
+      scored.join(docsDf(s, d).select($"doc_id", $"n_chars"), "doc_id")
+        .select($"doc_id",
+          round($"score" + lit(0.6) * (lit(200.0) /
+            (lit(200.0) + abs($"n_chars" - 500).cast("double"))), 6).as("rank"))
+        .orderBy($"rank".desc, $"doc_id".asc)
+        .limit(15)
+    }),
     "ft_expr_rank" -> ((s, d) => {
       // expressions module re-expression: a scalar ranking formula over
       // (score, doc-value) columns — Catalyst codegen instead of the
@@ -1668,6 +1684,15 @@ object SparkEntry {
           |SELECT d.doc_id, p.parent_score
           |FROM documents d JOIN p ON d.source = p.source
           |ORDER BY d.doc_id""".stripMargin),
+    "ft_distance_rank" ->
+      (bm25Ctes(Seq("data", "query")) +
+        """, scored AS (
+          |  SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id
+          |)
+          |SELECT doc_id,
+          |  round(score + 0.6 * (200.0 / (200.0 + abs(n_chars - 500)::DOUBLE)), 6) AS rank
+          |FROM scored JOIN documents USING (doc_id)
+          |ORDER BY rank DESC, doc_id ASC LIMIT 15""".stripMargin),
     "ft_expr_rank" ->
       (bm25Ctes(Seq("data", "query")) +
         """, scored AS (
