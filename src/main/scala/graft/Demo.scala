@@ -104,11 +104,22 @@ object Demo {
         println(s"[demo] ingest done: ${finalSegs.size} segments, " +
           s"${finalSegs.map(_.docCount).sum} docs total")
       case "search" :: dir :: rest if rest.nonEmpty =>
-        val searcher = IndexSearcher.open(spark, dir)
+        // optional similarity knob (ref IndexSearcher#setSimilarity):
+        //   Demo search <dir> --sim=classic|bool|lm|lmjm <query...>
+        val (simOpt, qrest) = rest.partition(_.startsWith("--sim="))
+        val sim = simOpt.lastOption.map(_.stripPrefix("--sim=")).map {
+          case "bm25"    => graft.search.Similarity.Bm25
+          case "classic" => graft.search.Similarity.Classic
+          case "bool"    => graft.search.Similarity.Bool
+          case "lm"      => graft.search.Similarity.LmDirichlet()
+          case "lmjm"    => graft.search.Similarity.LmJelinekMercer()
+          case other => throw new IllegalArgumentException(s"unknown similarity $other")
+        }.getOrElse(graft.search.Similarity.Bm25)
+        val searcher = IndexSearcher.open(spark, dir, similarity = sim)
         // full classic syntax: quoted phrases (positions required), pre*,
         // w?ld, fuzzy~1, [lo TO hi] — plus the boolean core. Single quotes
         // double as phrase quotes (CLI convenience: shells and sbt eat ")
-        val qs = rest.mkString(" ").replace('\'', '"')
+        val qs = qrest.mkString(" ").replace('\'', '"')
         val q = searcher.parseFull(qs)
         println(s"[demo] query: $qs -> $q")
         val t0 = System.nanoTime()

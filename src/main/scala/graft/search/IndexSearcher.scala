@@ -1765,13 +1765,14 @@ object IndexSearcher {
       spark: SparkSession,
       indexDir: String,
       analyzer: StandardAnalyzer = StandardAnalyzer.Default,
-      precision: Precision = Precision.FloatExact
+      precision: Precision = Precision.FloatExact,
+      similarity: Similarity = Similarity.Bm25
   ): IndexSearcher = {
     // the live set (segments_N commit point) decides visibility; legacy
     // single-build layouts without one fall back to the directory listing
     val segs = graft.index.LiveSet.manifests(indexDir)
     require(segs.nonEmpty, s"no committed segments under $indexDir")
-    new IndexSearcher(spark, segs, analyzer, precision)
+    new IndexSearcher(spark, segs, analyzer, precision, similarity = similarity)
   }
 }
 
