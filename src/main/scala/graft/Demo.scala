@@ -237,7 +237,13 @@ object Demo {
         spark.read.parquet(s"$dir/seg0/terms")
           .where(c("term").isin(q.terms.toSeq: _*)).explain("formatted")
       case _ =>
-        System.err.println("usage: Demo index <dir> <nDocs> | Demo search <dir> <query...> | Demo explain <dir> <query...>")
+        System.err.println(
+          "usage: Demo index <dir> <nDocs> [--positions] [--fields] " +
+            "| search <dir> [--sim=classic|bool|lm|lmjm] <query...> " +
+            "| phrase <dir> <terms...> | ingest <dir> <batches> <perBatch> " +
+            "| forcemerge <dir> [maxSegments] | snapshot <dir> " +
+            "| rollback <dir> <gen> | backup <dir> <dest> | stats <dir> " +
+            "| check <dir> | explain <dir> <query...>")
         sys.exit(2)
     }
     spark.stop()

@@ -353,6 +353,14 @@ object SparkEntry {
       se.wordBreaks("dataquery", maxChanges = 1, n = 5)
         .select($"suggestion", $"freq")
     }),
+    "ft_wordcombine" -> ((s, d) => {
+      // combination direction of WordBreakSpellChecker: adjacent query
+      // fragments whose concatenation is a dictionary word
+      val se = searcherFor(s, d)
+      import s.implicits._
+      se.wordCombinations(Seq("da", "ta", "query"), maxChanges = 2, n = 5)
+        .select($"combined", $"start", $"end", $"changes", $"freq")
+    }),
     "ft_feature_sort" -> ((s, d) => {
       // sort by static feature value desc (ref FeatureField.newFeatureSort):
       // the linear feature scorer at weight 1 IS the decoded value, so the
@@ -1274,6 +1282,18 @@ object SparkEntry {
         |SELECT a || ' ' || b AS suggestion, (da.df + db.df)::BIGINT AS freq
         |FROM splits JOIN dict da ON da.term = a JOIN dict db ON db.term = b
         |ORDER BY freq DESC, suggestion ASC LIMIT 5""".stripMargin,
+    "ft_wordcombine" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), dict AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+        |), cands(combined, s, e, ch) AS (
+        |  VALUES ('data', 0, 1, 1), ('dataquery', 0, 2, 2), ('taquery', 1, 2, 1)
+        |)
+        |SELECT c.combined, c.s AS "start", c.e AS "end", c.ch AS changes,
+        |       d.df::BIGINT AS freq
+        |FROM cands c JOIN dict d ON d.term = c.combined
+        |ORDER BY changes ASC, freq DESC, combined ASC LIMIT 5""".stripMargin,
     "ft_feature_sort" ->
       """SELECT doc_id, (n_chars % 400 + 1)::DOUBLE AS pagerank FROM documents
         |ORDER BY pagerank DESC, doc_id ASC LIMIT 15""".stripMargin,

@@ -248,6 +248,42 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("percolate handles combined-field / feature / match-none stored queries") {
+    import graft.search._
+    // a percolated doc has no fields or feature postings: the combined
+    // union is the token stream (term presence); a feature term is never
+    // present; MatchNone never fires
+    val stored = Seq(
+      "cf"   -> (CombinedFieldQuery("spark", Seq("title" -> 1.0)): Query),
+      "feat" -> (FeatureQuery("pagerank", FeatureFunction.Linear): Query),
+      "none" -> (MatchNoneQuery: Query),
+      "mix"  -> (BoolQuery(Seq(
+        (CombinedFieldQuery("data", Seq("body" -> 1.0)): Query) -> (Occur.Should: Occur),
+        TermQuery("vector") -> (Occur.Should: Occur))): Query))
+    val got = graft.streaming.Streaming.percolate(docs, "doc_id", "text", stored)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSet))
+    // cf: a percolated doc has no fields, so the combined-field union IS
+    // the token stream — the match condition is BARE-term presence; a
+    // feature term is FieldKey-encoded and can never appear in a plain
+    // token stream; MatchNone never fires
+    val featTerm = graft.index.FeatureIndexer.featureTerm("pagerank")
+    val expected = (for {
+      (id, toks) <- texts
+      (qid, ok) <- Seq(
+        "cf" -> toks.contains("spark"),
+        "feat" -> toks.contains(featTerm),
+        "none" -> false,
+        "mix" -> (toks.contains("data") || toks.contains("vector")))
+      if ok
+    } yield (qid, id)).toSet
+    assert(got == expected)
+    assert(expected.exists(_._1 == "cf"), "cf should fire on bare-term presence")
+    assert(!expected.exists(_._1 == "feat"))
+    assert(!expected.exists(_._1 == "none"))
+  }
+
   test("percolate (static) == per-doc predicate evaluation") {
     val stored = Seq(
       "q1" -> Query.parse("spark AND data"),
