@@ -24,7 +24,7 @@ class SoakSpec extends SparkTestBase {
 
   test("seeded op interleaving keeps the reader identical to the model") {
     import spark.implicits._
-    val rnd = new scala.util.Random(42)
+    val rnd = new scala.util.Random(sys.env.getOrElse("GRAFT_SOAK_SEED", "42").toLong)
     val dir = tmpDir("soak")
     var model = Map.empty[String, String]
     var nextId = 0L
