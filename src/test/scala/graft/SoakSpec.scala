@@ -103,7 +103,7 @@ class SoakSpec extends SparkTestBase {
       }
     }
 
-    for (_ <- 1 to 16) {
+    for (_ <- 1 to sys.env.getOrElse("GRAFT_SOAK_OPS", "16").toInt) {
       val what = step()
       val se = IndexSearcher.open(spark, dir)
       for (t <- probes) {
