@@ -206,11 +206,12 @@ object LiveSet {
       Files.createDirectories(Paths.get(destDir))
       def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
         Files.createDirectories(dst)
-        Files.list(src).forEach { p =>
+        val listing = Files.list(src)
+        try listing.forEach { p =>
           val t = dst.resolve(p.getFileName)
           if (Files.isDirectory(p)) copyTree(p, t)
           else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING): Unit
-        }
+        } finally listing.close()
       }
       segs.foreach(n => copyTree(Paths.get(indexDir, n), Paths.get(destDir, n)))
       commit(destDir, segs)
