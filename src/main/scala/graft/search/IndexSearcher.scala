@@ -753,13 +753,23 @@ final class IndexSearcher(
     * via the persisted `len` column (PushedFilter), ranked by
     * (edit distance asc, docFreq desc, term asc).
     */
-  def spellCorrect(term: String, maxEdits: Int = 2, n: Int = 5): DataFrame = {
+  /** @param morePopular only suggest terms strictly more frequent than the
+    *   misspelling itself (ref `suggest/spell/SuggestMode.java`
+    *   SUGGEST_MORE_POPULAR — the mode for "did you mean" over terms that
+    *   DO exist but rarely); the default suggests for any input.
+    */
+  def spellCorrect(term: String, maxEdits: Int = 2, n: Int = 5,
+      morePopular: Boolean = false): DataFrame = {
     val dist = graft.functions.EditDistance.damerauLe(lit(term), $"term", maxEdits)
+    val floor: Long =
+      if (!morePopular) 0L
+      else termStats(Seq(term)).get(term).map(_.docFreq).getOrElse(0L)
     termsDictWithLen
       .where($"len".between(term.length - maxEdits, term.length + maxEdits))
       .select($"term", $"docFreq", dist.as("dist"))
       .where($"dist" >= 0)
       .groupBy($"term").agg(sum($"docFreq").as("doc_freq"), min($"dist").as("dist"))
+      .where($"doc_freq" > floor)
       .select($"term", $"dist".cast("bigint").as("distance"), $"doc_freq")
       .orderBy($"distance".asc, $"doc_freq".desc, $"term".asc)
       .limit(n)

@@ -109,6 +109,18 @@ class IndexSearchSpec extends SparkTestBase {
     }
   }
 
+  test("spellCorrect morePopular mode: only strictly-more-frequent suggestions") {
+    val dfCourt = oracle.docFreq("court")
+    val popular = searcher.spellCorrect("court", maxEdits = 1, n = 10, morePopular = true)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(popular.forall { case (t, df) => t != "court" && df > dfCourt },
+      s"morePopular must exclude the term and anything <= df($dfCourt): ${popular.mkString(",")}")
+    // the default mode still returns the exact term at distance 0
+    val dflt = searcher.spellCorrect("court", maxEdits = 1, n = 10)
+      .collect().map(_.getString(0))
+    assert(dflt.contains("court"))
+  }
+
   test("word breaks: segmentations == brute force; multi-change recursion") {
     // brute: one-break segmentations of 'courtlaw' over the oracle's dfs
     val q = "courtlaw"
