@@ -330,7 +330,8 @@ object Dedup {
     * @return (id, cluster) for every id appearing in `pairs`
     */
   def connectedComponents(
-      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 50
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 50,
+      roundCounter: Option[java.util.concurrent.atomic.AtomicInteger] = None
   ): DataFrame = {
     // localCheckpoint truncates the logical plan each round — without it
     // the iterative lineage grows unboundedly and analysis time explodes
@@ -349,22 +350,31 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("comp")).as("nbr"))
-      val pulled = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+      // carry the previous label through the round so convergence detection
+      // needs no extra join against the prior state
+      val pulled = labels.select(col("id"), col("comp").as("old"))
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nbr"), col("old"))).as("comp"))
       // compression: follow the label's label (halves chain length / round)
       val next = pulled.as("l1")
         .join(pulled.select(col("id").as("cid"), col("comp").as("ccomp")).as("l2"),
           col("l1.comp") === col("l2.cid"), "left")
-        .select(col("l1.id").as("id"),
+        .select(col("l1.id").as("id"), col("l1.old").as("old"),
           least(col("l1.comp"), coalesce(col("ccomp"), col("l1.comp"))).as("comp"))
-        .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.select(col("id"), col("comp").as("old")), "id")
-        .where(col("comp") =!= col("old")).limit(1).count()
-      labels = next
+        .localCheckpoint(eager = false)
+      // ONE action per round: the full-scan changed-count materializes every
+      // partition of the lazy checkpoint as a side effect (the previous
+      // eager-checkpoint + join + limit/count pair was a second Spark job
+      // per round — O(log n) avoidable jobs per run)
+      val changed = next
+        .agg(count(when(col("comp") =!= col("old"), 1)).as("c"))
+        .head().getLong(0)
+      labels = next.select(col("id"), col("comp"))
       converged = changed == 0
       iter += 1
     }
+    roundCounter.foreach(_.set(iter))
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("id"), col("comp").as("cluster"))
   }

@@ -28,6 +28,53 @@ class CcSamplingSpec extends SparkTestBase {
     assert(got.size == 64 && got.values.forall(_ == 0L))
   }
 
+  test("connected components: one Spark job per label round") {
+    import spark.implicits._
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      .localCheckpoint(true) // pre-materialize so the listener sees only CC jobs
+    // map Spark jobs to their SQL execution: the per-round convergence
+    // check ("head at ...") must be a cheap scan over the checkpointed
+    // labels (<= 2 jobs, no join/shuffle) — the old shape ran a
+    // join + limit + count query per round
+    val descs = scala.collection.concurrent.TrieMap[Long, String]()
+    val jobsPerExec = scala.collection.concurrent.TrieMap[Long, Int]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            descs.put(s.executionId, s.description): Unit
+          case _ => ()
+        }
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val eid = Option(j.properties.getProperty("spark.sql.execution.id"))
+          .map(_.toLong).getOrElse(-1L)
+        jobsPerExec.put(eid, jobsPerExec.getOrElse(eid, 0) + 1): Unit
+      }
+    }
+    val rounds = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 20,
+        roundCounter = Some(rounds))
+      Thread.sleep(500) // let async listener events drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(rounds.get() > 0, "round counter not reported")
+    val actions = descs.toSeq.map { case (id, d) =>
+      (d.takeWhile(_ != ' '), jobsPerExec.getOrElse(id, 0))
+    }
+    // exactly TWO executions per round (checkpoint materialize + the fused
+    // changed-count), none of the old per-round join/count executions …
+    val heads = actions.filter(_._1 == "head")
+    assert(heads.size == rounds.get(),
+      s"expected one head action per round, saw ${actions.map(_._1)}")
+    assert(actions.size == 2 * rounds.get() + 2,
+      s"expected 2/round + 2 init executions, saw ${actions.map(_._1)}")
+    // … and the convergence check itself is a checkpoint-scan, not a join
+    heads.foreach { case (_, nJobs) =>
+      assert(nJobs <= 2, s"convergence check ran $nJobs jobs — expected a plain scan")
+    }
+  }
+
   test("splits: deterministic, stable, percentages roughly hold") {
     import spark.implicits._
     val df = (0L until 1000L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
