@@ -717,9 +717,23 @@ object SparkEntry {
       val scored = se.scoreMatches(se.parse("data OR query"))
         .join(se.docsTable.select($"docId", $"url"), "docId")
         .select(docIdOf($"url"), round($"score", 6).as("score"))
-      scored.join(docsDf(s, d).select($"doc_id", $"source"), "doc_id")
-        .groupBy($"source")
-        .agg(max($"score").as("parent_score"), count(lit(1)).as("n_children"))
+        .join(docsDf(s, d).select($"doc_id", $"source"), "doc_id")
+      graft.search.BlockJoin
+        .parentScores(scored, "source", graft.search.BlockJoin.ScoreMode.Max)
+        .orderBy($"parent_score".desc, $"source".asc)
+        .limit(5)
+    }),
+    "ft_parent_join_avg" -> ((s, d) => {
+      // the same block-join shape under ScoreMode.Avg (ref join/ScoreMode
+      // .java Avg): a parent scores as the MEAN of its matching children
+      val se = searcherFor(s, d)
+      import s.implicits._
+      val scored = se.scoreMatches(se.parse("data OR query"))
+        .join(se.docsTable.select($"docId", $"url"), "docId")
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .join(docsDf(s, d).select($"doc_id", $"source"), "doc_id")
+      graft.search.BlockJoin
+        .parentScores(scored, "source", graft.search.BlockJoin.ScoreMode.Avg)
         .orderBy($"parent_score".desc, $"source".asc)
         .limit(5)
     }),
@@ -786,6 +800,19 @@ object SparkEntry {
         .groupBy($"term").agg(sum($"docFreq").as("doc_freq"))
         .orderBy($"doc_freq".desc, $"term".asc)
         .limit(10)
+    }),
+    "ft_suggest_weighted" -> ((s, d) => {
+      // weighted completion suggest (ref suggest/analyzing/
+      // AnalyzingSuggester.java FST weight outputs): rank by a curated
+      // per-term weight table, docFreq only as tiebreak. The weight table
+      // here is collection frequency over the prefix's completions — a
+      // deterministic stand-in for a curated completions list.
+      import s.implicits._
+      val weights = docsDf(s, d)
+        .select(explode(split($"text", " ")).as("term"))
+        .where($"term".startsWith("st"))
+        .groupBy($"term").agg(count(lit(1)).as("weight"))
+      searcherFor(s, d).suggestWeighted("st", weights, 10)
     }),
     "ft_fuzzy_suggest" -> ((s, d) => {
       // fuzzy-prefix autocomplete (ref suggest/analyzing/FuzzySuggester):
@@ -1690,6 +1717,13 @@ object SparkEntry {
           |FROM ranked r JOIN documents d USING (doc_id)
           |GROUP BY d.source
           |ORDER BY parent_score DESC, d.source ASC LIMIT 5""".stripMargin),
+    "ft_parent_join_avg" ->
+      (bm25Scored(Seq("data", "query"), "TRUE") +
+        """
+          |SELECT d.source, round(avg(r.score), 6) AS parent_score, count(*) AS n_children
+          |FROM ranked r JOIN documents d USING (doc_id)
+          |GROUP BY d.source
+          |ORDER BY parent_score DESC, d.source ASC LIMIT 5""".stripMargin),
     "ft_child_join" ->
       (bm25Ctes(Seq("data", "query")) +
         """, scored AS (
@@ -1727,6 +1761,14 @@ object SparkEntry {
         |SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok
         |WHERE term LIKE 'st%' GROUP BY term
         |ORDER BY doc_freq DESC, term ASC LIMIT 10""".stripMargin,
+    "ft_suggest_weighted" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |w AS (SELECT term, count(*) AS weight FROM tok WHERE term LIKE 'st%' GROUP BY term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok
+        |       WHERE term LIKE 'st%' GROUP BY term)
+        |SELECT df.term, coalesce(w.weight, 0)::BIGINT AS weight, df.doc_freq
+        |FROM df LEFT JOIN w USING (term)
+        |ORDER BY weight DESC, doc_freq DESC, term ASC LIMIT 10""".stripMargin,
     "ft_fuzzy_suggest" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |df AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY term)

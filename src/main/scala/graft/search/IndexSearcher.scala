@@ -879,6 +879,32 @@ final class IndexSearcher(
       .limit(n)
   }
 
+  /** Weighted completion suggest — the re-expression of
+    * `lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/AnalyzingSuggester.java`:
+    * the reference ranks completions by a per-entry weight carried in the
+    * FST outputs, not by corpus docFreq. Here the curated `weights` table
+    * (term, weight) broadcast-joins the dictionary prefix range (the prefix
+    * is a sorted-terms PushedFilter); rank = weight desc, docFreq desc
+    * tiebreak, term asc. Terms absent from the weight table rank at weight 0
+    * (the reference omits unweighted entries from the FST — pass
+    * `requireWeight=true` for that semantics).
+    */
+  def suggestWeighted(
+      prefix: String, weights: DataFrame, n: Int = 10,
+      requireWeight: Boolean = false
+  ): DataFrame = {
+    val dict = termsDictWithLen.where($"term".startsWith(prefix))
+      .groupBy($"term").agg(sum($"docFreq").as("doc_freq"))
+    val joined = dict.join(
+      broadcast(weights.select($"term", $"weight")),
+      Seq("term"), if (requireWeight) "inner" else "left")
+    joined
+      .select($"term", coalesce($"weight", lit(0L)).cast("bigint").as("weight"),
+        $"doc_freq")
+      .orderBy($"weight".desc, $"doc_freq".desc, $"term".asc)
+      .limit(n)
+  }
+
   /** All matching docIds (no scoring) — the FILTER/semi-join path feeding
     * facets, grouping, and joins.
     */

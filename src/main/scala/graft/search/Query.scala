@@ -356,7 +356,10 @@ object Query {
     * and ranges `[lo TO hi]` (inclusive) / `{lo TO hi}` (exclusive).
     * Terms are analyzed with the same analyzer as indexing (the consistency
     * rule of `lucene/demo/.../SearchFiles.java:120`); phrase words are
-    * analyzed individually. Escapes are not supported (documented subset).
+    * analyzed individually. The `+required` / `-prohibited` prefix operators
+    * (`QueryParser.jj` Modifiers production) and `\` escapes (`\+ \- \( \)
+    * \" \* \? \~ \^ \: \\` — `QueryParserBase#escape`) are supported: an
+    * escaped char is literal term text, never syntax.
     */
   def parse(
       s: String,
@@ -382,8 +385,9 @@ object Query {
         var ok = true
         while (j < s.length && ok) {
           val cj = s.charAt(j)
-          if (cj == '"') { // quoted phrase segment: scan through closing quote
-            val close = s.indexOf('"', j + 1)
+          if (cj == '\\' && j + 1 < s.length) j += 2 // escape: both chars stay in the token
+          else if (cj == '"') { // quoted phrase segment: scan through closing quote
+            val close = indexOfUnescaped(s, '"', j + 1)
             require(close >= 0, s"unclosed quote in: $s")
             j = close + 1
           } else if (cj == '[' || cj == '{') { // range atom: scan to the close
@@ -432,6 +436,7 @@ object Query {
       val occ: Occur = if (implicitOr) Occur.Should else Occur.Must
       val clauses = parts.toSeq.map {
         case (q, Occur.MustNot) => q -> (Occur.MustNot: Occur)
+        case (q, Occur.Must)    => q -> (Occur.Must: Occur) // `+term` stays required
         case (q, _)             => q -> occ
       }
       (BoolQuery(clauses), rest)
@@ -444,6 +449,13 @@ object Query {
       case h :: t if h.equalsIgnoreCase("NOT") || h == "-" =>
         val (q, rest) = parseAtom(t, an, rw)
         ((q, Occur.MustNot), rest)
+      // attached prefix operators (QueryParser.jj Modifiers): `-term`
+      // prohibits, `+term` requires regardless of the surrounding
+      // implicit-OR context
+      case h :: t if h.length > 1 && h.startsWith("-") =>
+        ((atomQuery(h.substring(1), an, rw), Occur.MustNot), t)
+      case h :: t if h.length > 1 && h.startsWith("+") =>
+        ((atomQuery(h.substring(1), an, rw), Occur.Must), t)
       case _ =>
         val (q, rest) = parseAtom(ts, an, rw)
         ((q, Occur.Should), rest)
@@ -464,16 +476,43 @@ object Query {
   private val fuzzyRe = """(.*?)~(\d?)""".r
   private val rangeRe = """([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])""".r
 
+  /** Index of the first occurrence of `c` in `s` not preceded by `\`. */
+  private def indexOfUnescaped(s: String, c: Char, from: Int = 0): Int = {
+    var i = from
+    while (i < s.length) {
+      if (s.charAt(i) == '\\') i += 2
+      else if (s.charAt(i) == c) return i
+      else i += 1
+    }
+    -1
+  }
+
+  /** Strip escape backslashes: `\x` → `x` (QueryParserBase#discardEscapeChar). */
+  private def unescape(s: String): String =
+    if (s.indexOf('\\') < 0) s
+    else {
+      val b = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '\\' && i + 1 < s.length) { b += s.charAt(i + 1); i += 2 }
+        else { b += s.charAt(i); i += 1 }
+      }
+      b.toString
+    }
+
   /** One atom: boost strips first, then field scope, then the atom kind
-    * (phrase / range / wildcard / fuzzy / plain term).
+    * (phrase / range / wildcard / fuzzy / plain term). Syntax chars are
+    * only syntax when unescaped; escapes are discarded from term text
+    * before analysis.
     */
   private def atomQuery(h: String, an: String => String, rw: MultiTerm => Query): Query = {
+    val caret = indexOfUnescaped(h, '^')
     val (bare, boost) = h match {
-      case boostRe(b, f) if b.nonEmpty => (b, Some(f.toDouble))
-      case _                           => (h, None)
+      case boostRe(b, f) if b.nonEmpty && caret == b.length => (b, Some(f.toDouble))
+      case _                                                => (h, None)
     }
     // field scope: `f:term` or `f:"a b"` — applies to terms after analysis
-    val colon = bare.indexOf(':')
+    val colon = indexOfUnescaped(bare, ':')
     val (field, body) =
       if (colon > 0 && colon < bare.length - 1 &&
           bare.substring(0, colon).matches("[A-Za-z_][A-Za-z0-9_]*"))
@@ -482,9 +521,13 @@ object Query {
     def keyed(t: String): String =
       field.map(graft.index.FieldKey.encode(_, t)).getOrElse(t)
 
+    val tilde = indexOfUnescaped(body, '~')
+    val hasWild =
+      indexOfUnescaped(body, '*') >= 0 || indexOfUnescaped(body, '?') >= 0
+
     val q: Query =
       if (body.startsWith("\"")) { // "a b" or "a b"~N
-        val close = body.indexOf('"', 1)
+        val close = indexOfUnescaped(body, '"', 1)
         require(close > 0, s"unclosed phrase: $h")
         val slop = body.substring(close + 1) match {
           case ""                           => 0
@@ -493,24 +536,25 @@ object Query {
             throw new IllegalArgumentException(s"bad phrase suffix '$other' in $h")
         }
         val words = body.substring(1, close).split("\\s+").toSeq
-          .filter(_.nonEmpty).map(an).filter(_.nonEmpty).map(keyed)
+          .filter(_.nonEmpty).map(w => an(unescape(w))).filter(_.nonEmpty).map(keyed)
         require(words.nonEmpty, s"empty phrase: $h")
         if (words.size == 1) TermQuery(words.head) else PhraseQuery(words, slop)
       } else body match {
         case rangeRe(lb, lo, hi, rb) =>
           require(field.isEmpty, s"field-scoped range not supported: $h")
-          rw(MultiTerm.Range(an(lo), an(hi), lb == "[", rb == "]"))
-        case b if b.contains("*") || b.contains("?") =>
+          rw(MultiTerm.Range(an(unescape(lo)), an(unescape(hi)), lb == "[", rb == "]"))
+        case b if hasWild =>
           require(field.isEmpty, s"field-scoped wildcard not supported: $h")
           // analysis would mangle the pattern metachars — pass it raw, like
           // the reference's WildcardQuery (not analyzed)
-          if (b.endsWith("*") && b.indexOf('*') == b.length - 1 && !b.contains("?"))
-            rw(MultiTerm.Prefix(b.dropRight(1)))
+          if (b.endsWith("*") && indexOfUnescaped(b, '*') == b.length - 1 &&
+              indexOfUnescaped(b, '?') < 0)
+            rw(MultiTerm.Prefix(unescape(b.dropRight(1))))
           else rw(MultiTerm.Wildcard(b))
-        case fuzzyRe(term, edits) if term.nonEmpty =>
+        case fuzzyRe(term, edits) if term.nonEmpty && tilde >= 0 =>
           require(field.isEmpty, s"field-scoped fuzzy not supported: $h")
-          rw(MultiTerm.Fuzzy(an(term), if (edits.isEmpty) 2 else edits.toInt))
-        case b => TermQuery(keyed(an(b)))
+          rw(MultiTerm.Fuzzy(an(unescape(term)), if (edits.isEmpty) 2 else edits.toInt))
+        case b => TermQuery(keyed(an(unescape(b))))
       }
     boost.map(BoostQuery(q, _)).getOrElse(q)
   }

@@ -200,6 +200,45 @@ class PhraseQuerySpec extends SparkTestBase {
     intercept[IllegalArgumentException](Query.parse("\"a b"))
   }
 
+  test("parser: +required / -prohibited prefix operators") {
+    // +a b -c in implicit-OR context: a required, b optional, c prohibited
+    assert(Query.parse("+a b -c") == BoolQuery(Seq(
+      TermQuery("a") -> (Occur.Must: Occur),
+      TermQuery("b") -> (Occur.Should: Occur),
+      TermQuery("c") -> (Occur.MustNot: Occur))))
+    // +term survives an explicit AND context unchanged
+    assert(Query.parse("+a AND b") == BoolQuery(Seq(
+      TermQuery("a") -> (Occur.Must: Occur),
+      TermQuery("b") -> (Occur.Must: Occur))))
+    // prefix operators compose with phrases and boosts
+    assert(Query.parse("+\"a b\" -c^2") == BoolQuery(Seq(
+      PhraseQuery(Seq("a", "b")) -> (Occur.Must: Occur),
+      BoostQuery(TermQuery("c"), 2.0) -> (Occur.MustNot: Occur))))
+    // a bare negative number term is a prohibited clause (Lucene semantics)
+    assert(Query.parse("a -5") == BoolQuery(Seq(
+      TermQuery("a") -> (Occur.Should: Occur),
+      TermQuery("5") -> (Occur.MustNot: Occur))))
+  }
+
+  test("parser: backslash escapes make syntax chars literal") {
+    // escaped operators at token start are term text
+    assert(Query.parse("\\+a \\-b") == BoolQuery(Seq(
+      TermQuery("+a") -> (Occur.Should: Occur),
+      TermQuery("-b") -> (Occur.Should: Occur))))
+    // escaped metachars don't trigger multi-term routing (no dictionary needed)
+    assert(Query.parse("a\\*b") == TermQuery("a*b"))
+    assert(Query.parse("a\\?b") == TermQuery("a?b"))
+    assert(Query.parse("a\\~2") == TermQuery("a~2"))
+    assert(Query.parse("a\\^2") == TermQuery("a^2"))
+    // escaped colon is not a field separator; escaped backslash is literal
+    assert(Query.parse("f\\:x") == TermQuery("f:x"))
+    assert(Query.parse("a\\\\b") == TermQuery("a\\b"))
+    // unescaped syntax still works next to escapes
+    assert(Query.parse("a\\*b^2") == BoostQuery(TermQuery("a*b"), 2.0))
+    // escaped quote inside a phrase stays in the word
+    assert(Query.parse("\"a\\\" b\"") == PhraseQuery(Seq("a\"", "b")))
+  }
+
   test("parser: multi-term atoms route through the rewriter") {
     var seen = List.empty[MultiTerm]
     val rw: MultiTerm => Query = { mt => seen ::= mt; TermQuery("sentinel") }
