@@ -66,6 +66,10 @@ object SparkEntry {
     classicSearchers.remove(sfDir)
     stemSearchers.remove(sfDir)
     featureSearchers.remove(sfDir)
+    lmSearchers.remove(sfDir)
+    jmSearchers.remove(sfDir)
+    dfrSearchers.remove(sfDir)
+    ibSearchers.remove(sfDir)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit
@@ -172,6 +176,31 @@ object SparkEntry {
       val base = searcherFor(spark, sfDir)
       new IndexSearcher(spark, base.segments, precision = Precision.DoubleOracle,
         k1 = K1, b = B, similarity = graft.search.Similarity.LmJelinekMercer(0.1))
+    })
+
+  private val dfrSearchers = TrieMap[String, IndexSearcher]()
+
+  /** Same segments, scored with DFR InL2 (ref `similarities/DFRSimilarity
+    * .java` — I(n) basic model, L after-effect, H2 normalization, c = 1).
+    */
+  private def dfrSearcherFor(spark: SparkSession, sfDir: String): IndexSearcher =
+    dfrSearchers.getOrElseUpdate(sfDir, {
+      val base = searcherFor(spark, sfDir)
+      new IndexSearcher(spark, base.segments, precision = Precision.DoubleOracle,
+        k1 = K1, b = B, similarity = graft.search.Similarity.Dfr())
+    })
+
+  private val ibSearchers = TrieMap[String, IndexSearcher]()
+
+  /** Same segments, scored with the information-based model (ref
+    * `similarities/IBSimilarity.java` — log-logistic distribution,
+    * document-frequency λ, H1 normalization).
+    */
+  private def ibSearcherFor(spark: SparkSession, sfDir: String): IndexSearcher =
+    ibSearchers.getOrElseUpdate(sfDir, {
+      val base = searcherFor(spark, sfDir)
+      new IndexSearcher(spark, base.segments, precision = Precision.DoubleOracle,
+        k1 = K1, b = B, similarity = graft.search.Similarity.Ib())
     })
 
   private val featureSearchers = TrieMap[String, IndexSearcher]()
@@ -339,6 +368,26 @@ object SparkEntry {
       // Jelinek-Mercer language model (ref LMJelinekMercerSimilarity):
       // per-term score = ln(1 + ((1-lambda)*tf/dl)/(lambda*p)), lambda 0.1
       val se = jmSearcherFor(s, d)
+      import s.implicits._
+      se.fetchDocs(topKVerified(se, Query.or("data", "query"), 10))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc).limit(10)
+    }),
+    "ft_dfr_topk" -> ((s, d) => {
+      // divergence from randomness, the classic InL2 combination (ref
+      // DFRSimilarity): per-term score = log2((N+1)/(n+0.5)) *
+      // (1 - 1/(1 + tfn)), tfn = tf * log2(1 + avgdl/dl)
+      val se = dfrSearcherFor(s, d)
+      import s.implicits._
+      se.fetchDocs(topKVerified(se, Query.or("data", "query"), 10))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc).limit(10)
+    }),
+    "ft_ib_topk" -> ((s, d) => {
+      // information-based model, LL-D-H1 (ref IBSimilarity): per-term
+      // score = -ln(lambda/(tfn+lambda)), lambda = (n+1)/(N+1),
+      // tfn = tf * avgdl/dl
+      val se = ibSearcherFor(s, d)
       import s.implicits._
       se.fetchDocs(topKVerified(se, Query.or("data", "query"), 10))
         .select(docIdOf($"url"), round($"score", 6).as("score"))
@@ -1290,6 +1339,70 @@ object SparkEntry {
          |    ln(1 + ((1 - 0.1) * tf.freq / qlen.qdl) /
          |       (0.1 * ((ttf.ttf + 1.0) / ((SELECT sttf FROM stats) + 1.0)))) AS s
          |  FROM tf JOIN ttf USING (term) JOIN qlen USING (doc_id)
+         |), scored AS (
+         |  SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM scored
+         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+    "ft_dfr_topk" -> {
+      val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+         |), dlen AS (
+         |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+         |), qlen AS (
+         |  SELECT doc_id,
+         |    (SELECT max(v) FROM (VALUES $vals) b4(v) WHERE v <= dl) AS qdl
+         |  FROM dlen
+         |), stats AS (
+         |  SELECT count(*)::DOUBLE AS n_docs,
+         |         (SELECT sum(dl)::DOUBLE FROM dlen) / count(*)::DOUBLE AS avgdl
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, count(*)::DOUBLE AS freq FROM tok
+         |  WHERE term IN ('data', 'query') GROUP BY doc_id, term
+         |), df AS (
+         |  SELECT term, count(DISTINCT doc_id)::DOUBLE AS n FROM tok
+         |  WHERE term IN ('data', 'query') GROUP BY term
+         |), sc AS (
+         |  SELECT tf.doc_id,
+         |    (ln(((SELECT n_docs FROM stats) + 1) / (df.n + 0.5)) / ln(2)) *
+         |    (1 - 1 / (1 + tf.freq *
+         |      (ln(1 + (SELECT avgdl FROM stats) / qlen.qdl) / ln(2)))) AS s
+         |  FROM tf JOIN df USING (term) JOIN qlen USING (doc_id)
+         |), scored AS (
+         |  SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM scored
+         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+    "ft_ib_topk" -> {
+      val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+         |), dlen AS (
+         |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+         |), qlen AS (
+         |  SELECT doc_id,
+         |    (SELECT max(v) FROM (VALUES $vals) b4(v) WHERE v <= dl) AS qdl
+         |  FROM dlen
+         |), stats AS (
+         |  SELECT count(*)::DOUBLE AS n_docs,
+         |         (SELECT sum(dl)::DOUBLE FROM dlen) / count(*)::DOUBLE AS avgdl
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, count(*)::DOUBLE AS freq FROM tok
+         |  WHERE term IN ('data', 'query') GROUP BY doc_id, term
+         |), df AS (
+         |  SELECT term, count(DISTINCT doc_id)::DOUBLE AS n FROM tok
+         |  WHERE term IN ('data', 'query') GROUP BY term
+         |), sc AS (
+         |  SELECT tf.doc_id,
+         |    -ln(((df.n + 1.0) / ((SELECT n_docs FROM stats) + 1.0)) /
+         |        (tf.freq * (SELECT avgdl FROM stats) / qlen.qdl +
+         |         (df.n + 1.0) / ((SELECT n_docs FROM stats) + 1.0))) AS s
+         |  FROM tf JOIN df USING (term) JOIN qlen USING (doc_id)
          |), scored AS (
          |  SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id
          |)

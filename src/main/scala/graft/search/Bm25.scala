@@ -136,6 +136,82 @@ final class LmJelinekMercerScorer(
   def weightD: Double = boost
 }
 
+/** Divergence-from-randomness scorer (ref
+  * `search/similarities/DFRSimilarity.java:127-131` composition): score =
+  * boost · A · ae · (1 − 1/(1 + tfn)), the rewritten monotone form where
+  *
+  *  - A = the basic model's information content — I(n): log2((N+1)/(n+0.5))
+  *    (`BasicModelIn.java:34-45`); I(F): log2(1 + (N+1)/(F+0.5))
+  *    (`BasicModelIF.java:34-45`) — precomputed into `a`;
+  *  - ae = the after-effect times (1+tfn) — B: (F+1)/n
+  *    (`AfterEffectB.java:32-36`); L: 1 (`AfterEffectL.java`) — precomputed
+  *    into `ae`;
+  *  - tfn = normalized term frequency — H1: freq·c·avgdl/dl
+  *    (`NormalizationH1.java:56-58`); H2: freq·log2(1 + c·avgdl/dl)
+  *    (`NormalizationH2.java:57-59`).
+  *
+  * Monotone in freq, antitone in dl → bounded by the impacts skyline.
+  * `floatExact` narrows the final double like `SimilarityBase$BasicSimScorer
+  * #score` (:188-190).
+  */
+final class DfrScorer(
+    a: Double, ae: Double, h2: Boolean, c: Double, avgdl: Double,
+    boost: Double, floatExact: Boolean) extends SimScorer {
+  def score(freq: Int, norm: Int): Double = scoreF(freq.toDouble, norm)
+  override def scoreF(freq: Double, norm: Int): Double = {
+    val dl = SmallFloat.lengthTable(norm & 0xff).toDouble
+    val tfn =
+      if (h2) freq * (math.log(1 + c * avgdl / dl) / DfrScorer.Log2)
+      else freq * c * avgdl / dl
+    val s = boost * a * ae * (1 - 1 / (1 + tfn))
+    if (floatExact) s.toFloat.toDouble else s
+  }
+  // score → boost·a·ae as tfn → ∞: a true upper bound
+  def weightD: Double = boost * a * ae
+}
+object DfrScorer { val Log2: Double = math.log(2.0) }
+
+/** Information-based scorer (ref `search/similarities/IBSimilarity.java`
+  * score = boost · distribution(tfn, λ)):
+  *
+  *  - distribution LL: −ln(λ/(tfn+λ)) (`DistributionLL.java:34`); SPL:
+  *    −ln((λ^(tfn/(tfn+1)) − λ)/(1 − λ)) with the reference's nextUp/nextDown
+  *    rounding guards (`DistributionSPL.java:35-58`);
+  *  - λ — DF: (n+1)/(N+1) (`LambdaDF.java:36-40`); TTF: (F+1)/(N+1)
+  *    (`LambdaTTF.java:36-41`) — precomputed into `lambda` (the reference
+  *    narrows λ itself to float; reproduced in floatExact mode at
+  *    construction);
+  *  - tfn as in [[DfrScorer]] (same Normalization classes).
+  *
+  * Monotone in freq, antitone in dl (λ ∈ (0,1)) → impacts-skyline bounded.
+  */
+final class IbScorer(
+    spl: Boolean, lambda: Double, h2: Boolean, c: Double, avgdl: Double,
+    boost: Double, floatExact: Boolean) extends SimScorer {
+  def score(freq: Int, norm: Int): Double = scoreF(freq.toDouble, norm)
+  override def scoreF(freq: Double, norm: Int): Double = {
+    val dl = SmallFloat.lengthTable(norm & 0xff).toDouble
+    val tfn =
+      if (h2) freq * (math.log(1 + c * avgdl / dl) / DfrScorer.Log2)
+      else freq * c * avgdl / dl
+    val d =
+      if (!spl) -math.log(lambda / (tfn + lambda))
+      else {
+        var q = 1 - 1 / (tfn + 1)
+        if (q == 1) q = math.nextDown(1.0)
+        var pow = math.pow(lambda, q)
+        if (pow == lambda) // float rounding would give log(0) (ref :47-56)
+          pow = if (lambda < 1) math.nextUp(lambda) else math.nextDown(lambda)
+        -math.log((pow - lambda) / (1 - lambda))
+      }
+    val s = boost * d
+    if (floatExact) s.toFloat.toDouble else s
+  }
+  // like LM-JM: unbounded in freq; block-max bounds come from the impacts
+  // skyline (score() over the block's (freq, norm) frontier), not weightD
+  def weightD: Double = boost
+}
+
 /** Feature-value scorer (ref `document/FeatureField.java` LinearFunction /
   * LogFunction / SaturationFunction SimScorers): the posting frequency IS
   * the 17-bit float encoding of the feature value; the score is a monotone

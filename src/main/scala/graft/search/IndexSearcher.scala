@@ -43,6 +43,47 @@ object Similarity {
   final case class LmJelinekMercer(lambda: Double = 0.1) extends Similarity {
     require(lambda > 0 && lambda <= 1, s"illegal lambda $lambda")
   }
+
+  /** DFR basic models (ref `BasicModelIn.java` / `BasicModelIF.java`). */
+  sealed trait DfrModel extends Serializable
+  object DfrModel { case object In extends DfrModel; case object IF extends DfrModel }
+
+  /** DFR after-effects (ref `AfterEffectL.java` / `AfterEffectB.java`). */
+  sealed trait DfrAfterEffect extends Serializable
+  object DfrAfterEffect {
+    case object L extends DfrAfterEffect; case object B extends DfrAfterEffect
+  }
+
+  /** Term-frequency normalizations shared by DFR and IB (ref
+    * `NormalizationH1.java` / `NormalizationH2.java`).
+    */
+  sealed trait TfNorm extends Serializable
+  object TfNorm {
+    final case class H1(c: Double = 1.0) extends TfNorm
+    final case class H2(c: Double = 1.0) extends TfNorm
+  }
+
+  /** Divergence from randomness (ref `DFRSimilarity.java`); the default
+    * combination is the classic InL2 (I(n) model, L after-effect, H2).
+    */
+  final case class Dfr(
+      model: DfrModel = DfrModel.In,
+      afterEffect: DfrAfterEffect = DfrAfterEffect.L,
+      normalization: TfNorm = TfNorm.H2()) extends Similarity
+
+  /** IB distributions (ref `DistributionLL.java` / `DistributionSPL.java`). */
+  sealed trait IbDist extends Serializable
+  object IbDist { case object LL extends IbDist; case object SPL extends IbDist }
+
+  /** IB lambdas (ref `LambdaDF.java` / `LambdaTTF.java`). */
+  sealed trait IbLambda extends Serializable
+  object IbLambda { case object DF extends IbLambda; case object TTF extends IbLambda }
+
+  /** Information-based model (ref `IBSimilarity.java`); default LL-D-H1. */
+  final case class Ib(
+      distribution: IbDist = IbDist.LL,
+      lambda: IbLambda = IbLambda.DF,
+      normalization: TfNorm = TfNorm.H1()) extends Similarity
 }
 
 final case class ScoredDoc(docId: Long, score: Double)
@@ -485,6 +526,55 @@ final class IndexSearcher(
         val ttf = terms.map(t => ts(t).totalTermFreq).sum
         new LmJelinekMercerScorer(lambda, boost, (ttf + 1d) / (st.sumTotalTermFreq + 1d),
           precision == Precision.FloatExact)
+      case s @ (_: Similarity.Dfr | _: Similarity.Ib) =>
+        // pseudo-term stats blend: df = max per-term df (the SynonymQuery
+        // blend), ttf summed (like the LM cases above)
+        dfrIbScorer(s, terms.map(t => ts(t).docFreq).max,
+          terms.map(t => ts(t).totalTermFreq).sum, st, boost)
+    }
+  }
+
+  /** DFR / IB scorer from (pseudo-)term stats — A / after-effect / λ are
+    * pure functions of (df, ttf, N), precomputed here; the normalization
+    * runs per (freq, norm) inside the scorer.
+    */
+  private def dfrIbScorer(
+      sim: Similarity, df: Long, ttf: Long, st: CollectionStats, boost: Double
+  ): SimScorer = {
+    val floatExact = precision == Precision.FloatExact
+    val avgdl = st.sumTotalTermFreq / st.docCount.toDouble
+    def tfNorm(nz: Similarity.TfNorm): (Boolean, Double) = nz match {
+      case Similarity.TfNorm.H1(c) => (false, c)
+      case Similarity.TfNorm.H2(c) => (true, c)
+    }
+    sim match {
+      case Similarity.Dfr(model, ae, nz) =>
+        val a = model match {
+          case Similarity.DfrModel.In => // log2((N+1)/(n+0.5)), BasicModelIn:36
+            math.log((st.docCount + 1) / (df + 0.5)) / DfrScorer.Log2
+          case Similarity.DfrModel.IF => // log2(1+(N+1)/(F+0.5)), BasicModelIF:36
+            math.log(1 + (st.docCount + 1) / (ttf + 0.5)) / DfrScorer.Log2
+        }
+        val aeV = ae match {
+          case Similarity.DfrAfterEffect.B => (ttf + 1.0) / df // AfterEffectB:35
+          case Similarity.DfrAfterEffect.L => 1.0
+        }
+        val (h2, c) = tfNorm(nz)
+        new DfrScorer(a, aeV, h2, c, avgdl, boost, floatExact)
+      case Similarity.Ib(dist, lam, nz) =>
+        var l = lam match {
+          case Similarity.IbLambda.DF  => (df + 1.0) / (st.docCount + 1.0)
+          case Similarity.IbLambda.TTF => (ttf + 1.0) / (st.docCount + 1.0)
+        }
+        if (floatExact) l = l.toFloat.toDouble // the reference narrows λ itself
+        if (l == 1.0) // SPL cannot take λ=1 (LambdaDF:37-40 / LambdaTTF:38-41)
+          l = lam match {
+            case Similarity.IbLambda.DF  => math.nextDown(1.0)
+            case Similarity.IbLambda.TTF => math.nextUp(1.0)
+          }
+        val (h2, c) = tfNorm(nz)
+        new IbScorer(dist == Similarity.IbDist.SPL, l, h2, c, avgdl, boost, floatExact)
+      case other => throw new IllegalArgumentException(s"not DFR/IB: $other")
     }
   }
 
@@ -526,6 +616,8 @@ final class IndexSearcher(
         new LmJelinekMercerScorer(lambda, boost,
           (ttf + 1d) / (st.sumTotalTermFreq + 1d),
           precision == Precision.FloatExact)
+      case s: Similarity.Dfr => dfrIbScorer(s, df, ttf, st, boost)
+      case s: Similarity.Ib  => dfrIbScorer(s, df, ttf, st, boost)
     }
 
   // ------------------------------------------------------------ blocks
@@ -1311,6 +1403,9 @@ final class IndexSearcher(
           val ttf = terms.map(t => ts(t).totalTermFreq).sum
           new LmJelinekMercerScorer(lambda, 1.0, (ttf + 1d) / (stats.sumTotalTermFreq + 1d),
             precision == Precision.FloatExact)
+        case s @ (_: Similarity.Dfr | _: Similarity.Ib) =>
+          dfrIbScorer(s, terms.map(t => ts(t).docFreq).max,
+            terms.map(t => ts(t).totalTermFreq).sum, stats, 1.0)
       }
     phraseFreqs(terms, textByDocId).toDF("docId", "freq")
       .join(docsTable.select($"docId", $"norm"), "docId")

@@ -37,6 +37,38 @@ final class BruteForceOracle(
       new LmDirichletScorer(mu, boost, (ttf + 1d) / (sumTtf + 1d), floatExact = true)
     case Similarity.LmJelinekMercer(lambda) =>
       new LmJelinekMercerScorer(lambda, boost, (ttf + 1d) / (sumTtf + 1d), floatExact = true)
+    case Similarity.Dfr(model, ae, nz) =>
+      val a = model match {
+        case Similarity.DfrModel.In =>
+          math.log((docCount + 1) / (df + 0.5)) / DfrScorer.Log2
+        case Similarity.DfrModel.IF =>
+          math.log(1 + (docCount + 1) / (ttf + 0.5)) / DfrScorer.Log2
+      }
+      val aeV = ae match {
+        case Similarity.DfrAfterEffect.B => (ttf + 1.0) / df
+        case Similarity.DfrAfterEffect.L => 1.0
+      }
+      val (h2, c) = nz match {
+        case Similarity.TfNorm.H1(c) => (false, c)
+        case Similarity.TfNorm.H2(c) => (true, c)
+      }
+      new DfrScorer(a, aeV, h2, c, sumTtf / docCount.toDouble, boost, floatExact = true)
+    case Similarity.Ib(dist, lam, nz) =>
+      var l = (lam match {
+        case Similarity.IbLambda.DF  => (df + 1.0) / (docCount + 1.0)
+        case Similarity.IbLambda.TTF => (ttf + 1.0) / (docCount + 1.0)
+      }).toFloat.toDouble
+      if (l == 1.0)
+        l = lam match {
+          case Similarity.IbLambda.DF  => math.nextDown(1.0)
+          case Similarity.IbLambda.TTF => math.nextUp(1.0)
+        }
+      val (h2, c) = nz match {
+        case Similarity.TfNorm.H1(c) => (false, c)
+        case Similarity.TfNorm.H2(c) => (true, c)
+      }
+      new IbScorer(dist == Similarity.IbDist.SPL, l, h2, c,
+        sumTtf / docCount.toDouble, boost, floatExact = true)
   }
 
   private val scorerCache = scala.collection.mutable.HashMap[(String, Double), SimScorer]()

@@ -235,6 +235,37 @@ class IndexSearchSpec extends SparkTestBase {
     }
   }
 
+  test("DFR and IB similarity duels: engine == oracle, pruned == exhaustive") {
+    // every component combination: {In, IF} x {L, B} x {H1, H2} for DFR,
+    // {LL, SPL} x {DF, TTF} x {H1, H2} for IB
+    val sims: Seq[Similarity] = (for {
+      m <- Seq(Similarity.DfrModel.In, Similarity.DfrModel.IF)
+      a <- Seq(Similarity.DfrAfterEffect.L, Similarity.DfrAfterEffect.B)
+      n <- Seq(Similarity.TfNorm.H1(1.0), Similarity.TfNorm.H2(1.0))
+    } yield Similarity.Dfr(m, a, n)) ++ (for {
+      d <- Seq(Similarity.IbDist.LL, Similarity.IbDist.SPL)
+      l <- Seq(Similarity.IbLambda.DF, Similarity.IbLambda.TTF)
+      n <- Seq(Similarity.TfNorm.H1(1.0), Similarity.TfNorm.H2(1.0))
+    } yield Similarity.Ib(d, l, n))
+    for (sim <- sims) {
+      val se = new IndexSearcher(spark, Seq(Manifest.read(segDir).get),
+        similarity = sim)
+      val simOracle = new BruteForceOracle(pagesLocal, StandardAnalyzer.Default,
+        similarity = sim)
+      for (qs <- Seq("court", "court AND law", "court^2 OR law")) {
+        val q = Query.parse(qs)
+        val expected = simOracle.topK(q, 10)
+        val pruned = se.topK(q, 10, pruning = true).collect()
+          .map(s => (s.docId, s.score)).toSeq
+        val exhaustive = se.topK(q, 10, pruning = false).collect()
+          .map(s => (s.docId, s.score)).toSeq
+        assert(pruned == exhaustive, s"$sim pruning changed results for: $qs")
+        assert(pruned == expected, s"$sim engine != oracle for: $qs")
+        assert(pruned.nonEmpty, s"vacuous duel for $sim / $qs")
+      }
+    }
+  }
+
   test("boolean similarity: every match scores its boost") {
     val bool = new IndexSearcher(spark, Seq(Manifest.read(segDir).get),
       similarity = Similarity.Bool)
