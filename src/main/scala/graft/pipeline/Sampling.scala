@@ -66,48 +66,75 @@ object Sampling {
     *
     * Semantics are a GLOBAL ordered cumulative sum, but a global window
     * would single-partition the corpus at 100 TB. Instead: hash-range
-    * buckets aggregate their token totals (one partial-agg pass,
-    * metadata-sized result), the driver prefix-sums them to locate the
-    * boundary bucket, full buckets below it pass through with a plain
-    * filter, and only the ONE boundary bucket (1/`buckets` of the data)
-    * runs an ordered window — identical output to the global window at any
-    * scale.
+    * buckets (successive `bucketBits`-wide slices of the 32-bit hash, so
+    * bucket order == global hash order) aggregate their token totals — a
+    * metadata-sized result the driver prefix-sums to locate the boundary
+    * bucket. Full buckets below the boundary pass through with a plain
+    * filter; the ONE boundary bucket RECURSES on the next hash slice until
+    * it holds ≤ `windowRowsMax` rows, and only that bounded remainder runs
+    * an ordered window. The single-task step is therefore O(windowRowsMax),
+    * a constant — never corpus/2^bucketBits — at ≤ ⌈32/bucketBits⌉
+    * metadata-sized aggregate jobs. Output identical to the global window
+    * at any scale (spec-checked through multiple recursion levels).
     *
-    * @param tokensCol per-doc token count column
+    * @param tokensCol     per-doc token count column
+    * @param windowRowsMax recursion cutoff: the boundary remainder may hold
+    *                      at most this many rows before the final window
     */
   def takeTokenBudget(
       df: DataFrame, idCol: String, tokensCol: String, budget: Long,
-      bucketBits: Int = 8
+      bucketBits: Int = 8, windowRowsMax: Long = 1L << 16
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val buckets = 1 << bucketBits
-    // RANGE buckets (top bits of the 32-bit hash): bucket order == global
-    // hash order, the property the prefix-sum boundary needs
+    require(bucketBits >= 1 && bucketBits <= 16, s"bad bucketBits $bucketBits")
     val withHash = df.withColumn("__h", hash32(col(idCol)))
-      .withColumn("__b", shiftright(col("__h"), 32 - bucketBits))
-    // bucket totals: tiny aggregate (≤ `buckets` rows on the driver)
-    val totals = withHash.groupBy(col("__b"))
-      .agg(sum(col(tokensCol)).as("t"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    var cum = 0L
-    var boundary = -1L
-    var offset = 0L
-    var bi = 0L
-    while (bi < buckets && boundary < 0) {
-      val t = totals.getOrElse(bi, 0L)
-      if (cum + t > budget) { boundary = bi; offset = cum }
-      else cum += t
-      bi += 1
+
+    /** Kept subset of `cand` (one hash-prefix range, higher bits all equal),
+      * `offset` = tokens consumed globally before this range, `shift` = low
+      * hash bits not yet fixed by the prefix.
+      */
+    def recurse(cand: DataFrame, offset: Long, shift: Int): DataFrame = {
+      val useBits = math.min(bucketBits, shift)
+      val sh = shift - useBits
+      val b = shiftright(col("__h"), sh).bitwiseAND(lit((1L << useBits) - 1))
+      // bucket totals + row counts: tiny aggregate (≤ 2^bucketBits rows)
+      val totals = cand.groupBy(b.as("__b"))
+        .agg(sum(col(tokensCol)).as("t"), count(lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      var cum = offset
+      var boundary = -1L
+      var bOffset = 0L
+      var bRows = 0L
+      var i = 0
+      while (i < totals.length && boundary < 0) {
+        val (bi, t, c) = totals(i)
+        if (cum + t > budget) { boundary = bi; bOffset = cum; bRows = c }
+        else cum += t
+        i += 1
+      }
+      if (boundary < 0) cand // the whole range fits
+      else {
+        val below = cand.where(b < boundary)
+        val bnd = cand.where(b === boundary)
+        val inner =
+          if (sh > 0 && bRows > windowRowsMax) recurse(bnd, bOffset, sh)
+          else {
+            // bounded remainder: ≤ windowRowsMax rows (or the hash is fully
+            // consumed — ties broken by id). partitionBy a constant-valued
+            // non-foldable key (h % 1 ≡ 0; a literal would be optimized
+            // away) so the deliberate single-group window doesn't trip
+            // Spark's unpartitioned-window warning: the group IS bounded.
+            val w = Window.partitionBy(pmod(col("__h"), lit(1L)))
+              .orderBy(col("__h"), col(idCol))
+            bnd.withColumn("__cum", sum(col(tokensCol)).over(w) + bOffset)
+              .where(col("__cum") <= budget)
+              .drop("__cum")
+          }
+        below.unionByName(inner)
+      }
     }
-    if (boundary < 0) df // everything fits
-    else {
-      val below = withHash.where(col("__b") < boundary)
-      val w = Window.orderBy(col("__h"), col(idCol))
-      val atBoundary = withHash.where(col("__b") === boundary)
-        .withColumn("__cum", sum(col(tokensCol)).over(w) + offset)
-        .where(col("__cum") <= budget)
-        .drop("__cum")
-      below.unionByName(atBoundary).drop("__h", "__b")
-    }
+
+    recurse(withHash, 0L, 32).drop("__h")
   }
 }

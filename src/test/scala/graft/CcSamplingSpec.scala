@@ -128,6 +128,15 @@ class CcSamplingSpec extends SparkTestBase {
     val got2 = Sampling.takeTokenBudget(df, "id", "ntok", total / 2, bucketBits = 1)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(got2 == brute(total / 2))
+    // recursion: windowRowsMax=4 forces the boundary bucket through
+    // multiple bucket-prefix-sum levels (800 rows / 4-way buckets ≈ 4
+    // levels) before the final bounded window — identical output
+    for (budget <- Seq(137L, total / 3, total / 2, total - 1)) {
+      val deep = Sampling.takeTokenBudget(df, "id", "ntok", budget,
+        bucketBits = 2, windowRowsMax = 4)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(deep == brute(budget), s"recursive budget $budget drifted")
+    }
   }
 
   test("sampleByStratum keeps a stable deterministic subset") {
