@@ -61,6 +61,14 @@ object Plans {
           "Operations.getCommonPrefix shape).",
         fmt(spark.read.parquet(s"$segDir/terms")
           .where(se.regexPredicate("^(stream|strong)$")))),
+      ("Leading-wildcard expansion (reversed-term dictionary)",
+        "A prefix-free pattern (`*am`) becomes a PREFIX range on the " +
+          "rterm-sorted reversed dictionary (GreaterThanOrEqual/LessThan " +
+          "on rterm in PushedFilters) — the reference's AutomatonTermsEnum " +
+          "subtree pruning, re-expressed as a second vocabulary-sized " +
+          "sorted table; the wildcard regex verifies only inside the slice.",
+        fmt(spark.read.parquet(s"$segDir/rterms")
+          .where($"rterm" >= "ma" && $"rterm" < "mb" && $"term".rlike("^.*am$")))),
       ("Fuzzy/spell length-banded dictionary scan",
         "The persisted `len` column turns the fuzzy length band " +
           "|len(term) - len(q)| <= maxEdits into PushedFilters " +

@@ -28,7 +28,7 @@ object SparkEntry {
 
   private def indexDirFor(sfDir: String): java.nio.file.Path =
     java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-idx-v5", // vN = segment format/config rev (v5: multi-field positions)
+      sys.props("java.io.tmpdir"), "graft-idx-v6", // vN = segment format/config rev (v6: reversed-term dictionary)
       java.lang.Integer.toHexString(sfDir.hashCode))
 
   private val fieldSearchers = TrieMap[String, IndexSearcher]()
@@ -521,6 +521,18 @@ object SparkEntry {
       val se = searcherFor(s, d)
       import s.implicits._
       val terms = se.expandWildcard("s?ar*", max = 4096)
+      if (terms.isEmpty) Seq.empty[Long].toDF("doc_id")
+      else ftMatch(s, d, BoolQuery(terms.map(t => TermQuery(t) -> (Occur.Should: Occur))))
+    }),
+    "ft_wildcard_lead" -> ((s, d) => {
+      // leading wildcard (*am) through the reversed-term dictionary: the
+      // reversed suffix 'ma' is a prefix RANGE on the rterm-sorted table
+      // (PushedFilter), never a full dictionary walk (ref
+      // index/AutomatonTermsEnum.java subtree pruning)
+      val se = searcherFor(s, d)
+      import s.implicits._
+      require(se.hasReversedTerms, "segment lacks the rterms table")
+      val terms = se.expandWildcard("*am", max = 4096)
       if (terms.isEmpty) Seq.empty[Long].toDF("doc_id")
       else ftMatch(s, d, BoolQuery(terms.map(t => TermQuery(t) -> (Occur.Should: Occur))))
     }),
@@ -1547,6 +1559,10 @@ object SparkEntry {
     "ft_wildcard_match" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
         |SELECT DISTINCT doc_id FROM tok WHERE term LIKE 's_ar%'
+        |ORDER BY doc_id""".stripMargin,
+    "ft_wildcard_lead" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT DISTINCT doc_id FROM tok WHERE term LIKE '%am'
         |ORDER BY doc_id""".stripMargin,
     "ft_phrase_match" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,

@@ -93,6 +93,10 @@ object FeatureIndexer {
     // original range layout
     blocks.write.mode(SaveMode.Append).parquet(s"$segDir/postings")
     stats.write.mode(SaveMode.Append).parquet(s"$segDir/terms")
+    // keep the reversed dictionary in sync with the appended terms
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$segDir/rterms")))
+      stats.select(reverse($"term").as("rterm"), $"term")
+        .write.mode(SaveMode.Append).parquet(s"$segDir/rterms")
     val nTerms = stats.count()
     val nBlocks = blocks.count()
     blocks.unpersist()

@@ -546,6 +546,25 @@ object IndexBuilder {
       .withColumn("len", length($"term"))
   }
 
+  /** Reversed-term dictionary: (rterm = reverse(term), term), range-sorted
+    * by `rterm` — the Spark-native stand-in for the reference's automaton
+    * subtree pruning on leading wildcards
+    * (`/root/reference/lucene/core/src/java/org/apache/lucene/index/AutomatonTermsEnum.java`,
+    * cf. the `ReversedWildcardFilter` pattern in Solr): `*ing` / `?ild`
+    * become PREFIX ranges on `rterm`, so the scan is bounded by Parquet
+    * min/max pruning instead of walking the whole dictionary. Vocabulary-
+    * sized (one row per distinct term) — negligible against postings.
+    */
+  def writeReversedTerms(spark: SparkSession, dir: String, parts: Int): Unit = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/terms")
+      .select(reverse($"term").as("rterm"), $"term")
+      .distinct()
+      .repartitionByRange(math.max(1, parts), $"rterm")
+      .sortWithinPartitions($"rterm")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/rterms")
+  }
+
   /** End-to-end: build and atomically commit one segment at `dir`. Resumable:
     * if the segment manifest already exists the build is skipped (the
     * re-expression of the reference's two-phase `segments_N` commit,
@@ -606,6 +625,7 @@ object IndexBuilder {
             .repartitionByRange(math.max(1, cfg.numPostingPartitions / 4), $"term")
             .sortWithinPartitions($"term")
             .write.mode(SaveMode.Overwrite).parquet(s"$dir/terms")
+          writeReversedTerms(spark, dir, cfg.numPostingPartitions / 4)
 
           // ONE pass over the cached docTokens yields the per-partition
           // lineage + metrics (north rule: resumable builds with lineage)

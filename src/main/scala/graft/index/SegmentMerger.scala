@@ -107,6 +107,7 @@ object SegmentMerger {
           .repartitionByRange(math.max(1, cfg.numPostingPartitions / 4), $"term")
           .sortWithinPartitions($"term")
           .write.mode(SaveMode.Overwrite).parquet(s"$outDir/terms")
+        IndexBuilder.writeReversedTerms(spark, outDir, cfg.numPostingPartitions / 4)
 
         // stats recomputed from what was actually written — exact again
         // after a purge (the reference's post-merge behavior)

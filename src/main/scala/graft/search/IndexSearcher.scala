@@ -318,11 +318,46 @@ final class IndexSearcher(
   def expandRegex(re: String, max: Int = 1024): Seq[String] =
     expandTerms(regexPredicate(re), max)
 
+  /** True when every segment carries the build-time reversed-term
+    * dictionary (`rterms`); legacy segments without it fall back to the
+    * full-dictionary scan.
+    */
+  lazy val hasReversedTerms: Boolean = segments.forall(s =>
+    java.nio.file.Files.exists(java.nio.file.Paths.get(s"${s.dir}/rterms")))
+
+  /** Leading-wildcard expansion through the reversed dictionary — the
+    * Spark-native analogue of the reference's automaton subtree pruning
+    * (`index/AutomatonTermsEnum.java` walks only viable dictionary
+    * subtrees): the pattern's literal SUFFIX, reversed, is a prefix range
+    * on the rterm-sorted table (Parquet min/max PushedFilter), and the full
+    * pattern verifies only within that bounded slice.
+    */
+  def expandReversed(
+      litSuffix: String, verify: org.apache.spark.sql.Column, max: Int = 1024
+  ): Seq[String] = {
+    val rp = litSuffix.reverse
+    val rangePred = prefixUpper(rp) match {
+      case Some(hi) => $"rterm" >= rp && $"rterm" < hi
+      case None     => $"rterm".startsWith(rp)
+    }
+    segments
+      .map(s => spark.read.parquet(s"${s.dir}/rterms"))
+      .reduce(_ unionByName _)
+      .where(rangePred && verify)
+      .select($"term").distinct()
+      .orderBy($"term").limit(max)
+      .as[String].collect().toSeq
+  }
+
   /** Wildcard pattern (`*` = any run, `?` = one char), compiled to an
     * anchored regex over the dictionary (ref `search/WildcardQuery.java:38`
     * `toAutomaton`); the literal prefix before the first wildcard bounds
     * the scan. Every non-alphanumeric literal is backslash-escaped
-    * (including backslash itself).
+    * (including backslash itself). Prefix-free patterns with a literal
+    * SUFFIX (`*ing`, `?ild`) route through [[expandReversed]]; only
+    * patterns with neither a literal prefix nor suffix (`*a*`) pay the
+    * full dictionary scan — mirroring the reference, whose automaton walk
+    * also degrades to a full-subtree visit there.
     */
   def expandWildcard(pattern: String, max: Int = 1024): Seq[String] = {
     val re = "^" + pattern.flatMap {
@@ -332,14 +367,17 @@ final class IndexSearcher(
       case c => "\\" + c
     } + "$"
     val litPrefix = pattern.takeWhile(c => c != '*' && c != '?')
+    val litSuffix = pattern.reverse.takeWhile(c => c != '*' && c != '?').reverse
     val base = $"term".rlike(re)
-    val pred =
-      if (litPrefix.isEmpty) base
-      else prefixUpper(litPrefix) match {
+    if (litPrefix.nonEmpty) {
+      val pred = prefixUpper(litPrefix) match {
         case Some(hi) => $"term" >= litPrefix && $"term" < hi && base
         case None     => $"term".startsWith(litPrefix) && base
       }
-    expandTerms(pred, max)
+      expandTerms(pred, max)
+    } else if (litSuffix.nonEmpty && hasReversedTerms)
+      expandReversed(litSuffix, base, max)
+    else expandTerms(base, max)
   }
 
   /** Scorers for every key a query needs: per-term BM25 scorers plus blended

@@ -405,6 +405,30 @@ class IndexSearchSpec extends SparkTestBase {
     assert(grouped == bruteGrouped, s"bounded $grouped != brute $bruteGrouped")
   }
 
+  test("leading wildcard routes through the reversed dictionary") {
+    assert(searcher.hasReversedTerms, "build did not write rterms")
+    // expansion identical to the brute full-dictionary scan
+    for (pat <- Seq("*aw", "?ourt", "*urt", "*t")) {
+      val re = "^" + pat.flatMap {
+        case '*' => ".*"; case '?' => "."; case c => c.toString
+      } + "$"
+      val viaReversed = searcher.expandWildcard(pat)
+      val brute = searcher.expandTerms(
+        org.apache.spark.sql.functions.col("term").rlike(re))
+      assert(viaReversed == brute, s"$pat: reversed $viaReversed != brute $brute")
+      assert(viaReversed.nonEmpty, s"vacuous leading-wildcard check for $pat")
+    }
+    // the reversed-prefix range reaches the rterms Parquet scan
+    val plan = spark.read.parquet(s"$segDir/rterms")
+      .where(org.apache.spark.sql.functions.col("rterm") >= "wa" &&
+        org.apache.spark.sql.functions.col("rterm") < "wb")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("GreaterThanOrEqual(rterm,wa") &&
+      plan.contains("LessThan(rterm,wb"),
+      s"reversed-prefix pushdown regressed:\n$plan")
+  }
+
   test("explain: boosted SynonymQuery root equals the search score") {
     val q = BoostQuery(SynonymQuery(Seq("court", "law")), 2.0)
     val hits = searcher.topK(q, 5).collect()
