@@ -70,6 +70,7 @@ object SparkEntry {
     jmSearchers.remove(sfDir)
     dfrSearchers.remove(sfDir)
     ibSearchers.remove(sfDir)
+    synSearchers.remove(sfDir)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit
@@ -176,6 +177,32 @@ object SparkEntry {
       val base = searcherFor(spark, sfDir)
       new IndexSearcher(spark, base.segments, precision = Precision.DoubleOracle,
         k1 = K1, b = B, similarity = graft.search.Similarity.LmJelinekMercer(0.1))
+    })
+
+  private val synSearchers = TrieMap[String, IndexSearcher]()
+
+  /** Index over `documents` with index-time synonym rules (ref
+    * `analysis/synonym/SynonymGraphFilter.java`): the multi-word variant
+    * "data stream" injects `datastream` and the single token "vector"
+    * injects `embedding`, both as position-increment-0 overlap tokens — a
+    * query for the canonical term finds docs containing only the variant.
+    */
+  private def synSearcherFor(spark: SparkSession, sfDir: String): IndexSearcher =
+    synSearchers.getOrElseUpdate(sfDir, {
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createDirectories(indexDirFor(sfDir))
+        .toString
+      val pages = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(format_string("doc%012d", $"doc_id").as("url"), $"text")
+        .as[(String, String)]
+      val cfg = IndexConfig(bucketShift = 8, numPostingPartitions = 8,
+        numDocPartitions = 4,
+        synonyms = Seq(List("data", "stream") -> "datastream",
+          List("vector") -> "embedding"))
+      IndexBuilder.buildSegment(pages, s"$dir/segsyn", cfg)
+      new IndexSearcher(spark, Seq(Manifest.read(s"$dir/segsyn").get),
+        precision = Precision.DoubleOracle, k1 = K1, b = B)
     })
 
   private val dfrSearchers = TrieMap[String, IndexSearcher]()
@@ -370,6 +397,16 @@ object SparkEntry {
       val se = jmSearcherFor(s, d)
       import s.implicits._
       se.fetchDocs(topKVerified(se, Query.or("data", "query"), 10))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc).limit(10)
+    }),
+    "ft_synonym_index" -> ((s, d) => {
+      // index-time synonym graphs (ref SynonymGraphFilter): querying the
+      // canonical terms finds docs containing only the variants — tf counts
+      // injections, norms don't (discountOverlaps), sttf does
+      val se = synSearcherFor(s, d)
+      import s.implicits._
+      se.fetchDocs(topKVerified(se, Query.or("datastream", "embedding"), 10))
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc).limit(10)
     }),
@@ -1356,6 +1393,49 @@ object SparkEntry {
          |    ln(1 + ((1 - 0.1) * tf.freq / qlen.qdl) /
          |       (0.1 * ((ttf.ttf + 1.0) / ((SELECT sttf FROM stats) + 1.0)))) AS s
          |  FROM tf JOIN ttf USING (term) JOIN qlen USING (doc_id)
+         |), scored AS (
+         |  SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM scored
+         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+    "ft_synonym_index" -> {
+      val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
+      s"""WITH base AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         |         generate_subscripts(string_split(text, ' '), 1) AS pos
+         |  FROM documents
+         |), nxt AS (
+         |  SELECT doc_id, term,
+         |         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nt
+         |  FROM base
+         |), tok AS (
+         |  SELECT doc_id, term FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 'datastream' FROM nxt WHERE term = 'data' AND nt = 'stream'
+         |  UNION ALL
+         |  SELECT doc_id, 'embedding' FROM base WHERE term = 'vector'
+         |), dlen AS (
+         |  SELECT doc_id, count(*) AS dl FROM base GROUP BY doc_id
+         |), qlen AS (
+         |  SELECT doc_id,
+         |    (SELECT max(v) FROM (VALUES $vals) b4(v) WHERE v <= dl) AS qdl
+         |  FROM dlen
+         |), stats AS (
+         |  SELECT (SELECT count(*) FROM dlen)::DOUBLE AS n,
+         |         (SELECT count(*) FROM tok)::DOUBLE /
+         |           (SELECT count(*) FROM dlen)::DOUBLE AS avgdl
+         |), tf AS (
+         |  SELECT doc_id, term, count(*)::DOUBLE AS freq FROM tok
+         |  WHERE term IN ('datastream', 'embedding') GROUP BY doc_id, term
+         |), idf AS (
+         |  SELECT term, ln(1 + ((SELECT n FROM stats) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+         |  FROM tf GROUP BY term
+         |), sc AS (
+         |  SELECT tf.doc_id,
+         |    idf.idf - idf.idf / (1 + tf.freq *
+         |      (1.0 / (1.2 * (0.25 + 0.75 * qlen.qdl / (SELECT avgdl FROM stats))))) AS s
+         |  FROM tf JOIN idf USING (term) JOIN qlen USING (doc_id)
          |), scored AS (
          |  SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id
          |)

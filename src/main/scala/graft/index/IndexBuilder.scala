@@ -39,10 +39,22 @@ final case class IndexConfig(
     // none | minimal (Harman S-stemmer) | porter | fold (accent folding).
     // A name, not a closure, so configs serialize into executor closures
     // and manifests cleanly.
-    termFilter: String = "none"
+    termFilter: String = "none",
+    // index-time synonym rules (ref analysis/synonym/SynonymGraphFilter
+    // .java): each (variant tokens, output) injects `output` as an overlap
+    // token at the variant match's first position — multi-word variants
+    // supported ("new york" -> "nyc"). Injected tokens add postings and
+    // count toward sumTotalTermFreq, but NOT toward document length /
+    // norms (the reference's discountOverlaps default). Plain string data,
+    // so configs keep serializing into executor closures. Single-field
+    // builds only.
+    synonyms: Seq[(List[String], String)] = Seq.empty
 ) {
   def analyzer: StandardAnalyzer =
     new StandardAnalyzer(stopwords, maxTokenLength, graft.analysis.TermFilter.byName(termFilter))
+
+  def synonymRules: Seq[graft.analysis.SynonymRule] =
+    synonyms.map { case (v, o) => graft.analysis.SynonymRule(v, o) }
 }
 
 /** Builds an inverted-index segment from a corpus of (docKey, text) rows.
@@ -112,8 +124,11 @@ object IndexBuilder {
       .collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
     val withPositions = cfg.storePositions
+    val synRules = cfg.synonyms
     val docTokens = sortedRows.mapPartitionsWithIndex { (pid, it) =>
       val analyzer = new StandardAnalyzer(stop, maxLen, graft.analysis.TermFilter.byName(filterName))
+      val injector = new graft.analysis.SynonymInjector(
+        synRules.map { case (v, o) => graft.analysis.SynonymRule(v, o) })
       var id = offsets(pid)
       it.map { row =>
         val url = row.getString(0)
@@ -122,8 +137,12 @@ object IndexBuilder {
         id += 1
         if (withPositions) {
           val toks = analyzer.tokens(text)
+          // injected synonym tokens stack at their match position and add
+          // postings, but doc length / norm counts ONLY the analyzer's own
+          // tokens (discountOverlaps)
+          val all = if (injector.isEmpty) toks else toks ++ injector.injected(toks)
           val byTerm = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
-          toks.foreach { t =>
+          all.foreach { t =>
             var b = byTerm.get(t.term)
             if (b == null) { b = new scala.collection.mutable.ArrayBuffer[Int](2); byTerm.put(t.term, b) }
             b += t.position
@@ -138,13 +157,37 @@ object IndexBuilder {
             val e = iter.next()
             terms(i) = e.getKey
             freqs(i) = e.getValue.size
-            positions(i) = e.getValue.toArray
+            // appended overlap tokens can land before a literal occurrence
+            // of the same term — re-sort that term's position list
+            positions(i) =
+              if (injector.isEmpty) e.getValue.toArray else e.getValue.toArray.sorted
             i += 1
           }
           val length = toks.size
           DocTokens(docId, url, length,
             java.lang.Byte.toUnsignedInt(SmallFloat.intToByte4(length)),
             terms, freqs, positions)
+        } else if (!injector.isEmpty) {
+          // synonym matching needs the ordered stream — aggregate from
+          // tokens() instead of the allocation-free termFreqs path
+          val toks = analyzer.tokens(text)
+          val freqMap = new java.util.HashMap[String, Int]()
+          toks.foreach(t => freqMap.merge(t.term, 1, (a, b) => a + b): Unit)
+          injector.injected(toks).foreach(t => freqMap.merge(t.term, 1, (a, b) => a + b): Unit)
+          val length = toks.size
+          val n = freqMap.size
+          val terms = new Array[String](n)
+          val freqs = new Array[Int](n)
+          var i = 0
+          val iter = freqMap.entrySet().iterator()
+          while (iter.hasNext) {
+            val e = iter.next()
+            terms(i) = e.getKey
+            freqs(i) = e.getValue
+            i += 1
+          }
+          DocTokens(docId, url, length,
+            java.lang.Byte.toUnsignedInt(SmallFloat.intToByte4(length)), terms, freqs)
         } else {
           val (freqMap, length) = analyzer.termFreqs(text)
           val n = freqMap.size
@@ -594,6 +637,8 @@ object IndexBuilder {
     Manifest.read(dir) match {
       case Some(m) => m
       case None =>
+        require(cfg.synonyms.isEmpty,
+          "index-time synonyms are single-field only (documented subset)")
         commitSegment(assignAndTokenizeFields(pages, cfg.copy(multiField = true)),
           dir, cfg.copy(multiField = true))
     }
@@ -644,7 +689,15 @@ object IndexBuilder {
             .collect()
             .sortBy(_._1)
           val docCount = lineage.map(_._2).sum
-          val sumTtf = lineage.map(_._3).sum
+          // sumTotalTermFreq from what was actually written (Σ block
+          // freqSums, the merger's and CheckIndex's definition): with
+          // index-time synonyms the injected overlap tokens count here —
+          // like the reference's SumTotalTermFreq — while norms/lengths
+          // (and the lineage token metric) exclude them (discountOverlaps)
+          val sumTtf = {
+            val r = blocks.agg(sum($"freqSum")).head()
+            if (r.isNullAt(0)) 0L else r.getLong(0)
+          }
           val maxDocId = if (lineage.isEmpty) -1L else lineage.map(_._4).max
           val blockCount = blocks.count()
           val termCount = spark.read.parquet(s"$dir/terms").count()
