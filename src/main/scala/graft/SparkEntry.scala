@@ -71,6 +71,7 @@ object SparkEntry {
     dfrSearchers.remove(sfDir)
     ibSearchers.remove(sfDir)
     synSearchers.remove(sfDir)
+    offsSearchers.remove(sfDir)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit
@@ -177,6 +178,29 @@ object SparkEntry {
       val base = searcherFor(spark, sfDir)
       new IndexSearcher(spark, base.segments, precision = Precision.DoubleOracle,
         k1 = K1, b = B, similarity = graft.search.Similarity.LmJelinekMercer(0.1))
+    })
+
+  private val offsSearchers = TrieMap[String, IndexSearcher]()
+
+  /** Index over `documents` with positions AND character offsets in the
+    * postings (ref `index/IndexOptions.java`
+    * DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS) — the offset-based
+    * highlighter's source.
+    */
+  private def offsSearcherFor(spark: SparkSession, sfDir: String): IndexSearcher =
+    offsSearchers.getOrElseUpdate(sfDir, {
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createDirectories(indexDirFor(sfDir))
+        .toString
+      val pages = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(format_string("doc%012d", $"doc_id").as("url"), $"text")
+        .as[(String, String)]
+      val cfg = IndexConfig(bucketShift = 8, numPostingPartitions = 8,
+        numDocPartitions = 4, storePositions = true, storeOffsets = true)
+      IndexBuilder.buildSegment(pages, s"$dir/segoffs", cfg)
+      new IndexSearcher(spark, Seq(Manifest.read(s"$dir/segoffs").get),
+        precision = Precision.DoubleOracle, k1 = K1, b = B)
     })
 
   private val synSearchers = TrieMap[String, IndexSearcher]()
@@ -809,6 +833,28 @@ object SparkEntry {
         .select($"doc_id",
           TextOps.bestSnippet($"text", Seq("data", "query"), 7).as("snippet"))
         .orderBy($"doc_id")
+    }),
+    "ft_highlight_offsets" -> ((s, d) => {
+      // offset-based highlighter (ref uhighlight/UnifiedHighlighter.java
+      // OffsetSource.POSTINGS): hit spans come from offset postings — a
+      // pushed point lookup per term — and snippet extraction touches only
+      // O(snippet) chars around the span; the stored text is never
+      // re-tokenized. Output identical to ft_highlight's re-analysis path.
+      val se = offsSearcherFor(s, d)
+      import s.implicits._
+      val hits = se.matchingCached(TermQuery("data")).toDF("docId")
+        .join(se.docsTable.select($"docId", $"url"), "docId")
+        .select($"docId", docIdOf($"url"))
+        .orderBy($"doc_id").limit(20)
+        .as[(Long, Long)].collect()
+      val offs = se.offsetsForDocs("data", hits.map(_._1).toSeq)
+      val texts = docsDf(s, d)
+        .where($"doc_id".isin(hits.map(_._2).toSeq: _*))
+        .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+      hits.toSeq.map { case (engId, docId) =>
+        val o = offs(engId) // first occurrence = first (start, end) pair
+        (docId, TextOps.snippetByOffset(texts(docId), o(0), o(1), 2))
+      }.toDF("doc_id", "snippet").orderBy($"doc_id")
     }),
     "ft_parent_join" -> ((s, d) => {
       // ToParentBlockJoin re-expression (ref lucene/join
@@ -1891,6 +1937,17 @@ object SparkEntry {
           |  FROM ranked
           |) WHERE rn > 10 AND rn <= 20""".stripMargin),
     "ft_highlight" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |m AS (SELECT doc_id FROM (SELECT DISTINCT doc_id FROM documents
+         |      WHERE ${hasTerm("data")}) ORDER BY doc_id LIMIT 20)
+         |SELECT m.doc_id,
+         |  array_to_string(
+         |    list_slice(string_split(d.text, ' '),
+         |      greatest(1, list_position(string_split(d.text, ' '), 'data') - 2),
+         |      greatest(1, list_position(string_split(d.text, ' '), 'data') - 2) + 4),
+         |    ' ') AS snippet
+         |FROM m JOIN documents d USING (doc_id) ORDER BY m.doc_id""".stripMargin,
+    "ft_highlight_offsets" -> // offset path must equal the re-analysis path
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
          |m AS (SELECT doc_id FROM (SELECT DISTINCT doc_id FROM documents
          |      WHERE ${hasTerm("data")}) ORDER BY doc_id LIMIT 20)

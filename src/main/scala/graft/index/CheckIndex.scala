@@ -45,9 +45,14 @@ object CheckIndex {
     } else v += "segment has zero docs"
 
     val rawBlocks = spark.read.parquet(s"$dir/postings")
-    val blocksDs: Dataset[PostingBlock] =
-      (if (rawBlocks.columns.contains("posPacked")) rawBlocks
-       else rawBlocks.withColumn("posPacked", lit(null).cast("binary"))).as[PostingBlock]
+    val blocksDs: Dataset[PostingBlock] = {
+      var c = rawBlocks
+      if (!c.columns.contains("posPacked"))
+        c = c.withColumn("posPacked", lit(null).cast("binary"))
+      if (!c.columns.contains("offsPacked"))
+        c = c.withColumn("offsPacked", lit(null).cast("binary"))
+      c.as[PostingBlock]
+    }
     val blockCount = blocksDs.count()
     if (blockCount != manifest.blockCount)
       v += s"postings has $blockCount blocks, manifest says ${manifest.blockCount}"
@@ -90,6 +95,25 @@ object CheckIndex {
               while (j < ps.length) {
                 if (ps(j) <= ps(j - 1)) { errs += s"$key: positions not ascending"; j = ps.length }
                 j += 1
+              }
+            }
+            d += 1
+          }
+        }
+        if (manifest.hasOffsets && b.offsPacked == null && !isFeature)
+          errs += s"$key: missing offsets"
+        if (b.offsPacked != null) {
+          // 2*freq nondecreasing values per doc: (start, end) pairs
+          val offs = Positions.decode(b.offsPacked, fs.map(_ * 2), b.numDocs)
+          var d = 0
+          while (d < b.numDocs) {
+            val os = offs(d)
+            if (os.length != 2 * fs(d).toInt) { errs += s"$key: offsets/freq disagree"; d = b.numDocs }
+            else {
+              var j = 0
+              while (j + 1 < os.length) {
+                if (os(j + 1) < os(j)) { errs += s"$key: offset end < start"; j = os.length }
+                else j += 2
               }
             }
             d += 1

@@ -25,6 +25,11 @@ final case class IndexConfig(
     stopwords: Set[String] = Set.empty,
     maxTokenLength: Int = 255,
     storePositions: Boolean = false, // index analyzer positions (phrase path)
+    // per-position character offsets in the postings (ref
+    // `index/IndexOptions.java` DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS):
+    // the offset-based highlighter reads exact source spans instead of
+    // re-tokenizing stored text. Requires storePositions.
+    storeOffsets: Boolean = false,
     multiField: Boolean = false, // FieldKey-encoded terms + per-term field norms
     // position gap between multiple values of one field (ref
     // `analysis/Analyzer.java` getPositionIncrementGap; 100 is the common
@@ -124,6 +129,8 @@ object IndexBuilder {
       .collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
     val withPositions = cfg.storePositions
+    val withOffsets = cfg.storeOffsets
+    require(!withOffsets || withPositions, "storeOffsets requires storePositions")
     val synRules = cfg.synonyms
     val docTokens = sortedRows.mapPartitionsWithIndex { (pid, it) =>
       val analyzer = new StandardAnalyzer(stop, maxLen, graft.analysis.TermFilter.byName(filterName))
@@ -141,16 +148,18 @@ object IndexBuilder {
           // postings, but doc length / norm counts ONLY the analyzer's own
           // tokens (discountOverlaps)
           val all = if (injector.isEmpty) toks else toks ++ injector.injected(toks)
-          val byTerm = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+          // per term: (position, startOffset, endOffset) triples
+          val byTerm = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]]()
           all.foreach { t =>
             var b = byTerm.get(t.term)
-            if (b == null) { b = new scala.collection.mutable.ArrayBuffer[Int](2); byTerm.put(t.term, b) }
-            b += t.position
+            if (b == null) { b = new scala.collection.mutable.ArrayBuffer[(Int, Int, Int)](2); byTerm.put(t.term, b) }
+            b += ((t.position, t.startOffset, t.endOffset))
           }
           val n = byTerm.size
           val terms = new Array[String](n)
           val freqs = new Array[Int](n)
           val positions = new Array[Array[Int]](n)
+          val offsets = if (withOffsets) new Array[Array[Int]](n) else null
           var i = 0
           val iter = byTerm.entrySet().iterator()
           while (iter.hasNext) {
@@ -158,15 +167,19 @@ object IndexBuilder {
             terms(i) = e.getKey
             freqs(i) = e.getValue.size
             // appended overlap tokens can land before a literal occurrence
-            // of the same term — re-sort that term's position list
-            positions(i) =
-              if (injector.isEmpty) e.getValue.toArray else e.getValue.toArray.sorted
+            // of the same term — re-sort that term's entries by position
+            // (offsets stay aligned: they ride in the same triple)
+            val entries =
+              if (injector.isEmpty) e.getValue.toArray else e.getValue.toArray.sortBy(_._1)
+            positions(i) = entries.map(_._1)
+            if (withOffsets)
+              offsets(i) = entries.flatMap(t3 => Array(t3._2, t3._3))
             i += 1
           }
           val length = toks.size
           DocTokens(docId, url, length,
             java.lang.Byte.toUnsignedInt(SmallFloat.intToByte4(length)),
-            terms, freqs, positions)
+            terms, freqs, positions, offsets = offsets)
         } else if (!injector.isEmpty) {
           // synonym matching needs the ordered stream — aggregate from
           // tokens() instead of the allocation-free termFreqs path
@@ -385,6 +398,19 @@ object IndexBuilder {
             $"tf.freqs".as("freq"),
             $"tf.termNorms".as("norm")
           )
+      else if (cfg.storePositions && cfg.storeOffsets)
+        docTokens
+          .select($"docId", $"norm",
+            explode(arrays_zip($"terms", $"freqs", $"positions", $"offsets")).as("tf"))
+          .select(
+            $"tf.terms".as("term"),
+            shiftright($"docId", shift).as("bucket"),
+            $"docId",
+            $"tf.freqs".as("freq"),
+            $"norm",
+            $"tf.positions".as("pos"),
+            $"tf.offsets".as("offs")
+          )
       else if (cfg.storePositions)
         docTokens
           .select($"docId", $"norm",
@@ -422,7 +448,8 @@ object IndexBuilder {
     // string only materializes once per (term, bucket) run (GC matters: this
     // iterator sees every (term, doc) pair in the corpus)
     val withPos = cfg.storePositions
-    spark.createDataset(sortedRows.mapPartitions(blockBuilder(_, withPos)))
+    val withOffs = cfg.storeOffsets
+    spark.createDataset(sortedRows.mapPartitions(blockBuilder(_, withPos, withOffs)))
   }
 
   /** Final on-disk layout of a posting-block table: range-partitioned and
@@ -444,14 +471,17 @@ object IndexBuilder {
     */
   private def blockBuilder(
       rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
-      withPos: Boolean = false
+      withPos: Boolean = false,
+      withOffs: Boolean = false
   ): Iterator[PostingBlock] = new Iterator[PostingBlock] {
     private val B = BlockCodec.BlockSize
     private val docIds = new Array[Long](B)
     private val freqs = new Array[Long](B)
     private val norms = new Array[Int](B)
     private val poss: Array[Array[Int]] = if (withPos) new Array[Array[Int]](B) else null
+    private val offs: Array[Array[Int]] = if (withOffs) new Array[Array[Int]](B) else null
     private var pPos: Array[Int] = null // pending row's positions
+    private var pOffs: Array[Int] = null // pending row's offset pairs
     private var n = 0
     private var curTerm: String = null // term of the open block
     private var curTermU8: org.apache.spark.unsafe.types.UTF8String = null
@@ -495,7 +525,10 @@ object IndexBuilder {
         freqSum = freqSum,
         maxFreq = maxFreq,
         minNorm = minNorm,
-        posPacked = if (withPos) graft.codec.Positions.encode(poss, n) else null
+        posPacked = if (withPos) graft.codec.Positions.encode(poss, n) else null,
+        // offsets reuse the positions codec: per doc the flattened
+        // (start, end) pairs are a nondecreasing sequence of 2*freq ints
+        offsPacked = if (withOffs) graft.codec.Positions.encode(offs, n) else null
       )
       n = 0
       block
@@ -522,6 +555,7 @@ object IndexBuilder {
           open(t, pBucket)
           docIds(0) = pDocId; freqs(0) = pFreq.toLong; norms(0) = pNorm
           if (withPos) poss(0) = pPos
+          if (withOffs) offs(0) = pOffs
           n = 1
         } else {
           val row = rows.next()
@@ -532,6 +566,7 @@ object IndexBuilder {
             freqs(n) = row.getInt(3).toLong
             norms(n) = row.getInt(4)
             if (withPos) poss(n) = row.getArray(5).toIntArray()
+            if (withOffs) offs(n) = row.getArray(6).toIntArray()
             n += 1
           } else if (n == 0) { // first row of the partition
             open(termU8.clone(), bucket) // clone: sorter reuses row buffers
@@ -539,6 +574,7 @@ object IndexBuilder {
             freqs(0) = row.getInt(3).toLong
             norms(0) = row.getInt(4)
             if (withPos) poss(0) = row.getArray(5).toIntArray()
+            if (withOffs) offs(0) = row.getArray(6).toIntArray()
             n = 1
           } else { // boundary: stash the row, emit the finished block
             pTermU8 = termU8.clone()
@@ -547,6 +583,7 @@ object IndexBuilder {
             pFreq = row.getInt(3)
             pNorm = row.getInt(4)
             if (withPos) pPos = row.getArray(5).toIntArray()
+            if (withOffs) pOffs = row.getArray(6).toIntArray()
             nextBlock = flushBlock()
           }
         }
@@ -725,7 +762,8 @@ object IndexBuilder {
             buildWallSec = (System.nanoTime() - t0) / 1e9,
             lineage = lineage.map { case (p, r, t, _) => PartitionLineage(p, r, t) }.toSeq,
             hasPositions = cfg.storePositions,
-            fieldStats = fieldStats
+            fieldStats = fieldStats,
+            hasOffsets = cfg.storeOffsets
           )
           Manifest.commit(dir, manifest)
           manifest

@@ -26,7 +26,8 @@ final case class SegmentManifest(
     hasPositions: Boolean = false,
     // per-field BM25 stats for multi-field segments (empty = single default
     // field; readers fall back to the segment-global stats)
-    fieldStats: Seq[Schema.FieldStat] = Seq.empty
+    fieldStats: Seq[Schema.FieldStat] = Seq.empty,
+    hasOffsets: Boolean = false
 ) {
   def sizeScore: Long = blockCount // merge-policy size proxy
 }
@@ -61,6 +62,7 @@ object Manifest {
        |  "bucketShift": ${m.bucketShift},
        |  "buildWallSec": ${m.buildWallSec},
        |  "hasPositions": ${m.hasPositions},
+       |  "hasOffsets": ${m.hasOffsets},
        |  "lineage": $lineage,
        |  "fieldStats": $fieldStats
        |}""".stripMargin
@@ -113,7 +115,8 @@ object Manifest {
       buildWallSec = field(json, "buildWallSec").map(_.toDouble).getOrElse(0.0),
       lineage = lineage,
       hasPositions = field(json, "hasPositions").contains("true"),
-      fieldStats = fieldStats
+      fieldStats = fieldStats,
+      hasOffsets = field(json, "hasOffsets").contains("true")
     )
   }
 

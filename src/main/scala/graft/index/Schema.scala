@@ -69,7 +69,10 @@ object Schema {
       // for the manifest's FieldStats
       termNorms: Array[Int] = null,
       fieldNames: Array[String] = null,
-      fieldLengths: Array[Int] = null
+      fieldLengths: Array[Int] = null,
+      // per-term character offsets, (start, end) pairs flattened in the
+      // SAME order as `positions` (IndexConfig.storeOffsets)
+      offsets: Array[Array[Int]] = null
   )
 
   /** One 128-doc posting block for (term, bucket).
@@ -110,7 +113,13 @@ object Schema {
       // block order, `freq` delta-VInt-encoded analyzer positions,
       // concatenated — the .pos file re-expression (doc boundaries come from
       // the decoded freqs)
-      posPacked: Array[Byte] = null
+      posPacked: Array[Byte] = null,
+      // optional per-position character offsets (IndexConfig.storeOffsets,
+      // ref index/IndexOptions.java DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS):
+      // per doc, the (start, end) pairs flattened in position order — a
+      // nondecreasing int sequence, so the SAME delta-VInt codec as
+      // positions applies with 2*freq values per doc
+      offsPacked: Array[Byte] = null
   )
 
   /** Term-dictionary row (the block-tree/.tim re-expression: range-partitioned

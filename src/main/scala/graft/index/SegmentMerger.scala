@@ -77,9 +77,12 @@ object SegmentMerger {
         val shift = cfg.bucketShift
         val blocks = manifests.zip(bases).map { case (m, base) =>
           val raw = spark.read.parquet(s"${m.dir}/postings")
-          val compat = // pre-positions segments merge with a null column
+          val compat0 = // pre-positions segments merge with a null column
             if (raw.columns.contains("posPacked")) raw
             else raw.withColumn("posPacked", lit(null).cast("binary"))
+          val compat = // pre-offsets segments likewise
+            if (compat0.columns.contains("offsPacked")) compat0
+            else compat0.withColumn("offsPacked", lit(null).cast("binary"))
           compat
             .withColumn("firstDocId", $"firstDocId" + lit(base))
             .withColumn("lastDocId", $"lastDocId" + lit(base))
@@ -89,7 +92,7 @@ object SegmentMerger {
         val typed = blocks
           .select($"term", $"bucket", $"firstDocId", $"lastDocId", $"numDocs",
             $"docsPacked", $"freqsPacked", $"normsPacked", $"impacts",
-            $"freqSum", $"maxFreq", $"minNorm", $"posPacked")
+            $"freqSum", $"maxFreq", $"minNorm", $"posPacked", $"offsPacked")
           .as[PostingBlock]
         val purged =
           if (deadGlobal.isEmpty) typed
@@ -128,6 +131,7 @@ object SegmentMerger {
           buildWallSec = (System.nanoTime() - t0) / 1e9,
           lineage = manifests.flatMap(_.lineage),
           hasPositions = manifests.forall(_.hasPositions),
+          hasOffsets = manifests.forall(_.hasOffsets),
           // per-field stats sum across inputs (stale under purged deletes,
           // same as the reference's merged stats until recomputed)
           fieldStats = manifests.flatMap(_.fieldStats)
@@ -159,6 +163,10 @@ object SegmentMerger {
         val pos =
           if (b.posPacked != null) graft.codec.Positions.decode(b.posPacked, fs, b.numDocs)
           else null
+        val off = // offsets decode with 2*freq values per doc
+          if (b.offsPacked != null)
+            graft.codec.Positions.decode(b.offsPacked, fs.map(_ * 2), b.numDocs)
+          else null
         val keep = ids.indices.filter(i =>
           java.util.Arrays.binarySearch(dead, ids(i)) < 0)
         if (keep.isEmpty) None
@@ -184,6 +192,10 @@ object SegmentMerger {
             posPacked =
               if (pos != null)
                 graft.codec.Positions.encode(keep.map(pos).toArray, ki.length)
+              else null,
+            offsPacked =
+              if (off != null)
+                graft.codec.Positions.encode(keep.map(off).toArray, ki.length)
               else null))
         }
       }
@@ -206,7 +218,9 @@ object SegmentMerger {
         val fs = scala.collection.mutable.ArrayBuffer[Long]()
         val ns = scala.collection.mutable.ArrayBuffer[Long]()
         val hasPos = parts.forall(_.posPacked != null)
+        val hasOff = parts.forall(_.offsPacked != null)
         val pos = scala.collection.mutable.ArrayBuffer[Array[Int]]()
+        val off = scala.collection.mutable.ArrayBuffer[Array[Int]]()
         parts.foreach { p =>
           val pFreqs = BlockCodec.pforDecode(p.freqsPacked)
           ids ++= BlockCodec.deltaDecode(BlockCodec.forDecode(p.docsPacked), p.firstDocId)
@@ -214,14 +228,18 @@ object SegmentMerger {
           ns ++= BlockCodec.forDecode(p.normsPacked)
           if (hasPos)
             pos ++= graft.codec.Positions.decode(p.posPacked, pFreqs, p.numDocs)
+          if (hasOff)
+            off ++= graft.codec.Positions.decode(p.offsPacked, pFreqs.map(_ * 2), p.numDocs)
         }
         val posArr = pos.toArray
-        var off = 0
+        val offArr = off.toArray
+        var off2 = 0
         ids.toArray.grouped(B).zip(fs.toArray.grouped(B).zip(ns.toArray.grouped(B))).map {
           case (gi, (gf, gn)) =>
             val pairs = gi.indices.map(i => (gf(i).toInt, gn(i).toInt))
-            val gPos = if (hasPos) posArr.slice(off, off + gi.length) else null
-            off += gi.length
+            val gPos = if (hasPos) posArr.slice(off2, off2 + gi.length) else null
+            val gOff = if (hasOff) offArr.slice(off2, off2 + gi.length) else null
+            off2 += gi.length
             PostingBlock(
               term = parts.head.term,
               bucket = parts.head.bucket,
@@ -236,7 +254,9 @@ object SegmentMerger {
               maxFreq = gf.max.toInt,
               minNorm = gn.min.toInt,
               posPacked =
-                if (hasPos) graft.codec.Positions.encode(gPos, gi.length) else null
+                if (hasPos) graft.codec.Positions.encode(gPos, gi.length) else null,
+              offsPacked =
+                if (hasOff) graft.codec.Positions.encode(gOff, gi.length) else null
             )
         }
       }

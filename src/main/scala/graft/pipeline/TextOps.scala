@@ -81,6 +81,45 @@ object TextOps {
     )
   }
 
+  /** Offset-based snippet: the ±`ctx`-word window around the hit span
+    * `[start, end)` taken directly from the stored text — the consumer of
+    * index-time offset postings (ref `uhighlight/UnifiedHighlighter.java`
+    * OffsetSource.POSTINGS). Touches O(snippet) chars around the offset;
+    * never re-tokenizes the document. Word boundaries = single spaces
+    * (this corpus's stored-text invariant; general texts would expand to
+    * the next whitespace run the same way).
+    */
+  def snippetByOffset(text: String, start: Int, end: Int, ctx: Int = 2): String = {
+    // left: up to `ctx` words back; at the text edge the window SHIFTS
+    // right instead of shrinking (token-window semantics: the slice starts
+    // at max(1, p - ctx) and keeps its 2*ctx+1 length)
+    var spacesBack = 0
+    var left = 0
+    var i = start - 1
+    var stop = false
+    while (i >= 0 && !stop) {
+      if (text.charAt(i) == ' ') {
+        spacesBack += 1
+        // the (ctx+1)-th space delimits the ctx-th word before the hit
+        if (spacesBack == ctx + 1) { left = i + 1; stop = true }
+      }
+      i -= 1
+    }
+    val wordsBefore = if (stop) ctx else spacesBack
+    val wordsAfter = 2 * ctx - wordsBefore
+    var right = text.length
+    var j = end
+    var spaces = 0
+    while (j < text.length && right == text.length) {
+      if (text.charAt(j) == ' ') {
+        spaces += 1
+        if (spaces == wordsAfter + 1) right = j
+      }
+      j += 1
+    }
+    text.substring(left, right)
+  }
+
   /** Highlight snippet: the ±`ctx`-token window around the first occurrence
     * of `term` (the highlighter module's unified-snippet shape, re-expressed
     * as codegen'd array ops over stored text — no re-analysis pass).

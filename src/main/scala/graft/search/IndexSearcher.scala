@@ -1517,6 +1517,49 @@ final class IndexSearcher(
       }.toMap
   }
 
+  /** Character-offset (start, end) pairs of `term` in each of `docIds`
+    * (position order, flattened) — the offset-based highlighter's read path
+    * (ref `index/IndexOptions.java` ..._AND_OFFSETS postings consumed by
+    * `uhighlight/UnifiedHighlighter.java` OffsetSource.POSTINGS): ONE
+    * pushed postings scan per segment over the term's blocks in the docs'
+    * buckets, decoding only those blocks — never a re-tokenize of stored
+    * text. Docs whose segment lacks offsets are absent from the result.
+    */
+  def offsetsForDocs(term: String, docIds: Seq[Long]): Map[Long, Array[Int]] = {
+    import graft.codec.BlockCodec
+    if (docIds.isEmpty) return Map.empty
+    segments.zipWithIndex.flatMap { case (m, seg) =>
+      val base = bases(seg)
+      val locals = docIds.filter(d => d >= base && d - base <= m.maxDocId)
+        .map(_ - base).sorted.toArray
+      if (locals.isEmpty || !m.hasOffsets) Seq.empty
+      else {
+        val buckets = locals.map(_ >>> m.bucketShift).distinct.toSeq
+        spark.read.parquet(s"${m.dir}/postings")
+          .where($"term" === term && $"bucket".isin(buckets: _*) &&
+            $"firstDocId" <= locals.max && $"lastDocId" >= locals.min)
+          .select($"firstDocId", $"numDocs", $"docsPacked", $"freqsPacked", $"offsPacked")
+          .collect()
+          .flatMap { r =>
+            val packed = r.getAs[Array[Byte]]("offsPacked")
+            if (packed == null) Seq.empty
+            else {
+              val ids = BlockCodec.deltaDecode(
+                BlockCodec.forDecode(r.getAs[Array[Byte]]("docsPacked")),
+                r.getAs[Long]("firstDocId"))
+              val fs = BlockCodec.pforDecode(r.getAs[Array[Byte]]("freqsPacked"))
+              lazy val perDoc = graft.codec.Positions.decode(
+                packed, fs.map(_ * 2), r.getAs[Int]("numDocs"))
+              locals.toSeq.flatMap { local =>
+                val idx = java.util.Arrays.binarySearch(ids, local)
+                if (idx < 0) None else Some((local + base) -> perDoc(idx))
+              }
+            }
+          }
+      }
+    }.toMap
+  }
+
   /** Score breakdown for one (query, doc) — the re-expression of the
     * reference's `Weight#explain` (`search/Explanation.java`): the root
     * value equals exactly what [[topK]]/[[scoreMatches]] produce for the
