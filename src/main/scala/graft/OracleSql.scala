@@ -155,6 +155,58 @@ object OracleSql {
        |             generate_subscripts(string_split(text, ' '), 1) AS i
        |      FROM documents))""".stripMargin
 
+  /** SRP bucket id of DOUBLE[] expression `vExpr` for one hash table: the
+    * sign bits of `nPlanes` deterministic hyperplane dot products, packed.
+    * Replicates [[graft.pipeline.Similarity.srpBucket]] with the plane
+    * components inlined as literals (splitmix64 is deterministic, so the
+    * oracle's arithmetic is fully independent of the engine).
+    */
+  def srpBucketSql(vExpr: String, dim: Int, nPlanes: Int, seed: Long): String =
+    (0 until nPlanes).map { p =>
+      val lits = (0 until dim)
+        .map(j => graft.pipeline.Similarity.planeComponent(seed, p, j))
+        .mkString(", ")
+      s"(CASE WHEN list_dot_product($vExpr, [$lits]) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** One SELECT arm per hash table over CTE `v(id, v)`: (id, tbl, bucket). */
+  def srpBucketArms(dim: Int, nPlanes: Int, tables: Int, seed: Long = 42L): String =
+    (0 until tables).map { t =>
+      s"  SELECT id, $t AS tbl, ${srpBucketSql("v", dim, nPlanes, seed + t * 7919L)} AS bucket FROM v"
+    }.mkString("\n  UNION ALL\n")
+
+  /** Shared tail: (found, total, recall) from `exact` and `approx` pair CTEs. */
+  val recallTail: String =
+    """fnd AS (SELECT count(*) AS f FROM exact JOIN approx USING (id_a, id_b)),
+      |tot AS (SELECT count(*) AS t FROM exact)
+      |SELECT f::BIGINT AS found, t::BIGINT AS total,
+      |       round(CASE WHEN t = 0 THEN 1.0 ELSE f::DOUBLE / t END, 4) AS recall
+      |FROM fnd, tot""".stripMargin
+
+  /** Shared CTE fragment: exact w=2 Jaccard>=0.5 pairs over `documents`
+    * (the dedup_jaccard oracle's pipeline as named CTEs `sh`/`exact`).
+    */
+  val jaccardExactCtes: String =
+    """t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents
+      |), big AS (
+      |  SELECT doc_id AS id,
+      |         term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS s
+      |  FROM t
+      |), sh AS (SELECT DISTINCT id, s FROM big WHERE s IS NOT NULL),
+      |jn AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+      |jp AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2
+      |),
+      |exact AS (
+      |  SELECT id_a, id_b FROM jp
+      |  JOIN jn na ON na.id = id_a JOIN jn nb ON nb.id = id_b
+      |  WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 4) >= 0.5
+      |)""".stripMargin
+
   /** Matching doc_ids (no scores). */
   def matchIds(terms: Seq[String], pred: String): String =
     s"""WITH tok AS (

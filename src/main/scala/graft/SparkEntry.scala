@@ -1069,6 +1069,36 @@ object SparkEntry {
         s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 0.3,
         dim = 64, planes = 6, tables = 8)
         .orderBy(col("id_a"), col("id_b"))),
+    "dedup_minhash_recall" -> ((s, d) =>
+      // official recall row for the minhash-LSH family: the portable md5
+      // hash family makes signatures, banding, verification AND recall
+      // independently computable by the DuckDB oracle. Floor asserted
+      // in-entry (measured 1.0 at sf0.01 and sf0.1).
+      Dedup.minHashRecall(docsDf(s, d), "doc_id", "text", w = 2,
+        threshold = 0.5, bands = 4, rowsPerBand = 4, minSigSim = 0.5,
+        recallFloor = 0.95)),
+    "dedup_simhash_recall" -> ((s, d) =>
+      // signature->text recall of hamming<=3 simhash vs exact jaccard>=0.5
+      // pairs under the portable token-hash family; simhash targets much
+      // higher similarity than J=0.5, so the measured recall (0.48-0.71)
+      // IS the documented property, floor 0.4
+      Dedup.simHashRecall(docsDf(s, d), "doc_id", "text", w = 2,
+        threshold = 0.5, maxHamming = 3, recallFloor = 0.4)),
+    "dedup_embed_recall" -> ((s, d) =>
+      // SRP-LSH recall vs the exact cosine>=0.3 pair set at the production
+      // parameters. The testdata embeddings are structureless (max pairwise
+      // cos ~0.5), so this is LSH's theoretical floor case — recall ~0.35,
+      // floor 0.3; the planted-dup spec measures the near-dup regime
+      Dedup.embeddingRecall(s.read.parquet(s"$d/embeddings.parquet"),
+        "vec_id", "embedding", 0.3, dim = 64, planes = 6, tables = 8,
+        recallFloor = 0.3)),
+    "ann_lsh_recall" -> ((s, d) =>
+      // lshTopK recall vs exact all-pairs top-5 at production parameters
+      // (8 planes x 4 tables). Random vectors make true top-5 neighbors
+      // barely-correlated (cos ~0.3-0.4) — collision probability and hence
+      // recall (~0.08) are the documented floor case; floor 0.05
+      Similarity.lshRecall(s.read.parquet(s"$d/embeddings.parquet"),
+        "vec_id", "embedding", dim = 64, k = 5, recallFloor = 0.05)),
     "dedup_embed_exact" -> ((s, d) =>
       // exact all-pairs validation baseline (threshold joins over
       // unstructured embeddings are Ω(n²) exact; see embeddingPairsLsh)
@@ -2163,6 +2193,83 @@ object SparkEntry {
         |  FROM t
         |)
         |SELECT doc_id, ntok FROM c WHERE cum <= 12000 ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_recall" ->
+      s"""WITH ${jaccardExactCtes},
+         |mh AS (
+         |  SELECT id, i, min(('0x' || substr(md5(s || ':' || i), 1, 8))::BIGINT) AS h
+         |  FROM sh CROSS JOIN generate_series(0, 15) g(i) GROUP BY id, i
+         |), band AS (
+         |  SELECT id, i // 4 AS band, string_agg(h::VARCHAR, ',' ORDER BY i) AS bucket
+         |  FROM mh GROUP BY id, i // 4
+         |), cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM band a JOIN band b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+         |), sim AS (
+         |  SELECT c.id_a, c.id_b,
+         |         round(sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END)::DOUBLE / 16, 4) AS ss
+         |  FROM cand c JOIN mh ma ON ma.id = c.id_a
+         |              JOIN mh mb ON mb.id = c.id_b AND mb.i = ma.i
+         |  GROUP BY c.id_a, c.id_b
+         |), approx AS (SELECT id_a, id_b FROM sim WHERE ss >= 0.5),
+         |${recallTail}""".stripMargin,
+    "dedup_simhash_recall" ->
+      s"""WITH ${jaccardExactCtes},
+         |tokw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |th AS (
+         |  SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS hi,
+         |         ('0x' || substr(md5(w), 9, 8))::BIGINT AS lo
+         |  FROM tokw
+         |), vote AS (
+         |  SELECT doc_id, j,
+         |    sum((CASE WHEN j < 32 THEN (lo >> j) & 1 ELSE (hi >> (j - 32)) & 1 END) * 2 - 1) AS v
+         |  FROM th CROSS JOIN generate_series(0, 63) g(j) GROUP BY doc_id, j
+         |), sig AS (SELECT doc_id, j, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit FROM vote),
+         |ham AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS h
+         |  FROM sig a JOIN sig b ON a.j = b.j AND a.doc_id < b.doc_id GROUP BY 1, 2
+         |), approx AS (SELECT id_a, id_b FROM ham WHERE h <= 3),
+         |${recallTail}""".stripMargin,
+    "dedup_embed_recall" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bk AS (
+         |${srpBucketArms(dim = 64, nPlanes = 6, tables = 8)}
+         |), cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bk a JOIN bk b
+         |  ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+         |), approx AS (
+         |  SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
+         |  WHERE round(list_cosine_similarity(va.v, vb.v), 4) >= 0.3
+         |), exact AS (
+         |  SELECT a.id AS id_a, b.id AS id_b FROM v a JOIN v b ON a.id < b.id
+         |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+         |),
+         |${recallTail}""".stripMargin,
+    "ann_lsh_recall" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ap AS (
+         |  SELECT a.id AS id, b.id AS nbr,
+         |         round(list_cosine_similarity(a.v, b.v), 4) AS sim
+         |  FROM v a JOIN v b ON a.id <> b.id
+         |), exact AS (
+         |  SELECT id AS id_a, nbr AS id_b FROM (
+         |    SELECT id, nbr, row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr ASC) AS rn
+         |    FROM ap) WHERE rn <= 5
+         |), bk AS (
+         |${srpBucketArms(dim = 64, nPlanes = 8, tables = 4)}
+         |), cand AS (
+         |  SELECT DISTINCT a.id AS id, b.id AS nbr FROM bk a JOIN bk b
+         |  ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id <> b.id
+         |), scored AS (
+         |  SELECT c.id, c.nbr, round(list_cosine_similarity(va.v, vb.v), 4) AS sim
+         |  FROM cand c JOIN v va ON va.id = c.id JOIN v vb ON vb.id = c.nbr
+         |), approx AS (
+         |  SELECT id AS id_a, nbr AS id_b FROM (
+         |    SELECT id, nbr, row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr ASC) AS rn
+         |    FROM scored) WHERE rn <= 5
+         |),
+         |${recallTail}""".stripMargin,
     "dedup_embed_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos

@@ -212,6 +212,149 @@ object Dedup {
       .where(col("sig_sim") >= minSigSim)
   }
 
+  // ---------------------------------------------------- recall oracles
+  //
+  // The production pipelines above mix with xxhash64 (native, codegen'd).
+  // xxhash64 exists in no other engine, so their outputs can only be
+  // spec-gated. The *portable* variants below run the SAME pipeline shapes
+  // under an md5-prefix hash family that any SQL engine reproduces
+  // bit-for-bit (('0x'||substr(md5(x),1,8))::BIGINT — see
+  // Sampling.hashBucket), making the recall entries' ENTIRE computation —
+  // signatures, banding, verification, recall — independently computable
+  // by the DuckDB oracle. md5 is ~10x costlier than xxhash64, which is why
+  // production keeps xxhash.
+
+  /** Portable 32-bit hash family: h_i(x) = int(md5(x ':' i)[0:8], 16). */
+  def md5Hash32(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(c, lit(":" + seed))), 1, 8), 16, 10).cast("bigint")
+
+  /** MinHash signatures under the portable hash family (shape of
+    * [[minHashSignatures]]).
+    */
+  def minHashSignaturesPortable(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int = 2, numHashes: Int = 16
+  ): DataFrame = {
+    val base = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), shingles(col(textCol), w).as("sh"))
+    val sigCols = (0 until numHashes).map { i =>
+      array_min(transform(col("sh"), s => md5Hash32(s, i)))
+    }
+    base.select(col("id"), array(sigCols: _*).as("signature"))
+  }
+
+  /** LSH band pairs from precomputed signatures — the banding/verify shape
+    * of [[minHashLshPairs]] with the raw band-signature string as the
+    * bucket key (portable; production hashes the key to a long to keep the
+    * shuffle narrow).
+    */
+  def lshBandPairsFromSigs(
+      sigs: DataFrame, bands: Int, rowsPerBand: Int, minSigSim: Double
+  ): DataFrame = {
+    val banded = sigs.select(col("id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(",",
+          slice(col("signature"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)))
+      )).as(Seq("band", "bucket")))
+    val a = banded.as("a"); val b = banded.as("b")
+    val cands = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .join(sigs.select(col("id").as("id_a"), col("signature").as("sa")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("signature").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), p => p))
+          .cast("double") / size(col("sa")), 4).as("sig_sim"))
+      .where(col("sig_sim") >= minSigSim)
+  }
+
+  /** One-row (found, total, recall): exact-Jaccard pairs recovered by the
+    * portable minhash-LSH pipeline. `recallFloor` is asserted in-entry, so
+    * the official CORRECTNESS row gates approximation quality AND
+    * stability (the hash family is deterministic).
+    */
+  def minHashRecall(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int = 2, threshold: Double = 0.5,
+      bands: Int = 4, rowsPerBand: Int = 4, minSigSim: Double = 0.5,
+      recallFloor: Double = 0.0
+  ): DataFrame = {
+    val sigs = minHashSignaturesPortable(df, idCol, textCol, w, bands * rowsPerBand)
+    val approx = lshBandPairsFromSigs(sigs, bands, rowsPerBand, minSigSim)
+      .select(col("id_a"), col("id_b"))
+    val exact = jaccardPairs(df, idCol, textCol, w, threshold)
+      .select(col("id_a"), col("id_b"))
+    recallRow(df, exact, approx, recallFloor)
+  }
+
+  /** SimHash signatures under the portable hash family: 64-bit token hash
+    * = md5 hex prefix halves (hi:lo) — same vote kernel
+    * ([[graft.functions.VecExpressions.simHash64]]) as production.
+    */
+  def simHashPortable(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val df = df0.repartition(df0.sparkSession.sparkContext.defaultParallelism)
+    val hs = transform(split(col(textCol), " "), t =>
+      shiftleft(conv(substring(md5(t), 1, 8), 16, 10).cast("bigint"), 32)
+        .bitwiseOR(conv(substring(md5(t), 9, 8), 16, 10).cast("bigint")))
+    df.select(col(idCol).as("id"),
+      graft.functions.VecExpressions.simHash64(hs).as("simhash"))
+  }
+
+  /** One-row (found, total, recall): exact-Jaccard pairs whose portable
+    * simhash signatures land within `maxHamming` — band bucketing
+    * (pigeonhole, recall 1 on signatures) + exact hamming verify, the
+    * [[simHashPairs]] shape.
+    */
+  def simHashRecall(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int = 2, threshold: Double = 0.5, maxHamming: Int = 3,
+      recallFloor: Double = 0.0
+  ): DataFrame = {
+    val bands = maxHamming + 1
+    val width = 64 / bands
+    val sigs = simHashPortable(df, idCol, textCol)
+    val bandCols = (0 until bands).map(bi =>
+      shiftrightunsigned(col("simhash"), bi * width)
+        .bitwiseAND(lit((1L << width) - 1)))
+    val banded = sigs.select(col("id"), col("simhash"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bits")))
+    val a = banded.as("a"); val b = banded.as("b")
+    val approx = a.join(b,
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"))
+    val exact = jaccardPairs(df, idCol, textCol, w, threshold)
+      .select(col("id_a"), col("id_b"))
+    recallRow(df, exact, approx, recallFloor)
+  }
+
+  /** (found, total, recall) with the floor asserted; recall = 1 when the
+    * exact set is empty (vacuous).
+    */
+  private[pipeline] def recallRow(
+      df: DataFrame, exact: DataFrame, approx: DataFrame, recallFloor: Double
+  ): DataFrame = {
+    val total = exact.count()
+    val found = exact.join(approx, Seq("id_a", "id_b"), "left_semi").count()
+    val recall =
+      if (total == 0) 1.0
+      else BigDecimal(found.toDouble / total)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    require(recall >= recallFloor,
+      s"recall $recall ($found/$total) below documented floor $recallFloor")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((found, total, recall)).toDF("found", "total", "recall")
+  }
+
   /** SimHash: 64-bit signature = sign of per-bit weighted sums of token
     * hashes (weight = term frequency implicitly via duplicates). The vote
     * loop is the native codegen'd `simhash64` expression — one pass over
@@ -315,6 +458,24 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(Similarity.cosine(col("va"), col("vb")), 4).as("cos"))
       .where(col("cos") >= threshold)
+  }
+
+  /** One-row (found, total, recall): exact cosine-threshold pairs recovered
+    * by the SRP-LSH bucketed pipeline ([[embeddingPairsLsh]] verbatim —
+    * its hyperplanes are already engine-portable: deterministic splitmix64
+    * components the oracle inlines as literals). Precision is exactly 1
+    * (exact verify), so found = |approx|∩|exact| = |approx|.
+    */
+  def embeddingRecall(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      dim: Int, planes: Int = 4, tables: Int = 8, seed: Long = 42L,
+      recallFloor: Double = 0.0
+  ): DataFrame = {
+    val approx = embeddingPairsLsh(df, idCol, vecCol, threshold, dim, planes, tables, seed)
+      .select(col("id_a"), col("id_b"))
+    val exact = embeddingPairs(df, idCol, vecCol, threshold)
+      .select(col("id_a"), col("id_b"))
+    recallRow(df, exact, approx, recallFloor)
   }
 
   /** Connected components over near-dup pairs — the cluster-formation step

@@ -62,7 +62,7 @@ object Similarity {
   /** Deterministic pseudo-random hyperplanes: component j of plane p derived
     * from splitmix64(seed, p, j), mapped to [-1, 1).
     */
-  private def planeComponent(seed: Long, p: Int, j: Int): Double = {
+  private[graft] def planeComponent(seed: Long, p: Int, j: Int): Double = {
     var z = seed + (p.toLong << 32) + j.toLong + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
@@ -80,6 +80,24 @@ object Similarity {
       when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** One-row (found, total, recall): exact top-k neighbor pairs recovered
+    * by [[lshTopK]] verbatim (its SRP hyperplanes are deterministic
+    * splitmix64 components the oracle inlines as literals, so the whole
+    * pipeline is independently computable in SQL). Truth = [[allPairsTopK]]
+    * (small-input validation baseline).
+    */
+  def lshRecall(
+      df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, nPlanes: Int = 8, tables: Int = 4, seed: Long = 42L,
+      recallFloor: Double = 0.0
+  ): DataFrame = {
+    val approx = lshTopK(df, idCol, vecCol, dim, k, nPlanes, tables, seed)
+      .select(col("id").as("id_a"), col("nbr").as("id_b"))
+    val truth = allPairsTopK(df, idCol, vecCol, k)
+      .select(col("id").as("id_a"), col("nbr").as("id_b"))
+    Dedup.recallRow(df, truth, approx, recallFloor)
   }
 
   /** LSH ANN: bucket every vector with `tables` independent SRP hashes;
