@@ -21,7 +21,9 @@ con = duckdb.connect()
 for t in ("documents", "embeddings", "lineitem", "orders", "customer",
           "supplier", "part", "nation", "region", "events"):
     p = os.path.join(sf_dir, f"{t}.parquet")
-    if os.path.exists(p):
+    if os.path.isdir(p):  # Spark-written directory (SfGen output)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+    elif os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 def norm(v):

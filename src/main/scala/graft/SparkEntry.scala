@@ -2223,12 +2223,22 @@ object SparkEntry {
          |  SELECT doc_id, j,
          |    sum((CASE WHEN j < 32 THEN (lo >> j) & 1 ELSE (hi >> (j - 32)) & 1 END) * 2 - 1) AS v
          |  FROM th CROSS JOIN generate_series(0, 63) g(j) GROUP BY doc_id, j
-         |), sig AS (SELECT doc_id, j, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit FROM vote),
-         |ham AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |         sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS h
-         |  FROM sig a JOIN sig b ON a.j = b.j AND a.doc_id < b.doc_id GROUP BY 1, 2
-         |), approx AS (SELECT id_a, id_b FROM ham WHERE h <= 3),
+         |), sig AS ( -- signature as two 32-bit halves (2^63 would overflow BIGINT)
+         |  SELECT doc_id,
+         |    sum(CASE WHEN v > 0 AND j < 32 THEN 1 << j ELSE 0 END) AS slo,
+         |    sum(CASE WHEN v > 0 AND j >= 32 THEN 1 << (j - 32) ELSE 0 END) AS shi
+         |  FROM vote GROUP BY doc_id
+         |), banded AS ( -- the pigeonhole 4x16-bit banding, like the engine
+         |  SELECT doc_id, slo, shi, 0 AS band, slo & 65535 AS bits FROM sig
+         |  UNION ALL SELECT doc_id, slo, shi, 1, (slo >> 16) & 65535 FROM sig
+         |  UNION ALL SELECT doc_id, slo, shi, 2, shi & 65535 FROM sig
+         |  UNION ALL SELECT doc_id, slo, shi, 3, (shi >> 16) & 65535 FROM sig
+         |), approx AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi)) <= 3
+         |),
          |${recallTail}""".stripMargin,
     "dedup_embed_recall" ->
       s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
