@@ -10,12 +10,21 @@ import graft.search.{IndexSearcher, Query}
   * the block-max req-opt path). Results are asserted identical before
   * timing — this measures the pruning win, not a behavior change.
   *
-  * Usage: runMain graft.PruneBench <indexDir> [trials]
+  * Dynamic pruning only has something to skip when one scoring task owns a
+  * large posting volume: per-(segment, bucket) tasks over small buckets
+  * decode in microseconds and the wall time is all job scheduling. The
+  * `--build` mode constructs that regime on purpose — N synthetic pages in
+  * ONE docID bucket (bucketShift 21), so the per-task scan is the dominant
+  * term, exactly like a 10^12-doc bucket on a real cluster.
+  *
+  * Usage: runMain graft.PruneBench <indexDir> [trials] [--build <nDocs>]
   */
 object PruneBench {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse(sys.error("usage: PruneBench <indexDir> [trials]"))
+    val dir = args.headOption.getOrElse(sys.error("usage: PruneBench <indexDir> [trials] [--build n]"))
     val trials = args.lift(1).map(_.toInt).getOrElse(3)
+    val buildN = if (args.contains("--build"))
+      Some(args(args.indexOf("--build") + 1).toLong) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -26,6 +35,14 @@ object PruneBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    buildN.foreach { n =>
+      import spark.implicits._
+      val pages = graft.corpus.Corpus.pages(spark, n).map(p => (p.url, p.text))
+      graft.index.IndexBuilder.buildSegment(pages, s"$dir/seg0",
+        graft.index.IndexConfig(bucketShift = 21, numPostingPartitions = 32,
+          numDocPartitions = 32))
+      println(s"[prune] built $n-doc single-bucket segment at $dir/seg0")
+    }
     val se = IndexSearcher.open(spark, dir)
     val queries = Seq(
       "the OR of OR court"       -> "pure OR (WAND)",

@@ -1311,7 +1311,12 @@ object SparkEntry {
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           sum($"l_quantity").as("sum_qty"),
-          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"),
+          // exact decimal summation, ONE double conversion at the end:
+          // order-dependent double partial sums drift ~1e-4 at 1e10
+          // magnitude over 10^6-row groups — enough to flip the 4-dp
+          // rounding against any independent oracle at sf >= 1.0
+          round(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+            .cast("decimal(30,6)")).cast("double"), 4).as("revenue"),
           count(lit(1)).as("n"))
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
@@ -2405,7 +2410,7 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "rel_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(30,6))::DOUBLE, 4) AS revenue,
         |       count(*) AS n
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "rel_join_topk" ->

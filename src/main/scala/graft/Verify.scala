@@ -5,7 +5,18 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    // optional 3rd arg: "skip=a,b,c" (exclude) or "only=a,b,c" (restrict) —
+    // used by the off-driver large-SF sweeps to separate the tractable
+    // entries from the Ω(n²)-candidate validation baselines
+    val (skip, only) = args.lift(2) match {
+      case Some(s) if s.startsWith("skip=") =>
+        (s.stripPrefix("skip=").split(",").toSet, Set.empty[String])
+      case Some(s) if s.startsWith("only=") =>
+        (Set.empty[String], s.stripPrefix("only=").split(",").toSet)
+      case _ => (Set.empty[String], Set.empty[String])
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -17,10 +28,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      if (!skip.contains(name) && (only.isEmpty || only.contains(name))) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name.parquet")
+          println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
