@@ -37,11 +37,14 @@ object PruneBench {
 
     buildN.foreach { n =>
       import spark.implicits._
+      // one docID bucket regardless of n: the per-task posting volume IS
+      // the experiment variable
+      val shift = math.max(21, 64 - java.lang.Long.numberOfLeadingZeros(n - 1))
       val pages = graft.corpus.Corpus.pages(spark, n).map(p => (p.url, p.text))
       graft.index.IndexBuilder.buildSegment(pages, s"$dir/seg0",
-        graft.index.IndexConfig(bucketShift = 21, numPostingPartitions = 32,
+        graft.index.IndexConfig(bucketShift = shift, numPostingPartitions = 32,
           numDocPartitions = 32))
-      println(s"[prune] built $n-doc single-bucket segment at $dir/seg0")
+      println(s"[prune] built $n-doc single-bucket segment at $dir/seg0 (shift $shift)")
     }
     val se = IndexSearcher.open(spark, dir)
     val queries = Seq(
