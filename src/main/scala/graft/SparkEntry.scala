@@ -1069,6 +1069,34 @@ object SparkEntry {
         s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding", 0.3,
         dim = 64, planes = 6, tables = 8)
         .orderBy(col("id_a"), col("id_b"))),
+    "mm_decode" -> ((s, d) => {
+      // REAL image decode, no stub: deterministic PNGs rendered per doc
+      // (JDK ImageIO), shipped as a binary column, header-parsed back in a
+      // batched per-partition pass — dimensions/format from the ACTUAL
+      // bytes. The oracle recomputes the deterministic dimensions from ids.
+      import s.implicits._
+      val imgs = docsDf(s, d).select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.syntheticPng((id % 64 + 16).toInt,
+            ((id * 7) % 48 + 16).toInt, id))
+        }).toDF("id", "png")
+      Multimodal.decodeImages(s, imgs, "id", "png")
+        .toDF("id", "width", "height", "format")
+        .orderBy($"id")
+    }),
+    "mm_audio" -> ((s, d) => {
+      // REAL audio decode (JDK javax.sound): deterministic 16-bit mono
+      // WAVs, header-parsed back to (frames, sample_rate, channels)
+      import s.implicits._
+      val wavs = docsDf(s, d).select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.syntheticWav((id % 1000 + 100).toInt,
+            (8000 + (id % 4) * 4000).toInt, id))
+        }).toDF("id", "wav")
+      Multimodal.decodeAudio(s, wavs, "id", "wav")
+        .toDF("id", "frames", "sample_rate", "channels")
+        .orderBy($"id")
+    }),
     "dedup_minhash_recall" -> ((s, d) =>
       // official recall row for the minhash-LSH family: the portable md5
       // hash family makes signatures, banding, verification AND recall
@@ -2198,6 +2226,14 @@ object SparkEntry {
         |  FROM t
         |)
         |SELECT doc_id, ntok FROM c WHERE cum <= 12000 ORDER BY doc_id""".stripMargin,
+    "mm_decode" ->
+      """SELECT doc_id AS id, (doc_id % 64 + 16)::INT AS width,
+        |       ((doc_id * 7) % 48 + 16)::INT AS height, 'png' AS format
+        |FROM documents ORDER BY id""".stripMargin,
+    "mm_audio" ->
+      """SELECT doc_id AS id, (doc_id % 1000 + 100)::BIGINT AS frames,
+        |       (8000 + (doc_id % 4) * 4000)::INT AS sample_rate, 1 AS channels
+        |FROM documents ORDER BY id""".stripMargin,
     "dedup_minhash_recall" ->
       s"""WITH ${jaccardExactCtes},
          |mh AS (
