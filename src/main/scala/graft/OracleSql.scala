@@ -183,11 +183,12 @@ object OracleSql {
       |       round(CASE WHEN t = 0 THEN 1.0 ELSE f::DOUBLE / t END, 4) AS recall
       |FROM fnd, tot""".stripMargin
 
-  /** Shared CTE fragment: exact w=2 Jaccard>=0.5 pairs over `documents`
-    * (the dedup_jaccard oracle's pipeline as named CTEs `sh`/`exact`).
+  /** Shared CTE fragment: exact w=2 Jaccard >= `minJ` pairs over
+    * `documents` (the dedup_jaccard oracle's pipeline as named CTEs
+    * `sh`/`exact`).
     */
-  val jaccardExactCtes: String =
-    """t AS (
+  def jaccardExactCtes(minJ: Double = 0.5): String =
+    s"""t AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
       |         generate_subscripts(string_split(text, ' '), 1) AS pos
       |  FROM documents
@@ -204,7 +205,7 @@ object OracleSql {
       |exact AS (
       |  SELECT id_a, id_b FROM jp
       |  JOIN jn na ON na.id = id_a JOIN jn nb ON nb.id = id_b
-      |  WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 4) >= 0.5
+      |  WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 4) >= $minJ
       |)""".stripMargin
 
   /** Matching doc_ids (no scores). */

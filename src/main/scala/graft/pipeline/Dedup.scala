@@ -272,21 +272,28 @@ object Dedup {
       .where(col("sig_sim") >= minSigSim)
   }
 
-  /** One-row (found, total, recall): exact-Jaccard pairs recovered by the
-    * portable minhash-LSH pipeline. `recallFloor` is asserted in-entry, so
-    * the official CORRECTNESS row gates approximation quality AND
-    * stability (the hash family is deterministic).
+  /** One-row (found, total, recall): exact-Jaccard pairs at or above
+    * `truthThreshold` recovered by the portable minhash-LSH pipeline
+    * operating at `threshold`. The two thresholds are deliberately
+    * distinct — the standard LSH evaluation: an LSH scheme tuned at J=t
+    * has provably DECAYING recall for pairs sitting exactly at t (the
+    * S-curve's midpoint: a J=0.5 pair's 16-hash signature estimates < t
+    * half the time), so the guarantee is stated for the band the pipeline
+    * targets (J ≥ truthThreshold), while pairs between the thresholds are
+    * best-effort. `recallFloor` is asserted in-entry, so the official
+    * CORRECTNESS row gates approximation quality AND stability (the hash
+    * family is deterministic).
     */
   def minHashRecall(
       df: DataFrame, idCol: String, textCol: String,
-      w: Int = 2, threshold: Double = 0.5,
-      bands: Int = 4, rowsPerBand: Int = 4, minSigSim: Double = 0.5,
+      w: Int = 2, threshold: Double = 0.5, truthThreshold: Double = 0.8,
+      bands: Int = 8, rowsPerBand: Int = 2, minSigSim: Double = 0.5,
       recallFloor: Double = 0.0
   ): DataFrame = {
     val sigs = minHashSignaturesPortable(df, idCol, textCol, w, bands * rowsPerBand)
     val approx = lshBandPairsFromSigs(sigs, bands, rowsPerBand, minSigSim)
       .select(col("id_a"), col("id_b"))
-    val exact = jaccardPairs(df, idCol, textCol, w, threshold)
+    val exact = jaccardPairs(df, idCol, textCol, w, truthThreshold)
       .select(col("id_a"), col("id_b"))
     recallRow(df, exact, approx, recallFloor)
   }
@@ -304,14 +311,16 @@ object Dedup {
       graft.functions.VecExpressions.simHash64(hs).as("simhash"))
   }
 
-  /** One-row (found, total, recall): exact-Jaccard pairs whose portable
-    * simhash signatures land within `maxHamming` — band bucketing
-    * (pigeonhole, recall 1 on signatures) + exact hamming verify, the
-    * [[simHashPairs]] shape.
+  /** One-row (found, total, recall): exact-Jaccard pairs at or above
+    * `truthThreshold` whose portable simhash signatures land within
+    * `maxHamming` — band bucketing (pigeonhole, recall 1 on signatures) +
+    * exact hamming verify, the [[simHashPairs]] shape. Hamming ≤ 3 of 64
+    * targets near-identical documents, so the stated band is high-J (see
+    * [[minHashRecall]] on threshold-vs-truth separation).
     */
   def simHashRecall(
       df: DataFrame, idCol: String, textCol: String,
-      w: Int = 2, threshold: Double = 0.5, maxHamming: Int = 3,
+      w: Int = 2, truthThreshold: Double = 0.9, maxHamming: Int = 3,
       recallFloor: Double = 0.0
   ): DataFrame = {
     val bands = maxHamming + 1
@@ -331,7 +340,7 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"))
-    val exact = jaccardPairs(df, idCol, textCol, w, threshold)
+    val exact = jaccardPairs(df, idCol, textCol, w, truthThreshold)
       .select(col("id_a"), col("id_b"))
     recallRow(df, exact, approx, recallFloor)
   }

@@ -212,6 +212,33 @@ final class IbScorer(
   def weightD: Double = boost
 }
 
+/** Divergence-from-independence scorer (ref
+  * `search/similarities/DFISimilarity.java:score`): expected =
+  * (F+1)·dl/(sttf+1); score 0 when freq ≤ expected, else boost ·
+  * log2(measure+1) with measure ∈ {Standardized (f−e)/√e, Saturated
+  * (f−e)/e, ChiSquared (f−e)²/e} (`IndependenceStandardized/Saturated/
+  * ChiSquared.java`). Monotone in freq, antitone in dl (expected grows
+  * with dl) → impacts-skyline bounded.
+  */
+final class DfiScorer(
+    measure: Int /* 0=Standardized 1=Saturated 2=ChiSquared */,
+    ttf: Long, sttf: Long, boost: Double, floatExact: Boolean) extends SimScorer {
+  def score(freq: Int, norm: Int): Double = scoreF(freq.toDouble, norm)
+  override def scoreF(freq: Double, norm: Int): Double = {
+    val dl = SmallFloat.lengthTable(norm & 0xff).toDouble
+    val expected = (ttf + 1) * dl / (sttf + 1)
+    if (freq <= expected) return 0.0
+    val m = measure match {
+      case 0 => (freq - expected) / math.sqrt(expected)
+      case 1 => (freq - expected) / expected
+      case _ => (freq - expected) * (freq - expected) / expected
+    }
+    val s = boost * (math.log(m + 1) / DfrScorer.Log2)
+    if (floatExact) s.toFloat.toDouble else s
+  }
+  def weightD: Double = boost
+}
+
 /** Feature-value scorer (ref `document/FeatureField.java` LinearFunction /
   * LogFunction / SaturationFunction SimScorers): the posting frequency IS
   * the 17-bit float encoding of the feature value; the score is a monotone

@@ -84,6 +84,20 @@ object Similarity {
       distribution: IbDist = IbDist.LL,
       lambda: IbLambda = IbLambda.DF,
       normalization: TfNorm = TfNorm.H1()) extends Similarity
+
+  /** DFI independence measures (ref `IndependenceStandardized/Saturated/
+    * ChiSquared.java`).
+    */
+  sealed trait DfiMeasure extends Serializable
+  object DfiMeasure {
+    case object Standardized extends DfiMeasure
+    case object Saturated extends DfiMeasure
+    case object ChiSquared extends DfiMeasure
+  }
+
+  /** Divergence from independence (ref `DFISimilarity.java`). */
+  final case class Dfi(measure: DfiMeasure = DfiMeasure.Standardized)
+      extends Similarity
 }
 
 final case class ScoredDoc(docId: Long, score: Double)
@@ -569,6 +583,10 @@ final class IndexSearcher(
         // blend), ttf summed (like the LM cases above)
         dfrIbScorer(s, terms.map(t => ts(t).docFreq).max,
           terms.map(t => ts(t).totalTermFreq).sum, st, boost)
+      case Similarity.Dfi(m) =>
+        new DfiScorer(IndexSearcher.dfiMeasureOrd(m),
+          terms.map(t => ts(t).totalTermFreq).sum, st.sumTotalTermFreq,
+          boost, precision == Precision.FloatExact)
     }
   }
 
@@ -656,6 +674,9 @@ final class IndexSearcher(
           precision == Precision.FloatExact)
       case s: Similarity.Dfr => dfrIbScorer(s, df, ttf, st, boost)
       case s: Similarity.Ib  => dfrIbScorer(s, df, ttf, st, boost)
+      case Similarity.Dfi(m) =>
+        new DfiScorer(IndexSearcher.dfiMeasureOrd(m), ttf, st.sumTotalTermFreq,
+          boost, precision == Precision.FloatExact)
     }
 
   // ------------------------------------------------------------ blocks
@@ -1444,6 +1465,10 @@ final class IndexSearcher(
         case s @ (_: Similarity.Dfr | _: Similarity.Ib) =>
           dfrIbScorer(s, terms.map(t => ts(t).docFreq).max,
             terms.map(t => ts(t).totalTermFreq).sum, stats, 1.0)
+        case Similarity.Dfi(m) =>
+          new DfiScorer(IndexSearcher.dfiMeasureOrd(m),
+            terms.map(t => ts(t).totalTermFreq).sum, stats.sumTotalTermFreq,
+            1.0, precision == Precision.FloatExact)
       }
     phraseFreqs(terms, textByDocId).toDF("docId", "freq")
       .join(docsTable.select($"docId", $"norm"), "docId")
@@ -1916,6 +1941,12 @@ object IndexSearcher {
   }
 
   /** Any positional (phrase / multiphrase) node anywhere in the tree? */
+  private[search] def dfiMeasureOrd(m: Similarity.DfiMeasure): Int = m match {
+    case Similarity.DfiMeasure.Standardized => 0
+    case Similarity.DfiMeasure.Saturated    => 1
+    case Similarity.DfiMeasure.ChiSquared   => 2
+  }
+
   def hasPhrase(q: Query): Boolean = q match {
     case _: PhraseQuery      => true
     case _: MultiPhraseQuery => true

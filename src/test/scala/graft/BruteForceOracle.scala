@@ -69,6 +69,13 @@ final class BruteForceOracle(
       }
       new IbScorer(dist == Similarity.IbDist.SPL, l, h2, c,
         sumTtf / docCount.toDouble, boost, floatExact = true)
+    case Similarity.Dfi(m) =>
+      val ord = m match {
+        case Similarity.DfiMeasure.Standardized => 0
+        case Similarity.DfiMeasure.Saturated    => 1
+        case Similarity.DfiMeasure.ChiSquared   => 2
+      }
+      new DfiScorer(ord, ttf, sumTtf, boost, floatExact = true)
   }
 
   private val scorerCache = scala.collection.mutable.HashMap[(String, Double), SimScorer]()

@@ -246,7 +246,9 @@ class IndexSearchSpec extends SparkTestBase {
       d <- Seq(Similarity.IbDist.LL, Similarity.IbDist.SPL)
       l <- Seq(Similarity.IbLambda.DF, Similarity.IbLambda.TTF)
       n <- Seq(Similarity.TfNorm.H1(1.0), Similarity.TfNorm.H2(1.0))
-    } yield Similarity.Ib(d, l, n))
+    } yield Similarity.Ib(d, l, n)) ++
+      Seq(Similarity.DfiMeasure.Standardized, Similarity.DfiMeasure.Saturated,
+        Similarity.DfiMeasure.ChiSquared).map(Similarity.Dfi(_))
     for (sim <- sims) {
       val se = new IndexSearcher(spark, Seq(Manifest.read(segDir).get),
         similarity = sim)
