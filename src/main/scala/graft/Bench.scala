@@ -61,12 +61,13 @@ object Bench {
       "ft_suggest_infix", "ft_stem_topk", "ft_nb_classify", "text_shingles",
       "ft_classic_parse", "ft_multiphrase_topk", "ft_interval_topk",
       "ft_field_phrase", "text_repetition",
-      "ft_dfr_topk", "ft_ib_topk", "ft_dfi_topk", "ft_synonym_index",
+      "ft_dfr_topk", "ft_ib_topk", "ft_dfi_topk", "ft_axiomatic_topk",
+      "ft_synonym_index",
       "ft_highlight_offsets", "mm_decode",
       "ft_wildcard_lead", "ft_suggest_weighted", "ft_parent_join_avg",
       "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_embed",
       "dedup_clusters", "pipe_split", "pipe_token_budget",
-      "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
+      "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_sq_rescore",
       "text_quality", "text_termstats",
       "mm_meta", "rel_agg", "rel_window_top2", "rel_json"
     )

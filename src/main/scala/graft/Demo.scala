@@ -105,7 +105,7 @@ object Demo {
           s"${finalSegs.map(_.docCount).sum} docs total")
       case "search" :: dir :: rest if rest.nonEmpty =>
         // optional similarity knob (ref IndexSearcher#setSimilarity):
-        //   Demo search <dir> --sim=classic|bool|lm|lmjm <query...>
+        //   Demo search <dir> --sim=classic|bool|lm|lmjm|dfr|ib|dfi|f1exp..f3log <query...>
         val (simOpt, qrest) = rest.partition(_.startsWith("--sim="))
         val sim = simOpt.lastOption.map(_.stripPrefix("--sim=")).map {
           case "bm25"    => graft.search.Similarity.Bm25
@@ -113,6 +113,15 @@ object Demo {
           case "bool"    => graft.search.Similarity.Bool
           case "lm"      => graft.search.Similarity.LmDirichlet()
           case "lmjm"    => graft.search.Similarity.LmJelinekMercer()
+          case "dfr"     => graft.search.Similarity.Dfr()
+          case "ib"      => graft.search.Similarity.Ib()
+          case "dfi"     => graft.search.Similarity.Dfi()
+          case "f1exp"   => graft.search.Similarity.Axiomatic(graft.search.Similarity.AxVariant.F1EXP)
+          case "f1log"   => graft.search.Similarity.Axiomatic(graft.search.Similarity.AxVariant.F1LOG)
+          case "f2exp"   => graft.search.Similarity.Axiomatic(graft.search.Similarity.AxVariant.F2EXP)
+          case "f2log"   => graft.search.Similarity.Axiomatic(graft.search.Similarity.AxVariant.F2LOG)
+          case "f3exp"   => graft.search.Similarity.Axiomatic(graft.search.Similarity.AxVariant.F3EXP)
+          case "f3log"   => graft.search.Similarity.Axiomatic(graft.search.Similarity.AxVariant.F3LOG)
           case other => throw new IllegalArgumentException(s"unknown similarity $other")
         }.getOrElse(graft.search.Similarity.Bm25)
         val searcher = IndexSearcher.open(spark, dir, similarity = sim)
@@ -239,7 +248,7 @@ object Demo {
       case _ =>
         System.err.println(
           "usage: Demo index <dir> <nDocs> [--positions] [--fields] " +
-            "| search <dir> [--sim=classic|bool|lm|lmjm] <query...> " +
+            "| search <dir> [--sim=classic|bool|lm|lmjm|dfr|ib|dfi|f1exp..f3log] <query...> " +
             "| phrase <dir> <terms...> | ingest <dir> <batches> <perBatch> " +
             "| forcemerge <dir> [maxSegments] | snapshot <dir> " +
             "| rollback <dir> <gen> | backup <dir> <dest> | stats <dir> " +

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.index.{IndexBuilder, IndexConfig, Manifest}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+import graft.pipeline.{Dedup, Multimodal, Quantize, Similarity, TextOps}
 import graft.search._
 import graft.streaming.Streaming
 
@@ -71,6 +71,7 @@ object SparkEntry {
     dfrSearchers.remove(sfDir)
     ibSearchers.remove(sfDir)
     dfiSearchers.remove(sfDir)
+    axSearchers.remove(sfDir)
     synSearchers.remove(sfDir)
     offsSearchers.remove(sfDir)
     def rm(f: java.io.File): Unit = {
@@ -253,6 +254,18 @@ object SparkEntry {
       val base = searcherFor(spark, sfDir)
       new IndexSearcher(spark, base.segments, precision = Precision.DoubleOracle,
         k1 = K1, b = B, similarity = graft.search.Similarity.Ib())
+    })
+
+  private val axSearchers = TrieMap[String, IndexSearcher]()
+
+  /** Same segments, scored with the F2EXP axiomatic model (ref
+    * `similarities/AxiomaticF2EXP.java` — tfln growth, exponential idf).
+    */
+  private def axSearcherFor(spark: SparkSession, sfDir: String): IndexSearcher =
+    axSearchers.getOrElseUpdate(sfDir, {
+      val base = searcherFor(spark, sfDir)
+      new IndexSearcher(spark, base.segments, precision = Precision.DoubleOracle,
+        k1 = K1, b = B, similarity = graft.search.Similarity.Axiomatic())
     })
 
   private val dfiSearchers = TrieMap[String, IndexSearcher]()
@@ -472,6 +485,15 @@ object SparkEntry {
       // measure): expected = (F+1)*dl/(sttf+1); score = log2(1 +
       // (tf-expected)/sqrt(expected)) when tf > expected, else 0
       val se = dfiSearcherFor(s, d)
+      import s.implicits._
+      se.fetchDocs(topKVerified(se, Query.or("data", "query"), 10))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc).limit(10)
+    }),
+    "ft_axiomatic_topk" -> ((s, d) => {
+      // axiomatic F2EXP (ref AxiomaticF2EXP): per-term score =
+      // freq/(freq + s + s*dl/avgdl) * ((N+1)/df)^k, s=0.25, k=0.35
+      val se = axSearcherFor(s, d)
       import s.implicits._
       se.fetchDocs(topKVerified(se, Query.or("data", "query"), 10))
         .select(docIdOf($"url"), round($"score", 6).as("score"))
@@ -1166,6 +1188,24 @@ object SparkEntry {
         .as[Array[Float]].head()
       Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 10, excludeId = Some(0L))
     }),
+    "ann_sq_topk" -> ((s, d) =>
+      // int7 scalar-quantized cosine top-k (ref ScalarQuantizer.java:50-51):
+      // byte = round((x-lo)*127/(hi-lo)), x^ = lo + byte*(hi-lo)/127; the
+      // fit is the exact global [min,max] so the ranking is a pure function
+      // the DuckDB oracle replicates
+      Quantize.topK(s.read.parquet(s"$d/embeddings.parquet"),
+        "vec_id", "embedding", queryId = 0L, k = 10)),
+    "ann_sq_rescore" -> ((s, d) =>
+      // two-stage quantized search: top-50 by quantized sim, exact rescore
+      // of the 50 (ref Lucene99ScalarQuantizedVectorScorer quantized
+      // scoring + rescore) — equals the exact top-10 (oracle asserts)
+      Quantize.topKRescored(s.read.parquet(s"$d/embeddings.parquet"),
+        "vec_id", "embedding", queryId = 0L, k = 10, c = 50)),
+    "ann_sq_recall" -> ((s, d) =>
+      // (found, total, recall): exact top-10 recovered by the PURE quantized
+      // ranking (no rescore) — both sides deterministic, full SQL oracle
+      Quantize.recall(s.read.parquet(s"$d/embeddings.parquet"),
+        "vec_id", "embedding", queryId = 0L, k = 10, recallFloor = 0.8)),
     "ann_lsh_topk" -> ((s, d) => // no SQL oracle: LSH bucketing approximation
       Similarity.lshTopK(s.read.parquet(s"$d/embeddings.parquet"),
         "vec_id", "embedding", dim = 64, k = 5)
@@ -1667,6 +1707,37 @@ object SparkEntry {
          |  FROM tf JOIN ttf USING (term) JOIN qlen USING (doc_id)
          |), scored AS (
          |  SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id HAVING sum(s) > 0
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM scored
+         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+    "ft_axiomatic_topk" -> {
+      val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+         |), dlen AS (
+         |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+         |), qlen AS (
+         |  SELECT doc_id,
+         |    (SELECT max(v) FROM (VALUES $vals) b4(v) WHERE v <= dl) AS qdl
+         |  FROM dlen
+         |), stats AS (
+         |  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         |         (SELECT sum(dl) FROM dlen)::DOUBLE
+         |           / (SELECT count(*) FROM documents) AS avgdl
+         |), tf AS (
+         |  SELECT doc_id, term, count(*)::DOUBLE AS freq FROM tok
+         |  WHERE term IN ('data', 'query') GROUP BY doc_id, term
+         |), df AS (
+         |  SELECT term, count(DISTINCT doc_id)::DOUBLE AS n FROM tok
+         |  WHERE term IN ('data', 'query') GROUP BY term
+         |), sc AS (
+         |  SELECT tf.doc_id,
+         |    (tf.freq / (tf.freq + 0.25 + 0.25 * qlen.qdl / (SELECT avgdl FROM stats)))
+         |      * pow(((SELECT n_docs FROM stats) + 1.0) / df.n, 0.35) AS s
+         |  FROM tf JOIN df USING (term) JOIN qlen USING (doc_id)
+         |), scored AS (
+         |  SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id
          |)
          |SELECT doc_id, round(score, 6) AS score FROM scored
          |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
@@ -2389,6 +2460,55 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON b.vec_id <> 0
         |WHERE a.vec_id = 0
         |ORDER BY sim DESC, b.vec_id ASC LIMIT 10""".stripMargin,
+    "ann_sq_topk" ->
+      """WITH bounds AS (
+        |  SELECT min(list_aggregate(embedding::DOUBLE[], 'min')) AS lo,
+        |         max(list_aggregate(embedding::DOUBLE[], 'max')) AS hi
+        |  FROM embeddings
+        |), deq AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> lo + round((x - lo) * (127.0/(hi - lo))) * ((hi - lo)/127.0)) AS v
+        |  FROM embeddings, bounds
+        |)
+        |SELECT b.vec_id, round(list_cosine_similarity(a.v, b.v), 4) AS sim
+        |FROM deq a JOIN deq b ON b.vec_id <> 0
+        |WHERE a.vec_id = 0
+        |ORDER BY sim DESC, b.vec_id ASC LIMIT 10""".stripMargin,
+    "ann_sq_rescore" ->
+      """SELECT b.vec_id,
+        |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+        |FROM embeddings a JOIN embeddings b ON b.vec_id <> 0
+        |WHERE a.vec_id = 0
+        |ORDER BY sim DESC, b.vec_id ASC LIMIT 10""".stripMargin,
+    "ann_sq_recall" ->
+      """WITH bounds AS (
+        |  SELECT min(list_aggregate(embedding::DOUBLE[], 'min')) AS lo,
+        |         max(list_aggregate(embedding::DOUBLE[], 'max')) AS hi
+        |  FROM embeddings
+        |), deq AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> lo + round((x - lo) * (127.0/(hi - lo))) * ((hi - lo)/127.0)) AS v
+        |  FROM embeddings, bounds
+        |), approx AS (
+        |  SELECT b.vec_id AS id_a, 0 AS id_b,
+        |         round(list_cosine_similarity(a.v, b.v), 4) AS sim
+        |  FROM deq a JOIN deq b ON b.vec_id <> 0
+        |  WHERE a.vec_id = 0
+        |  ORDER BY sim DESC, b.vec_id ASC LIMIT 10
+        |), exact AS (
+        |  SELECT b.vec_id AS id_a, 0 AS id_b,
+        |         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id <> 0
+        |  WHERE a.vec_id = 0
+        |  ORDER BY sim DESC, b.vec_id ASC LIMIT 10
+        |),
+        |fnd AS (SELECT count(*) AS f FROM exact JOIN approx USING (id_a, id_b)),
+        |tot AS (SELECT count(*) AS t FROM exact)
+        |SELECT f::BIGINT AS found, t::BIGINT AS total,
+        |       round(CASE WHEN t = 0 THEN 1.0 ELSE f::DOUBLE / t END, 4) AS recall
+        |FROM fnd, tot""".stripMargin,
     "ann_ivf_exact" ->
       """SELECT b.vec_id,
         |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim

@@ -239,6 +239,65 @@ final class DfiScorer(
   def weightD: Double = boost
 }
 
+/** Axiomatic-retrieval scorer (ref `search/similarities/Axiomatic.java`
+  * score composition, :111-118): score = max(0, boost · (tf · ln · tfln ·
+  * idf − gamma)) where the six F{1,2,3}{EXP,LOG} variants pick components
+  * (`AxiomaticF1EXP/F1LOG/F2EXP/F2LOG/F3EXP/F3LOG.java`):
+  *
+  *  - tf (F1/F3) = 1 + ln(1 + ln(freq + 1)); 1 for F2;
+  *  - ln (F1) = (avgdl + s)/(avgdl + dl·s); 1 for F2/F3;
+  *  - tfln (F2) = freq/(freq + s + s·dl/avgdl); 1 for F1/F3;
+  *  - idf — EXP: ((N+1)/n)^k; LOG: ln((N+1)/n) — precomputed into `idf`;
+  *  - gamma (F3) = (dl − queryLen)·s·queryLen/avgdl; 0 for F1/F2.
+  *
+  * Every component is non-decreasing in freq and non-increasing in dl
+  * (gamma grows with dl and is subtracted), so the impacts skyline bounds
+  * the score like the other models. `floatExact` narrows the final double
+  * like `SimilarityBase$BasicSimScorer#score`.
+  */
+final class AxiomaticScorer(
+    tfOn: Boolean, lnOn: Boolean, tflnOn: Boolean, gammaOn: Boolean,
+    idf: Double, s: Double, queryLen: Int, avgdl: Double,
+    boost: Double, floatExact: Boolean) extends SimScorer {
+  def score(freq: Int, norm: Int): Double = scoreF(freq.toDouble, norm)
+  override def scoreF(freq: Double, norm: Int): Double = {
+    val dl = SmallFloat.lengthTable(norm & 0xff).toDouble
+    val tf = if (tfOn) 1 + math.log(1 + math.log(freq + 1)) else 1.0
+    val ln = if (lnOn) (avgdl + s) / (avgdl + dl * s) else 1.0
+    val tfln = if (tflnOn) freq / (freq + s + s * dl / avgdl) else 1.0
+    val gamma = if (gammaOn) (dl - queryLen) * s * queryLen / avgdl else 0.0
+    val sc = boost * (tf * ln * tfln * idf - gamma)
+    val clamped = if (sc > 0.0) sc else 0.0
+    if (floatExact) clamped.toFloat.toDouble else clamped
+  }
+  def weightD: Double = boost * idf
+}
+
+object AxiomaticScorer {
+  /** Build the variant's component mix from (pseudo-)term stats — idf is a
+    * pure function of (df, N, k), precomputed here; the per-(freq, norm)
+    * components run inside the scorer.
+    */
+  def apply(ax: Similarity.Axiomatic, df: Long, docCount: Long,
+            sumTtf: Long, boost: Double, floatExact: Boolean): AxiomaticScorer = {
+    import Similarity.AxVariant._
+    val exp = ax.variant match {
+      case F1EXP | F2EXP | F3EXP => true
+      case _                     => false
+    }
+    val idf =
+      if (exp) math.pow((docCount + 1.0) / df, ax.k) // AxiomaticF1EXP:79-81
+      else math.log((docCount + 1.0) / df) // AxiomaticF1LOG:71-73
+    val (tfOn, lnOn, tflnOn, gammaOn) = ax.variant match {
+      case F1EXP | F1LOG => (true, true, false, false)
+      case F2EXP | F2LOG => (false, false, true, false)
+      case F3EXP | F3LOG => (true, false, false, true)
+    }
+    new AxiomaticScorer(tfOn, lnOn, tflnOn, gammaOn, idf, ax.s, ax.queryLen,
+      sumTtf / docCount.toDouble, boost, floatExact)
+  }
+}
+
 /** Feature-value scorer (ref `document/FeatureField.java` LinearFunction /
   * LogFunction / SaturationFunction SimScorers): the posting frequency IS
   * the 17-bit float encoding of the feature value; the score is a monotone

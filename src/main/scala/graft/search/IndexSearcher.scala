@@ -98,6 +98,30 @@ object Similarity {
   /** Divergence from independence (ref `DFISimilarity.java`). */
   final case class Dfi(measure: DfiMeasure = DfiMeasure.Standardized)
       extends Similarity
+
+  /** Axiomatic variants (ref `AxiomaticF1EXP/F1LOG/F2EXP/F2LOG/F3EXP/
+    * F3LOG.java`): F1 = tf·ln·idf, F2 = tfln·idf, F3 = tf·idf − gamma;
+    * EXP/LOG pick the idf form (((N+1)/n)^k vs ln((N+1)/n)).
+    */
+  sealed trait AxVariant extends Serializable
+  object AxVariant {
+    case object F1EXP extends AxVariant; case object F1LOG extends AxVariant
+    case object F2EXP extends AxVariant; case object F2LOG extends AxVariant
+    case object F3EXP extends AxVariant; case object F3LOG extends AxVariant
+  }
+
+  /** Axiomatic approaches to IR (ref `search/similarities/Axiomatic.java`,
+    * Fang & Zhai SIGIR'05); hyperparameters and defaults as the reference
+    * (:38-104): s = growth, k = primitive weighting (EXP only), queryLen
+    * feeds F3's gamma.
+    */
+  final case class Axiomatic(
+      variant: AxVariant = AxVariant.F2EXP,
+      s: Double = 0.25, k: Double = 0.35, queryLen: Int = 1) extends Similarity {
+    require(s >= 0 && s <= 1 && java.lang.Double.isFinite(s), s"illegal s $s")
+    require(k >= 0 && k <= 1 && java.lang.Double.isFinite(k), s"illegal k $k")
+    require(queryLen >= 0, s"illegal queryLen $queryLen")
+  }
 }
 
 final case class ScoredDoc(docId: Long, score: Double)
@@ -587,6 +611,9 @@ final class IndexSearcher(
         new DfiScorer(IndexSearcher.dfiMeasureOrd(m),
           terms.map(t => ts(t).totalTermFreq).sum, st.sumTotalTermFreq,
           boost, precision == Precision.FloatExact)
+      case ax: Similarity.Axiomatic =>
+        AxiomaticScorer(ax, terms.map(t => ts(t).docFreq).max, st.docCount,
+          st.sumTotalTermFreq, boost, precision == Precision.FloatExact)
     }
   }
 
@@ -677,6 +704,9 @@ final class IndexSearcher(
       case Similarity.Dfi(m) =>
         new DfiScorer(IndexSearcher.dfiMeasureOrd(m), ttf, st.sumTotalTermFreq,
           boost, precision == Precision.FloatExact)
+      case ax: Similarity.Axiomatic =>
+        AxiomaticScorer(ax, df, st.docCount, st.sumTotalTermFreq, boost,
+          precision == Precision.FloatExact)
     }
 
   // ------------------------------------------------------------ blocks
@@ -1469,6 +1499,10 @@ final class IndexSearcher(
           new DfiScorer(IndexSearcher.dfiMeasureOrd(m),
             terms.map(t => ts(t).totalTermFreq).sum, stats.sumTotalTermFreq,
             1.0, precision == Precision.FloatExact)
+        case ax: Similarity.Axiomatic =>
+          AxiomaticScorer(ax, terms.map(t => ts(t).docFreq).max,
+            stats.docCount, stats.sumTotalTermFreq, 1.0,
+            precision == Precision.FloatExact)
       }
     phraseFreqs(terms, textByDocId).toDF("docId", "freq")
       .join(docsTable.select($"docId", $"norm"), "docId")

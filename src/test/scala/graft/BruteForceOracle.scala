@@ -76,6 +76,8 @@ final class BruteForceOracle(
         case Similarity.DfiMeasure.ChiSquared   => 2
       }
       new DfiScorer(ord, ttf, sumTtf, boost, floatExact = true)
+    case ax: Similarity.Axiomatic =>
+      AxiomaticScorer(ax, df, docCount, sumTtf, boost, floatExact = true)
   }
 
   private val scorerCache = scala.collection.mutable.HashMap[(String, Double), SimScorer]()

@@ -235,9 +235,10 @@ class IndexSearchSpec extends SparkTestBase {
     }
   }
 
-  test("DFR and IB similarity duels: engine == oracle, pruned == exhaustive") {
+  test("DFR, IB, DFI and Axiomatic similarity duels: engine == oracle, pruned == exhaustive") {
     // every component combination: {In, IF} x {L, B} x {H1, H2} for DFR,
-    // {LL, SPL} x {DF, TTF} x {H1, H2} for IB
+    // {LL, SPL} x {DF, TTF} x {H1, H2} for IB, the 3 DFI measures, and the
+    // 6 axiomatic F{1,2,3}{EXP,LOG} variants
     val sims: Seq[Similarity] = (for {
       m <- Seq(Similarity.DfrModel.In, Similarity.DfrModel.IF)
       a <- Seq(Similarity.DfrAfterEffect.L, Similarity.DfrAfterEffect.B)
@@ -248,7 +249,11 @@ class IndexSearchSpec extends SparkTestBase {
       n <- Seq(Similarity.TfNorm.H1(1.0), Similarity.TfNorm.H2(1.0))
     } yield Similarity.Ib(d, l, n)) ++
       Seq(Similarity.DfiMeasure.Standardized, Similarity.DfiMeasure.Saturated,
-        Similarity.DfiMeasure.ChiSquared).map(Similarity.Dfi(_))
+        Similarity.DfiMeasure.ChiSquared).map(Similarity.Dfi(_)) ++
+      Seq(Similarity.AxVariant.F1EXP, Similarity.AxVariant.F1LOG,
+        Similarity.AxVariant.F2EXP, Similarity.AxVariant.F2LOG,
+        Similarity.AxVariant.F3EXP, Similarity.AxVariant.F3LOG)
+        .map(v => Similarity.Axiomatic(v))
     for (sim <- sims) {
       val se = new IndexSearcher(spark, Seq(Manifest.read(segDir).get),
         similarity = sim)

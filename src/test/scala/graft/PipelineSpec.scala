@@ -236,6 +236,41 @@ class PipelineSpec extends SparkTestBase {
     assert(sameCluster >= 9, s"1-probe should stay in-cluster, got $sameCluster/10")
   }
 
+  test("scalar quantization: byte storage, bounded error, rescore == exact") {
+    import graft.pipeline.Quantize
+    import spark.implicits._
+    val (lo, hi) = Quantize.fit(emb, "embedding")
+    assert(hi > lo)
+    val alpha = (hi - lo) / 127.0
+
+    // persisted form is 1 byte/component; reconstruction error <= alpha/2
+    val enc = emb.select($"vec_id", Quantize.encode($"embedding", lo, hi).as("q"),
+      $"embedding")
+    assert(enc.schema("q").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.ByteType)
+    val maxErr = enc
+      .select(array_max(zip_with(
+        Quantize.dequantize($"q", lo, hi),
+        transform($"embedding", x => x.cast("double")),
+        (a, b) => abs(a - b))).as("e"))
+      .agg(max($"e")).head().getDouble(0)
+    assert(maxErr <= alpha / 2 + 1e-12, s"max reconstruction error $maxErr > alpha/2 ${alpha / 2}")
+
+    // two-stage quantized search with a modest rescore pool equals the
+    // exact brute force (ids and sims)
+    val qv = emb.where($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 10,
+      excludeId = Some(0L)).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rescored = Quantize.topKRescored(emb, "vec_id", "embedding", 0L, 10, c = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rescored == exact, "rescored quantized top-10 != exact top-10")
+
+    // official recall row shape + floor
+    val r = Quantize.recall(emb, "vec_id", "embedding", 0L, 10, recallFloor = 0.8)
+      .head()
+    assert(r.getLong(1) == 10 && r.getDouble(2) >= 0.8)
+  }
+
   test("multimodal: binary plumbing + stub decode matches formula") {
     val meta = Multimodal.extractMeta(spark,
       Multimodal.withBinary(docs, "text", "payload"), "doc_id", "payload").collect()
