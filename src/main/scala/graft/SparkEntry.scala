@@ -1100,6 +1100,17 @@ object SparkEntry {
       graft.pipeline.Sampling.takeTokenBudget(docs, "doc_id", "ntok", 12000L)
         .select($"doc_id", $"ntok").orderBy($"doc_id")
     }),
+    "pipe_pack" -> ((s, d) => {
+      // sequence packing (concat-and-chunk): global token offsets in
+      // deterministic hash order, cut into 2048-token training windows —
+      // executed as bucket totals + driver prefix-sum + per-bucket window
+      // (largest single-task sort = corpus/2^16, never the corpus)
+      import s.implicits._
+      val docs = docsDf(s, d)
+        .select($"doc_id", size(split($"text", " ")).cast("bigint").as("ntok"))
+      graft.pipeline.Sampling.packSequences(docs, "doc_id", "ntok", seqLen = 2048L)
+        .orderBy($"doc_id")
+    }),
     "dedup_minhash_lsh" -> ((s, d) => // no SQL oracle: seeded-hash approximation
       Dedup.minHashLshPairs(docsDf(s, d), "doc_id", "text", w = 2,
         bands = 8, rowsPerBand = 4, minSigSim = 0.5)
@@ -2353,6 +2364,21 @@ object SparkEntry {
         |  FROM t
         |)
         |SELECT doc_id, ntok FROM c WHERE cum <= 12000 ORDER BY doc_id""".stripMargin,
+    "pipe_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS ntok,
+        |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, ntok,
+        |         sum(ntok) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+        |           - ntok AS start_off
+        |  FROM t
+        |)
+        |SELECT doc_id, ntok, start_off,
+        |       start_off // 2048 AS bin_first,
+        |       (start_off + ntok - 1) // 2048 AS bin_last
+        |FROM c ORDER BY doc_id""".stripMargin,
     "mm_decode" ->
       """SELECT doc_id AS id, (doc_id % 64 + 16)::INT AS width,
         |       ((doc_id * 7) % 48 + 16)::INT AS height, 'png' AS format

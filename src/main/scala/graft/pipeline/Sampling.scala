@@ -137,4 +137,54 @@ object Sampling {
 
     recurse(withHash, 0L, 32).drop("__h")
   }
+
+  /** Sequence packing (concat-and-chunk): documents are concatenated in the
+    * deterministic (hash(id), id) shuffle order and the token stream is cut
+    * into fixed `seqLen` training windows — the standard pretraining
+    * packing step. Each document gets its global token `start_off` and the
+    * window range it lands in (`bin_first`..`bin_last`; documents longer
+    * than the remaining window space span bins, as concat-and-chunk
+    * prescribes).
+    *
+    * Semantics are a GLOBAL ordered cumulative sum; the execution is not:
+    * the top `bucketBits` of the 32-bit id hash slice the corpus into
+    * hash-range buckets (bucket order == global order), one metadata-sized
+    * aggregate computes per-bucket token totals, the driver prefix-sums
+    * them into bucket offsets (≤ 2^bucketBits rows), and a per-bucket
+    * window adds the local cumsum — so the largest single-task sort is
+    * corpus/2^bucketBits, never the corpus. Two shuffles total (the
+    * aggregate + the bucket-partitioned window).
+    *
+    * Output is a pure function of (id, tokens) pairs — rerun-stable,
+    * partitioning-independent, SQL-oracle-replicable.
+    */
+  def packSequences(
+      df: DataFrame, idCol: String, tokensCol: String, seqLen: Long,
+      bucketBits: Int = 16
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen > 0, s"bad seqLen $seqLen")
+    require(bucketBits >= 1 && bucketBits <= 20, s"bad bucketBits $bucketBits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bucketed = df
+      .withColumn("__h", hash32(col(idCol)))
+      .withColumn("__b", shiftright(col("__h"), 32 - bucketBits))
+    // per-bucket token totals: ≤ 2^bucketBits rows — driver prefix-sum
+    val totals = bucketed.groupBy(col("__b"))
+      .agg(sum(col(tokensCol)).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    var cum = 0L
+    val offsets = totals.map { case (b, t) => val o = (b, cum); cum += t; o }
+    val offsetsDf = broadcast(offsets.toSeq.toDF("__b", "__off"))
+    val w = Window.partitionBy(col("__b")).orderBy(col("__h"), col(idCol))
+    bucketed.join(offsetsDf, "__b")
+      .withColumn("__end", sum(col(tokensCol)).over(w) + col("__off"))
+      .withColumn("start_off", col("__end") - col(tokensCol))
+      .select(col(idCol), col(tokensCol), col("start_off"),
+        // integer division (not floor-of-double): exact at any offset
+        expr(s"start_off div $seqLen").as("bin_first"),
+        expr(s"(__end - 1) div $seqLen").as("bin_last"))
+  }
 }

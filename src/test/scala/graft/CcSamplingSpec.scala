@@ -139,6 +139,41 @@ class CcSamplingSpec extends SparkTestBase {
     }
   }
 
+  test("packSequences == global concat-and-chunk; partitioning-independent") {
+    import spark.implicits._
+    val n = 900L
+    val rows = (0L until n).map(i => (i, 3L + i % 41))
+    val df = rows.toDF("id", "ntok")
+    def h32(i: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(i.toString.getBytes("UTF-8"))
+          .take(4).map(b => f"$b%02x").mkString, 16)
+    // driver brute: global (hash, id) order, exclusive prefix sums, chunk
+    val seqLen = 64L
+    var cum = 0L
+    val brute = rows.sortBy { case (i, _) => (h32(i), i) }.map { case (i, t) =>
+      val start = cum; cum += t
+      (i, (start, start / seqLen, (start + t - 1) / seqLen))
+    }.toMap
+    def check(d: org.apache.spark.sql.DataFrame): Unit = {
+      val got = Sampling.packSequences(d, "id", "ntok", seqLen)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got == brute, "packing drifted from the global concat-and-chunk order")
+    }
+    check(df)
+    check(df.repartition(7)) // pure function of (id, ntok): layout-independent
+    // few-bucket edge: everything lands in 1-2 buckets
+    val got2 = Sampling.packSequences(df, "id", "ntok", seqLen, bucketBits = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got2 == brute)
+    // stream properties: offsets tile the token stream with no gaps/overlap
+    val total = rows.map(_._2).sum
+    val spans = brute.values.map(_._1).toSeq.sorted
+    assert(spans.head == 0L && brute.values.map(_._1).toSet.size == rows.size)
+    assert(cum == total)
+  }
+
   test("sampleByStratum keeps a stable deterministic subset") {
     import spark.implicits._
     val df = (0L until 2000L).toDF("id")
