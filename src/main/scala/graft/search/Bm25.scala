@@ -155,14 +155,12 @@ final class LmJelinekMercerScorer(
   * #score` (:188-190).
   */
 final class DfrScorer(
-    a: Double, ae: Double, h2: Boolean, c: Double, avgdl: Double,
+    a: Double, ae: Double, norm3: TfNormParams, avgdl: Double,
     boost: Double, floatExact: Boolean) extends SimScorer {
   def score(freq: Int, norm: Int): Double = scoreF(freq.toDouble, norm)
   override def scoreF(freq: Double, norm: Int): Double = {
     val dl = SmallFloat.lengthTable(norm & 0xff).toDouble
-    val tfn =
-      if (h2) freq * (math.log(1 + c * avgdl / dl) / DfrScorer.Log2)
-      else freq * c * avgdl / dl
+    val tfn = norm3.tfn(freq, dl, avgdl)
     val s = boost * a * ae * (1 - 1 / (1 + tfn))
     if (floatExact) s.toFloat.toDouble else s
   }
@@ -170,6 +168,23 @@ final class DfrScorer(
   def weightD: Double = boost * a * ae
 }
 object DfrScorer { val Log2: Double = math.log(2.0) }
+
+/** Normalized term frequency tfn(freq, dl) shared by DFR and IB (ref the
+  * `Normalization` hierarchy): H1 linear (`NormalizationH1.java:56-58`), H2
+  * logarithmic (`NormalizationH2.java:57-59`), H3 Dirichlet-prior smoothing
+  * (`NormalizationH3.java:49-53`; `p` = the reference's float-narrowed
+  * (ttf+1f)/(sumTtf+1f)), Z Pareto-Zipf (`NormalizationZ.java:49-51`).
+  * Every variant is increasing in freq and decreasing in dl, preserving the
+  * impacts-skyline bound.
+  */
+final case class TfNormParams(kind: Int /*0=H1 1=H2 2=H3 3=Z*/, c: Double, p: Double) {
+  def tfn(freq: Double, dl: Double, avgdl: Double): Double = kind match {
+    case 0 => freq * c * avgdl / dl
+    case 1 => freq * (math.log(1 + c * avgdl / dl) / DfrScorer.Log2)
+    case 2 => (freq + c * p) / (dl + c) * c // c = mu (NormalizationH3:50-52)
+    case _ => freq * math.pow(avgdl / dl, c) // c = z  (NormalizationZ:50)
+  }
+}
 
 /** Information-based scorer (ref `search/similarities/IBSimilarity.java`
   * score = boost · distribution(tfn, λ)):
@@ -186,14 +201,12 @@ object DfrScorer { val Log2: Double = math.log(2.0) }
   * Monotone in freq, antitone in dl (λ ∈ (0,1)) → impacts-skyline bounded.
   */
 final class IbScorer(
-    spl: Boolean, lambda: Double, h2: Boolean, c: Double, avgdl: Double,
+    spl: Boolean, lambda: Double, norm3: TfNormParams, avgdl: Double,
     boost: Double, floatExact: Boolean) extends SimScorer {
   def score(freq: Int, norm: Int): Double = scoreF(freq.toDouble, norm)
   override def scoreF(freq: Double, norm: Int): Double = {
     val dl = SmallFloat.lengthTable(norm & 0xff).toDouble
-    val tfn =
-      if (h2) freq * (math.log(1 + c * avgdl / dl) / DfrScorer.Log2)
-      else freq * c * avgdl / dl
+    val tfn = norm3.tfn(freq, dl, avgdl)
     val d =
       if (!spl) -math.log(lambda / (tfn + lambda))
       else {

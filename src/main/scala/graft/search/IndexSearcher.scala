@@ -55,12 +55,19 @@ object Similarity {
   }
 
   /** Term-frequency normalizations shared by DFR and IB (ref
-    * `NormalizationH1.java` / `NormalizationH2.java`).
+    * `NormalizationH1/H2/H3/Z.java`; defaults as the reference: H3 μ=800,
+    * Z z=0.30).
     */
   sealed trait TfNorm extends Serializable
   object TfNorm {
     final case class H1(c: Double = 1.0) extends TfNorm
     final case class H2(c: Double = 1.0) extends TfNorm
+    final case class H3(mu: Double = 800.0) extends TfNorm {
+      require(mu > 0, s"illegal mu $mu")
+    }
+    final case class Z(z: Double = 0.30) extends TfNorm {
+      require(z > 0 && z < 0.5, s"illegal z $z") // NormalizationZ:38-41
+    }
   }
 
   /** Divergence from randomness (ref `DFRSimilarity.java`); the default
@@ -626,9 +633,16 @@ final class IndexSearcher(
   ): SimScorer = {
     val floatExact = precision == Precision.FloatExact
     val avgdl = st.sumTotalTermFreq / st.docCount.toDouble
-    def tfNorm(nz: Similarity.TfNorm): (Boolean, Double) = nz match {
-      case Similarity.TfNorm.H1(c) => (false, c)
-      case Similarity.TfNorm.H2(c) => (true, c)
+    def tfNorm(nz: Similarity.TfNorm): TfNormParams = nz match {
+      case Similarity.TfNorm.H1(c) => TfNormParams(0, c, 0)
+      case Similarity.TfNorm.H2(c) => TfNormParams(1, c, 0)
+      case Similarity.TfNorm.H3(mu) =>
+        // p = (ttf+1f)/(sumTtf+1f), float-narrowed like NormalizationH3:50
+        val p =
+          if (floatExact) ((ttf + 1f) / (st.sumTotalTermFreq + 1f)).toDouble
+          else (ttf + 1d) / (st.sumTotalTermFreq + 1d)
+        TfNormParams(2, mu, p)
+      case Similarity.TfNorm.Z(z) => TfNormParams(3, z, 0)
     }
     sim match {
       case Similarity.Dfr(model, ae, nz) =>
@@ -642,8 +656,7 @@ final class IndexSearcher(
           case Similarity.DfrAfterEffect.B => (ttf + 1.0) / df // AfterEffectB:35
           case Similarity.DfrAfterEffect.L => 1.0
         }
-        val (h2, c) = tfNorm(nz)
-        new DfrScorer(a, aeV, h2, c, avgdl, boost, floatExact)
+        new DfrScorer(a, aeV, tfNorm(nz), avgdl, boost, floatExact)
       case Similarity.Ib(dist, lam, nz) =>
         var l = lam match {
           case Similarity.IbLambda.DF  => (df + 1.0) / (st.docCount + 1.0)
@@ -655,8 +668,8 @@ final class IndexSearcher(
             case Similarity.IbLambda.DF  => math.nextDown(1.0)
             case Similarity.IbLambda.TTF => math.nextUp(1.0)
           }
-        val (h2, c) = tfNorm(nz)
-        new IbScorer(dist == Similarity.IbDist.SPL, l, h2, c, avgdl, boost, floatExact)
+        new IbScorer(dist == Similarity.IbDist.SPL, l, tfNorm(nz), avgdl,
+          boost, floatExact)
       case other => throw new IllegalArgumentException(s"not DFR/IB: $other")
     }
   }

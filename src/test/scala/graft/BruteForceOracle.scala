@@ -26,6 +26,14 @@ final class BruteForceOracle(
   def totalTermFreq(term: String): Long =
     docTf.map(d => if (d._1.containsKey(term)) d._1.get(term).toLong else 0L).sum
 
+  private def tfNormParams(nz: Similarity.TfNorm, ttf: Long): TfNormParams = nz match {
+    case Similarity.TfNorm.H1(c)  => TfNormParams(0, c, 0)
+    case Similarity.TfNorm.H2(c)  => TfNormParams(1, c, 0)
+    case Similarity.TfNorm.H3(mu) =>
+      TfNormParams(2, mu, ((ttf + 1f) / (sumTtf + 1f)).toDouble)
+    case Similarity.TfNorm.Z(z)   => TfNormParams(3, z, 0)
+  }
+
   private def mkScorer(df: Long, ttf: Long, boost: Double): SimScorer = similarity match {
     case Similarity.Bm25 =>
       // boost folds into the float weight, same expression as the engine
@@ -48,11 +56,8 @@ final class BruteForceOracle(
         case Similarity.DfrAfterEffect.B => (ttf + 1.0) / df
         case Similarity.DfrAfterEffect.L => 1.0
       }
-      val (h2, c) = nz match {
-        case Similarity.TfNorm.H1(c) => (false, c)
-        case Similarity.TfNorm.H2(c) => (true, c)
-      }
-      new DfrScorer(a, aeV, h2, c, sumTtf / docCount.toDouble, boost, floatExact = true)
+      new DfrScorer(a, aeV, tfNormParams(nz, ttf),
+        sumTtf / docCount.toDouble, boost, floatExact = true)
     case Similarity.Ib(dist, lam, nz) =>
       var l = (lam match {
         case Similarity.IbLambda.DF  => (df + 1.0) / (docCount + 1.0)
@@ -63,11 +68,7 @@ final class BruteForceOracle(
           case Similarity.IbLambda.DF  => math.nextDown(1.0)
           case Similarity.IbLambda.TTF => math.nextUp(1.0)
         }
-      val (h2, c) = nz match {
-        case Similarity.TfNorm.H1(c) => (false, c)
-        case Similarity.TfNorm.H2(c) => (true, c)
-      }
-      new IbScorer(dist == Similarity.IbDist.SPL, l, h2, c,
+      new IbScorer(dist == Similarity.IbDist.SPL, l, tfNormParams(nz, ttf),
         sumTtf / docCount.toDouble, boost, floatExact = true)
     case Similarity.Dfi(m) =>
       val ord = m match {

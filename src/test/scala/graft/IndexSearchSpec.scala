@@ -239,14 +239,16 @@ class IndexSearchSpec extends SparkTestBase {
     // every component combination: {In, IF} x {L, B} x {H1, H2} for DFR,
     // {LL, SPL} x {DF, TTF} x {H1, H2} for IB, the 3 DFI measures, and the
     // 6 axiomatic F{1,2,3}{EXP,LOG} variants
+    val norms: Seq[Similarity.TfNorm] = Seq(Similarity.TfNorm.H1(1.0),
+      Similarity.TfNorm.H2(1.0), Similarity.TfNorm.H3(), Similarity.TfNorm.Z())
     val sims: Seq[Similarity] = (for {
       m <- Seq(Similarity.DfrModel.In, Similarity.DfrModel.IF)
       a <- Seq(Similarity.DfrAfterEffect.L, Similarity.DfrAfterEffect.B)
-      n <- Seq(Similarity.TfNorm.H1(1.0), Similarity.TfNorm.H2(1.0))
+      n <- norms
     } yield Similarity.Dfr(m, a, n)) ++ (for {
       d <- Seq(Similarity.IbDist.LL, Similarity.IbDist.SPL)
       l <- Seq(Similarity.IbLambda.DF, Similarity.IbLambda.TTF)
-      n <- Seq(Similarity.TfNorm.H1(1.0), Similarity.TfNorm.H2(1.0))
+      n <- norms
     } yield Similarity.Ib(d, l, n)) ++
       Seq(Similarity.DfiMeasure.Standardized, Similarity.DfiMeasure.Saturated,
         Similarity.DfiMeasure.ChiSquared).map(Similarity.Dfi(_)) ++
