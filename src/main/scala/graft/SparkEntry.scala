@@ -72,6 +72,7 @@ object SparkEntry {
     ibSearchers.remove(sfDir)
     dfiSearchers.remove(sfDir)
     axSearchers.remove(sfDir)
+    pfSearchers.remove(sfDir)
     synSearchers.remove(sfDir)
     offsSearchers.remove(sfDir)
     def rm(f: java.io.File): Unit = {
@@ -268,6 +269,21 @@ object SparkEntry {
         k1 = K1, b = B, similarity = graft.search.Similarity.Axiomatic())
     })
 
+  private val pfSearchers = TrieMap[String, IndexSearcher]()
+
+  /** The multi-field segments scored per field (ref
+    * `PerFieldSimilarityWrapper.java`): title = ClassicSimilarity, every
+    * other field = BM25.
+    */
+  private def perFieldSearcherFor(spark: SparkSession, sfDir: String): IndexSearcher =
+    pfSearchers.getOrElseUpdate(sfDir, {
+      val base = fieldSearcherFor(spark, sfDir)
+      new IndexSearcher(spark, base.segments, precision = Precision.DoubleOracle,
+        k1 = K1, b = B,
+        similarity = graft.search.Similarity.PerField(
+          Map("title" -> graft.search.Similarity.Classic)))
+    })
+
   private val dfiSearchers = TrieMap[String, IndexSearcher]()
 
   /** Same segments, scored with divergence from independence (ref
@@ -412,6 +428,16 @@ object SparkEntry {
       // field-scoped BM25: per-field docCount/avgdl/norms (title = first 8
       // tokens, body = rest); cross-field disjunction sums per-field scores
       val se = fieldSearcherFor(s, d)
+      import s.implicits._
+      se.fetchDocs(topKVerified(se, se.parse("title:data OR body:query"), 10))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc).limit(10)
+    }),
+    "ft_perfield_topk" -> ((s, d) => {
+      // per-field similarity (ref PerFieldSimilarityWrapper): the title
+      // clause scores under ClassicSimilarity (tf-idf), the body clause
+      // under BM25 — one boolean query, two scoring models, clause-summed
+      val se = perFieldSearcherFor(s, d)
       import s.implicits._
       se.fetchDocs(topKVerified(se, se.parse("title:data OR body:query"), 10))
         .select(docIdOf($"url"), round($"score", 6).as("score"))
@@ -1503,6 +1529,39 @@ object SparkEntry {
          |tsc AS (SELECT ttf.doc_id,
          |  (SELECT idf FROM tidf) - (SELECT idf FROM tidf) / (1 + ttf.freq *
          |    (1.0 / (1.2 * (0.25 + 0.75 * tq.qdl / (SELECT avgdl FROM tstats))))) AS s
+         |  FROM ttf JOIN tq USING (doc_id)),
+         |bsc AS (SELECT btf.doc_id,
+         |  (SELECT idf FROM bidf) - (SELECT idf FROM bidf) / (1 + btf.freq *
+         |    (1.0 / (1.2 * (0.25 + 0.75 * bq.qdl / (SELECT avgdl FROM bstats))))) AS s
+         |  FROM btf JOIN bq USING (doc_id)),
+         |scored AS (SELECT doc_id, sum(s) AS score
+         |           FROM (SELECT * FROM tsc UNION ALL SELECT * FROM bsc)
+         |           GROUP BY doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM scored
+         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+    "ft_perfield_topk" -> {
+      val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |tfld AS (SELECT doc_id, list_slice(ts, 1, 8) AS toks FROM base),
+         |bfld AS (SELECT doc_id, list_slice(ts, 9, len(ts)) AS toks FROM base),
+         |tlen AS (SELECT doc_id, len(toks) AS dl FROM tfld),
+         |blen AS (SELECT doc_id, len(toks) AS dl FROM bfld),
+         |tq AS (SELECT doc_id, dl, (SELECT max(v) FROM (VALUES $vals) b4(v) WHERE v <= dl) AS qdl FROM tlen),
+         |bq AS (SELECT doc_id, dl, (SELECT max(v) FROM (VALUES $vals) b4(v) WHERE v <= dl) AS qdl FROM blen),
+         |tstats AS (SELECT count(*) FILTER (dl > 0)::DOUBLE AS n FROM tlen),
+         |bstats AS (SELECT count(*) FILTER (dl > 0)::DOUBLE AS n,
+         |                  sum(dl)::DOUBLE / count(*) FILTER (dl > 0)::DOUBLE AS avgdl FROM blen),
+         |ttf AS (SELECT doc_id, count(*)::DOUBLE AS freq
+         |        FROM (SELECT doc_id, unnest(toks) AS term FROM tfld)
+         |        WHERE term = 'data' GROUP BY doc_id),
+         |btf AS (SELECT doc_id, count(*)::DOUBLE AS freq
+         |        FROM (SELECT doc_id, unnest(toks) AS term FROM bfld)
+         |        WHERE term = 'query' GROUP BY doc_id),
+         |tidf AS (SELECT ln(((SELECT n FROM tstats) + 1) / (count(*) + 1.0)) + 1.0 AS idf FROM ttf),
+         |bidf AS (SELECT ln(1 + ((SELECT n FROM bstats) - count(*) + 0.5) / (count(*) + 0.5)) AS idf FROM btf),
+         |tsc AS (SELECT ttf.doc_id,
+         |  sqrt(ttf.freq) * (SELECT idf FROM tidf) * (1.0 / sqrt(tq.qdl)) AS s
          |  FROM ttf JOIN tq USING (doc_id)),
          |bsc AS (SELECT btf.doc_id,
          |  (SELECT idf FROM bidf) - (SELECT idf FROM bidf) / (1 + btf.freq *

@@ -311,6 +311,36 @@ object AxiomaticScorer {
   }
 }
 
+/** Raw-term-frequency scorer (ref `RawTFSimilarity.java`: score =
+  * boost·freq, norm ignored). Monotone in freq, constant in dl.
+  */
+final class RawTfScorer(boost: Double, floatExact: Boolean) extends SimScorer {
+  def score(freq: Int, norm: Int): Double = scoreF(freq.toDouble, norm)
+  override def scoreF(freq: Double, norm: Int): Double =
+    if (floatExact) (boost.toFloat * freq.toFloat).toDouble else boost * freq
+  def weightD: Double = boost
+}
+
+/** Sum of sub-scorers (ref `MultiSimilarity.MultiSimScorer:55-69`: the subs
+  * accumulate in a double, the result narrows to float in float-exact
+  * mode). Monotonicity in freq / antitonicity in dl is inherited from every
+  * sub-model, so the impacts skyline still bounds the sum.
+  */
+final class SumSimScorer(subsSeq: Seq[SimScorer], floatExact: Boolean) extends SimScorer {
+  private val subs: Array[SimScorer] = subsSeq.toArray
+  def score(freq: Int, norm: Int): Double = {
+    var s = 0.0; var i = 0
+    while (i < subs.length) { s += subs(i).score(freq, norm); i += 1 }
+    if (floatExact) s.toFloat.toDouble else s
+  }
+  override def scoreF(freq: Double, norm: Int): Double = {
+    var s = 0.0; var i = 0
+    while (i < subs.length) { s += subs(i).scoreF(freq, norm); i += 1 }
+    if (floatExact) s.toFloat.toDouble else s
+  }
+  def weightD: Double = subs.map(_.weightD).sum
+}
+
 /** Feature-value scorer (ref `document/FeatureField.java` LinearFunction /
   * LogFunction / SaturationFunction SimScorers): the posting frequency IS
   * the 17-bit float encoding of the feature value; the score is a monotone

@@ -129,6 +129,36 @@ object Similarity {
     require(k >= 0 && k <= 1 && java.lang.Double.isFinite(k), s"illegal k $k")
     require(queryLen >= 0, s"illegal queryLen $queryLen")
   }
+
+  /** Raw term frequency (ref `RawTFSimilarity.java`): score = boost·freq. */
+  case object RawTf extends Similarity
+
+  /** Sum of sub-model scores (ref `MultiSimilarity.java:55-69` — double
+    * accumulation, float narrowing in float-exact mode).
+    */
+  final case class Multi(sims: Seq[Similarity]) extends Similarity {
+    require(sims.nonEmpty, "empty sub-similarity list")
+    require(!sims.exists(_.isInstanceOf[PerField]),
+      "PerField wraps Multi, not vice versa (ref PerFieldSimilarityWrapper)")
+  }
+
+  /** Per-field scoring model (ref `PerFieldSimilarityWrapper.java`): the
+    * field resolved from the query term picks the model; unlisted fields
+    * (and bare default-field terms) use `default`.
+    */
+  final case class PerField(
+      byField: Map[String, Similarity], default: Similarity = Bm25)
+      extends Similarity {
+    require(!default.isInstanceOf[PerField] &&
+      !byField.valuesIterator.exists(_.isInstanceOf[PerField]),
+      "nested PerField")
+  }
+
+  /** The model `field` scores under — identity for every non-PerField sim. */
+  def forField(sim: Similarity, field: String): Similarity = sim match {
+    case PerField(m, d) => m.getOrElse(field, d)
+    case s              => s
+  }
 }
 
 final case class ScoredDoc(docId: Long, score: Double)
@@ -438,8 +468,10 @@ final class IndexSearcher(
         val stats = sq.synonyms.flatMap(ts.get)
         val df = if (stats.isEmpty) 0L else stats.map(_.docFreq).max
         val ttf = stats.map(_.totalTermFreq).sum // SynonymQuery ttf = sum
-        val st = statsFor(graft.index.FieldKey.fieldOf(sq.synonyms.head))
-        Map(Executor.skey(sq.key, boost) -> simScorer(df, ttf, st, boost))
+        val field = graft.index.FieldKey.fieldOf(sq.synonyms.head)
+        Map(Executor.skey(sq.key, boost) ->
+          simScorerX(Similarity.forField(similarity, field), df, ttf,
+            statsFor(field), boost))
       case cf: CombinedFieldQuery =>
         Map(Executor.skey(cf.key, boost) -> combinedFieldSim(cf, ts, boost))
       case fq: FeatureQuery =>
@@ -578,9 +610,15 @@ final class IndexSearcher(
     * (similarity, precision) mode — the multi-term stats construction shared
     * by phrase and multiphrase weights.
     */
-  private def sumIdfSim(terms: Seq[String], ts: Map[String, TermStat], boost: Double): SimScorer = {
+  private def sumIdfSim(terms: Seq[String], ts: Map[String, TermStat], boost: Double): SimScorer =
+    sumIdfSimX(
+      Similarity.forField(similarity, graft.index.FieldKey.fieldOf(terms.head)),
+      terms, ts, boost)
+
+  private def sumIdfSimX(
+      sim: Similarity, terms: Seq[String], ts: Map[String, TermStat], boost: Double): SimScorer = {
     val st = statsFor(graft.index.FieldKey.fieldOf(terms.head))
-    similarity match {
+    sim match {
       case Similarity.Bm25 => precision match {
         case Precision.FloatExact =>
           val idf = terms.map(t => Bm25.idf(ts(t).docFreq, st.docCount).toDouble).sum
@@ -621,6 +659,15 @@ final class IndexSearcher(
       case ax: Similarity.Axiomatic =>
         AxiomaticScorer(ax, terms.map(t => ts(t).docFreq).max, st.docCount,
           st.sumTotalTermFreq, boost, precision == Precision.FloatExact)
+      case Similarity.RawTf =>
+        new RawTfScorer(boost, precision == Precision.FloatExact)
+      case Similarity.Multi(subs) =>
+        new SumSimScorer(subs.map(sumIdfSimX(_, terms, ts, boost)),
+          precision == Precision.FloatExact)
+      case pf: Similarity.PerField => // callers resolve; safe fallback
+        sumIdfSimX(
+          Similarity.forField(pf, graft.index.FieldKey.fieldOf(terms.head)),
+          terms, ts, boost)
     }
   }
 
@@ -678,16 +725,24 @@ final class IndexSearcher(
     ts.get(term) match {
       case None => new ConstScorer(0.0)
       case Some(t) =>
-        simScorer(t.docFreq, t.totalTermFreq,
-          statsFor(graft.index.FieldKey.fieldOf(term)), boost)
+        val field = graft.index.FieldKey.fieldOf(term)
+        simScorerX(Similarity.forField(similarity, field),
+          t.docFreq, t.totalTermFreq, statsFor(field), boost)
     }
 
   /** Per-term scorer for the active (similarity, precision) mode; the boost
-    * folds into the weight (ref `Similarity#scorer(boost, ...)`).
+    * folds into the weight (ref `Similarity#scorer(boost, ...)`). The
+    * 4-arg form scores under the index-default field's model; callers with
+    * a field in hand pre-resolve PerField via [[Similarity.forField]].
     */
   private def simScorer(df: Long, ttf: Long, st: CollectionStats, boost: Double): SimScorer =
+    simScorerX(Similarity.forField(similarity, graft.index.FieldKey.DefaultField),
+      df, ttf, st, boost)
+
+  private def simScorerX(
+      sim: Similarity, df: Long, ttf: Long, st: CollectionStats, boost: Double): SimScorer =
     if (df == 0) new ConstScorer(0.0)
-    else similarity match {
+    else sim match {
       case Similarity.Bm25 => precision match {
         case Precision.FloatExact =>
           new Bm25FloatScorer(k1.toFloat, b.toFloat,
@@ -720,6 +775,14 @@ final class IndexSearcher(
       case ax: Similarity.Axiomatic =>
         AxiomaticScorer(ax, df, st.docCount, st.sumTotalTermFreq, boost,
           precision == Precision.FloatExact)
+      case Similarity.RawTf =>
+        new RawTfScorer(boost, precision == Precision.FloatExact)
+      case Similarity.Multi(subs) =>
+        new SumSimScorer(subs.map(simScorerX(_, df, ttf, st, boost)),
+          precision == Precision.FloatExact)
+      case pf: Similarity.PerField => // callers resolve; default-field fallback
+        simScorerX(Similarity.forField(pf, graft.index.FieldKey.DefaultField),
+          df, ttf, st, boost)
     }
 
   // ------------------------------------------------------------ blocks
@@ -1478,45 +1541,7 @@ final class IndexSearcher(
     val ts = termStats(terms)
     val scorer: SimScorer =
       if (terms.exists(t => !ts.contains(t))) new ConstScorer(0.0)
-      else similarity match {
-        case Similarity.Bm25 => precision match {
-          case Precision.FloatExact =>
-            // idf summed in a double over float per-term idfs (ref :160-169)
-            val idf = terms.map(t => Bm25.idf(ts(t).docFreq, stats.docCount).toDouble).sum
-            new Bm25FloatScorer(k1.toFloat, b.toFloat, idf.toFloat, Bm25.avgFieldLength(stats))
-          case Precision.DoubleOracle =>
-            val idf = terms.map(t => Bm25.idfD(ts(t).docFreq, stats.docCount)).sum
-            new Bm25DoubleScorer(k1, b, idf, Bm25.avgFieldLengthD(stats))
-        }
-        case Similarity.Classic => precision match {
-          // phrase weight = boost * Σ per-term idf (ref PhraseWeight idfExplain)
-          case Precision.FloatExact =>
-            val idf = terms.map(t => TfIdf.idf(ts(t).docFreq, stats.docCount).toDouble).sum
-            new TfIdfFloatScorer(idf.toFloat)
-          case Precision.DoubleOracle =>
-            new TfIdfDoubleScorer(terms.map(t => TfIdf.idfD(ts(t).docFreq, stats.docCount)).sum)
-        }
-        case Similarity.Bool => new ConstScorer(1.0)
-        case Similarity.LmDirichlet(mu) =>
-          val ttf = terms.map(t => ts(t).totalTermFreq).sum
-          new LmDirichletScorer(mu, 1.0, (ttf + 1d) / (stats.sumTotalTermFreq + 1d),
-            precision == Precision.FloatExact)
-        case Similarity.LmJelinekMercer(lambda) =>
-          val ttf = terms.map(t => ts(t).totalTermFreq).sum
-          new LmJelinekMercerScorer(lambda, 1.0, (ttf + 1d) / (stats.sumTotalTermFreq + 1d),
-            precision == Precision.FloatExact)
-        case s @ (_: Similarity.Dfr | _: Similarity.Ib) =>
-          dfrIbScorer(s, terms.map(t => ts(t).docFreq).max,
-            terms.map(t => ts(t).totalTermFreq).sum, stats, 1.0)
-        case Similarity.Dfi(m) =>
-          new DfiScorer(IndexSearcher.dfiMeasureOrd(m),
-            terms.map(t => ts(t).totalTermFreq).sum, stats.sumTotalTermFreq,
-            1.0, precision == Precision.FloatExact)
-        case ax: Similarity.Axiomatic =>
-          AxiomaticScorer(ax, terms.map(t => ts(t).docFreq).max,
-            stats.docCount, stats.sumTotalTermFreq, 1.0,
-            precision == Precision.FloatExact)
-      }
+      else sumIdfSim(terms, ts, 1.0) // same multi-term stats blend per model
     phraseFreqs(terms, textByDocId).toDF("docId", "freq")
       .join(docsTable.select($"docId", $"norm"), "docId")
       .as[(Long, Int, Int)]

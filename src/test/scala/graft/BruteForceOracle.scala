@@ -34,7 +34,10 @@ final class BruteForceOracle(
     case Similarity.TfNorm.Z(z)   => TfNormParams(3, z, 0)
   }
 
-  private def mkScorer(df: Long, ttf: Long, boost: Double): SimScorer = similarity match {
+  private def mkScorer(df: Long, ttf: Long, boost: Double): SimScorer =
+    mkScorerSim(similarity, df, ttf, boost)
+
+  private def mkScorerSim(sim: Similarity, df: Long, ttf: Long, boost: Double): SimScorer = sim match {
     case Similarity.Bm25 =>
       // boost folds into the float weight, same expression as the engine
       new Bm25FloatScorer(1.2f, 0.75f, boost.toFloat * Bm25.idf(df, docCount), avgdl)
@@ -79,6 +82,12 @@ final class BruteForceOracle(
       new DfiScorer(ord, ttf, sumTtf, boost, floatExact = true)
     case ax: Similarity.Axiomatic =>
       AxiomaticScorer(ax, df, docCount, sumTtf, boost, floatExact = true)
+    case Similarity.RawTf => new RawTfScorer(boost, floatExact = true)
+    case Similarity.Multi(subs) =>
+      new SumSimScorer(subs.map(mkScorerSim(_, df, ttf, boost)), floatExact = true)
+    case pf: Similarity.PerField => // single-field oracle: default field
+      mkScorerSim(Similarity.forField(pf, graft.index.FieldKey.DefaultField),
+        df, ttf, boost)
   }
 
   private val scorerCache = scala.collection.mutable.HashMap[(String, Double), SimScorer]()

@@ -255,7 +255,17 @@ class IndexSearchSpec extends SparkTestBase {
       Seq(Similarity.AxVariant.F1EXP, Similarity.AxVariant.F1LOG,
         Similarity.AxVariant.F2EXP, Similarity.AxVariant.F2LOG,
         Similarity.AxVariant.F3EXP, Similarity.AxVariant.F3LOG)
-        .map(v => Similarity.Axiomatic(v))
+        .map(v => Similarity.Axiomatic(v)) ++
+      Seq(
+        Similarity.RawTf,
+        // MultiSimilarity: double-summed sub-scores (ref MultiSimilarity.java)
+        Similarity.Multi(Seq(Similarity.Bm25, Similarity.Classic)),
+        Similarity.Multi(Seq(Similarity.LmDirichlet(), Similarity.RawTf)),
+        // PerField resolves the default field's model on a bare-term corpus
+        Similarity.PerField(Map("text" -> Similarity.LmDirichlet()),
+          default = Similarity.Classic),
+        Similarity.PerField(Map("title" -> Similarity.Classic),
+          default = Similarity.Dfi()))
     for (sim <- sims) {
       val se = new IndexSearcher(spark, Seq(Manifest.read(segDir).get),
         similarity = sim)

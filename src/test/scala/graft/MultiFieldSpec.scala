@@ -233,6 +233,42 @@ class MultiFieldSpec extends SparkTestBase {
     assert(byUrl(seM) == byUrl(searcher), "merged ranking != single-segment ranking")
   }
 
+  test("PerField similarity: field picks its model (PerFieldSimilarityWrapper)") {
+    import graft.search.Similarity
+    // title scored Classic, everything else BM25: a title-scoped query under
+    // the wrapper must equal the same query under a plain Classic searcher,
+    // and a body-scoped one must equal plain BM25 — same segments throughout
+    val wrapped = new IndexSearcher(spark, Seq(Manifest.read(segDir).get),
+      similarity = Similarity.PerField(Map("title" -> Similarity.Classic)))
+    val classic = new IndexSearcher(spark, Seq(Manifest.read(segDir).get),
+      similarity = Similarity.Classic)
+    val bm25 = searcher
+    def top(se: IndexSearcher, q: String): Seq[(Long, Double)] =
+      se.topK(se.parse(q), 10).collect().map(s => (s.docId, s.score)).toSeq
+    for (q <- Seq("title:court", "title:court OR title:law")) {
+      assert(top(wrapped, q) == top(classic, q), s"wrapper != classic for $q")
+      assert(top(wrapped, q).nonEmpty)
+    }
+    for (q <- Seq("body:court", "body:court AND body:law")) {
+      assert(top(wrapped, q) == top(bm25, q), s"wrapper != bm25 default for $q")
+      assert(top(wrapped, q).nonEmpty)
+    }
+    // mixed-field OR: each clause scores under its own field's model, the
+    // doc score is the clause sum — checked against COMPLETE per-model
+    // score maps (k = corpus size, nothing truncated)
+    def full(se: IndexSearcher, q: String): Map[Long, Double] =
+      se.topK(se.parse(q), NDocs).collect().map(s => s.docId -> s.score).toMap
+    val c = full(classic, "title:court")
+    val b = full(bm25, "body:law")
+    val mixed = top(wrapped, "title:court OR body:law")
+    assert(mixed.nonEmpty)
+    mixed.foreach { case (id, s) =>
+      val sum = c.getOrElse(id, 0.0) + b.getOrElse(id, 0.0)
+      assert(math.abs(s - sum) < 1e-9,
+        s"doc $id: wrapper OR score $s != per-model clause sum $sum")
+    }
+  }
+
   test("parseMultiField: unscoped terms expand across fields (MultiFieldQueryParser)") {
     // ranking == the hand-written per-field disjunction
     val q = searcher.parseMultiField("court law", Seq("title" -> 1.0, "body" -> 1.0))
