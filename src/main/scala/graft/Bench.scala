@@ -61,7 +61,7 @@ object Bench {
       "ft_suggest_infix", "ft_stem_topk", "ft_nb_classify", "text_shingles",
       "ft_classic_parse", "ft_multiphrase_topk", "ft_interval_topk",
       "ft_field_phrase", "text_repetition",
-      "ft_dfr_topk", "ft_ib_topk", "ft_dfi_topk", "ft_axiomatic_topk", "ft_perfield_topk",
+      "ft_dfr_topk", "ft_ib_topk", "ft_dfi_topk", "ft_axiomatic_topk", "ft_perfield_topk", "ft_multisim_topk",
       "ft_synonym_index",
       "ft_highlight_offsets", "mm_decode",
       "ft_wildcard_lead", "ft_suggest_weighted", "ft_parent_join_avg",

@@ -73,6 +73,7 @@ object SparkEntry {
     dfiSearchers.remove(sfDir)
     axSearchers.remove(sfDir)
     pfSearchers.remove(sfDir)
+    multiSearchers.remove(sfDir)
     synSearchers.remove(sfDir)
     offsSearchers.remove(sfDir)
     def rm(f: java.io.File): Unit = {
@@ -269,6 +270,20 @@ object SparkEntry {
         k1 = K1, b = B, similarity = graft.search.Similarity.Axiomatic())
     })
 
+  private val multiSearchers = TrieMap[String, IndexSearcher]()
+
+  /** Same segments, scored by the sum of BM25 and ClassicSimilarity (ref
+    * `MultiSimilarity.java`).
+    */
+  private def multiSimSearcherFor(spark: SparkSession, sfDir: String): IndexSearcher =
+    multiSearchers.getOrElseUpdate(sfDir, {
+      val base = searcherFor(spark, sfDir)
+      new IndexSearcher(spark, base.segments, precision = Precision.DoubleOracle,
+        k1 = K1, b = B,
+        similarity = graft.search.Similarity.Multi(
+          Seq(graft.search.Similarity.Bm25, graft.search.Similarity.Classic)))
+    })
+
   private val pfSearchers = TrieMap[String, IndexSearcher]()
 
   /** The multi-field segments scored per field (ref
@@ -430,6 +445,15 @@ object SparkEntry {
       val se = fieldSearcherFor(s, d)
       import s.implicits._
       se.fetchDocs(topKVerified(se, se.parse("title:data OR body:query"), 10))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc).limit(10)
+    }),
+    "ft_multisim_topk" -> ((s, d) => {
+      // MultiSimilarity (ref MultiSimilarity.java): per-term score = BM25 +
+      // ClassicSimilarity, double-accumulated
+      val se = multiSimSearcherFor(s, d)
+      import s.implicits._
+      se.fetchDocs(topKVerified(se, Query.or("data", "query"), 10))
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc).limit(10)
     }),
@@ -1368,6 +1392,14 @@ object SparkEntry {
       Streaming.sessionWindows(s, s"$d/events.parquet", "30 minutes", "0 seconds", ckpt)
         .orderBy(col("user_id"), col("session_start"))
     }),
+    "stream_dedup" -> ((s, d) => {
+      // exactly-once under at-least-once delivery: every event arrives
+      // TWICE (duplicated source files); streaming dropDuplicates on the
+      // event key restores single-delivery counts
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+      Streaming.dedupedEventCounts(s, s"$d/events.parquet", "event_id", ckpt)
+        .orderBy(col("event_type"))
+    }),
     "stream_window_agg" -> ((s, d) => {
       val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
       Streaming.windowedEventCounts(s, s"$d/events.parquet", "1 hour", "0 seconds", ckpt)
@@ -1540,6 +1572,21 @@ object SparkEntry {
          |SELECT doc_id, round(score, 6) AS score FROM scored
          |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
     },
+    "ft_multisim_topk" ->
+      (OracleSql.bm25Ctes(Seq("data", "query")) +
+        """, cidf AS (
+          |  SELECT term, ln(((SELECT n FROM stats) + 1) / (count(*) + 1)) + 1 AS idf
+          |  FROM tf GROUP BY term
+          |), csc AS (
+          |  SELECT tf.doc_id, sqrt(tf.freq) * cidf.idf * (1.0 / sqrt(qlen.qdl)) AS s
+          |  FROM tf JOIN cidf USING (term) JOIN qlen ON qlen.doc_id = tf.doc_id
+          |), scored AS (
+          |  SELECT doc_id, sum(s) AS score FROM
+          |    (SELECT doc_id, s FROM sc UNION ALL SELECT doc_id, s FROM csc)
+          |  GROUP BY doc_id
+          |)
+          |SELECT doc_id, round(score, 6) AS score FROM scored
+          |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin),
     "ft_perfield_topk" -> {
       val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
       s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
@@ -2701,6 +2748,10 @@ object SparkEntry {
         |       round(sum(value), 4) AS sum_value
         |FROM s GROUP BY user_id, sess
         |ORDER BY user_id, session_start""".stripMargin,
+    "stream_dedup" ->
+      """SELECT event_type, count(*) AS n,
+        |       round(sum(value::DECIMAL(30,6))::DOUBLE, 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       count(*) AS n, round(sum(value), 4) AS sum_value

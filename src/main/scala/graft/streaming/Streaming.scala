@@ -414,6 +414,48 @@ object Streaming {
     spark.table(sink)
   }
 
+  /** Streaming exactly-once aggregation under at-least-once delivery: the
+    * source redelivers every event (`deliveries` copies of the parquet
+    * file, the classic duplicated-delivery failure mode), the stream
+    * deduplicates on the event key before aggregating
+    * (`dropDuplicates` keyed state — the Structured Streaming dedup
+    * operator; at 100 TB the state is bounded with
+    * `withWatermark` + `dropDuplicatesWithinWatermark`, same plan shape),
+    * so the counts equal the single-delivery truth regardless of how the
+    * redelivered files interleave into micro-batches.
+    */
+  def dedupedEventCounts(
+      spark: SparkSession, parquetFile: String, keyCol: String,
+      checkpointDir: String, deliveries: Int = 2
+  ): DataFrame = {
+    require(deliveries >= 1, s"bad deliveries $deliveries")
+    val src = new java.io.File(parquetFile)
+    val d = java.nio.file.Files.createTempDirectory("graft-stream-dup")
+    (0 until deliveries).foreach { i =>
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve(s"delivery_$i.parquet"), src.toPath.toAbsolutePath)
+    }
+    val schema = spark.read.parquet(d.toString).schema
+    val agg = spark.readStream.schema(schema).parquet(d.toString)
+      .dropDuplicates(keyCol)
+      .groupBy(col("event_type"))
+      // exact decimal summation: double partial sums are order-dependent
+      // across micro-batches and would flip the 4-dp round
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(30,6)")).cast("double"), 4)
+          .as("sum_value"))
+    val sink = s"dedupagg_${System.nanoTime()}"
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("complete")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   /** Event-time tumbling-window aggregation with a watermark over a parquet
     * stream: (window_start, event_type) -> count, sum(value).
     */

@@ -236,6 +236,29 @@ class PipelineSpec extends SparkTestBase {
     assert(sameCluster >= 9, s"1-probe should stay in-cluster, got $sameCluster/10")
   }
 
+  test("streaming dedup: duplicated delivery == single delivery == batch truth") {
+    import spark.implicits._
+    val events = s"$sfDir/events.parquet"
+    def run(deliveries: Int): Seq[(String, Long, Double)] = {
+      val ckpt = tmpDir(s"dedup-ckpt-$deliveries")
+      Streaming.dedupedEventCounts(spark, events, "event_id", ckpt, deliveries)
+        .orderBy($"event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
+    val once = run(1)
+    val twice = run(2)
+    val thrice = run(3)
+    assert(once == twice && twice == thrice,
+      "redelivered events leaked through the streaming dedup")
+    val batch = spark.read.parquet(events)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"value".cast("decimal(30,6)")).cast("double"), 4).as("s"))
+      .orderBy($"event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(once == batch, "streaming dedup counts != batch truth")
+  }
+
   test("scalar quantization: byte storage, bounded error, rescore == exact") {
     import graft.pipeline.Quantize
     import spark.implicits._
