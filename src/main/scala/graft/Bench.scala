@@ -67,6 +67,7 @@ object Bench {
       "ft_wildcard_lead", "ft_suggest_weighted", "ft_parent_join_avg",
       "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_embed",
       "dedup_clusters", "pipe_split", "pipe_token_budget", "pipe_pack",
+      "pipe_decontaminate", "pipe_mix", "stream_dedup",
       "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_sq_rescore",
       "text_quality", "text_termstats",
       "mm_meta", "rel_agg", "rel_window_top2", "rel_json"

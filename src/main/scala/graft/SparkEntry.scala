@@ -1161,6 +1161,26 @@ object SparkEntry {
       graft.pipeline.Sampling.packSequences(docs, "doc_id", "ntok", seqLen = 2048L)
         .orderBy($"doc_id")
     }),
+    "pipe_decontaminate" -> ((s, d) => {
+      // benchmark decontamination: train docs sharing any distinct
+      // 3-shingle with the eval set (doc_id % 50 == 0) are dropped; the
+      // eval shingle set broadcasts — the train corpus never self-joins
+      import s.implicits._
+      val docs = docsDf(s, d)
+      val evalDf = docs.where($"doc_id" % 50 === 0)
+      val train = docs.where($"doc_id" % 50 =!= 0)
+      Dedup.decontaminate(train, "doc_id", "text", evalDf, "text", w = 3)
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+    "pipe_mix" -> ((s, d) => {
+      // deterministic data-mixture resampling: sources weighted 0.5/0.3/0.2,
+      // scarcest source caps the mixture, hashed-id threshold keeps a
+      // rerun-stable subset
+      import s.implicits._
+      graft.pipeline.Sampling.resampleMixture(docsDf(s, d), "doc_id", "source",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select($"doc_id", $"source").orderBy($"doc_id")
+    }),
     "dedup_minhash_lsh" -> ((s, d) => // no SQL oracle: seeded-hash approximation
       Dedup.minHashLshPairs(docsDf(s, d), "doc_id", "text", w = 2,
         bands = 8, rowsPerBand = 4, minSigSim = 0.5)
@@ -2470,6 +2490,30 @@ object SparkEntry {
         |  FROM t
         |)
         |SELECT doc_id, ntok FROM c WHERE cum <= 12000 ORDER BY doc_id""".stripMargin,
+    "pipe_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |wd AS (SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts,1) AS i FROM t),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+        |           || ' ' || lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS s
+        |       FROM wd),
+        |shn AS (SELECT doc_id, s FROM sh WHERE s IS NOT NULL),
+        |ev AS (SELECT DISTINCT s FROM shn WHERE doc_id % 50 = 0)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 50 <> 0 AND doc_id NOT IN (
+        |  SELECT DISTINCT doc_id FROM shn
+        |  WHERE doc_id % 50 <> 0 AND s IN (SELECT s FROM ev))
+        |ORDER BY doc_id""".stripMargin,
+    "pipe_mix" ->
+      """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |tw AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)) t(source, wt)),
+        |cap AS (SELECT min(n / wt) AS c FROM cnt JOIN tw USING (source)),
+        |fr AS (SELECT source, least(1.0, (SELECT c FROM cap) * wt / n) AS f
+        |       FROM cnt JOIN tw USING (source))
+        |SELECT d.doc_id, d.source FROM documents d JOIN fr USING (source)
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
+        |        < round(f * 1000000)
+        |ORDER BY d.doc_id""".stripMargin,
     "pipe_pack" ->
       """WITH t AS (
         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS ntok,

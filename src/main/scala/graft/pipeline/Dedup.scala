@@ -548,4 +548,31 @@ object Dedup {
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("id"), col("comp").as("cluster"))
   }
+
+  /** Benchmark decontamination: drop training documents sharing more than
+    * `maxShared` distinct word w-shingles with ANY document of the
+    * evaluation set — the n-gram-overlap decontamination step of a
+    * pretraining pipeline. The eval side is benchmark-sized, so its
+    * distinct shingle set BROADCASTS to the train scan (one narrow
+    * broadcast-hash join + a partial-agg count per train doc; the train
+    * corpus never self-joins and never shuffles its text) — the 100 TB
+    * shape.
+    */
+  def decontaminate(
+      train: DataFrame, idCol: String, textCol: String,
+      evalDf: DataFrame, evalTextCol: String,
+      w: Int = 8, maxShared: Int = 0
+  ): DataFrame = {
+    require(w >= 1 && maxShared >= 0, s"bad params w=$w maxShared=$maxShared")
+    val evalSh = evalDf
+      .select(explode(shingles(col(evalTextCol), w)).as("__sh")).distinct()
+    val contaminated = train
+      .select(col(idCol), explode(shingles(col(textCol), w)).as("__sh"))
+      .join(broadcast(evalSh), "__sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__shared")) // shingles() is per-doc distinct
+      .where(col("__shared") > maxShared)
+      .select(col(idCol))
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
 }

@@ -187,4 +187,37 @@ object Sampling {
         expr(s"start_off div $seqLen").as("bin_first"),
         expr(s"(__end - 1) div $seqLen").as("bin_last"))
   }
+
+  /** Deterministic data-mixture resampling: keep a hashed-id sample of each
+    * listed source so the kept row counts approach the `targets`
+    * proportions, capped by the scarcest source (the source whose full
+    * volume divided by its weight is smallest passes through whole; every
+    * other source downsamples to match). Rows from unlisted sources drop.
+    *
+    * The per-source keep fraction comes from ONE metadata-sized count
+    * aggregate; the filter itself is the [[hashBucket]] threshold — a pure
+    * function of the id, so the kept set is rerun-stable under any
+    * partitioning and any upstream insertion order (the property a
+    * reproducible mixture needs), and a SQL oracle reproduces it exactly.
+    */
+  def resampleMixture(
+      df: DataFrame, idCol: String, sourceCol: String,
+      targets: Map[String, Double], buckets: Int = 1000000
+  ): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0), s"bad targets $targets")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    targets.keys.foreach(s =>
+      require(counts.getOrElse(s, 0L) > 0L, s"empty or missing source $s"))
+    // weights are RELATIVE (no normalization — normalizing cancels
+    // algebraically but perturbs the doubles an external SQL replica
+    // computes); capacity = mixture size the scarcest source supports
+    val capacity = targets.map { case (s, wt) => counts(s) / wt }.min
+    val keepExpr = targets.foldLeft(lit(false)) { case (acc, (s, wt)) =>
+      val frac = math.min(1.0, capacity * wt / counts(s))
+      acc || (col(sourceCol) === s &&
+        hashBucket(col(idCol), buckets) < math.round(frac * buckets))
+    }
+    df.where(keepExpr)
+  }
 }

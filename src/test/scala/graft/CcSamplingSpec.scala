@@ -174,6 +174,29 @@ class CcSamplingSpec extends SparkTestBase {
     assert(cum == total)
   }
 
+  test("resampleMixture: scarcest source caps; proportions approach targets") {
+    import spark.implicits._
+    // src a: 4000 rows, b: 1000, c: 500 — targets 1:1:1 → c passes whole,
+    // a and b downsample toward 500 each
+    val df = ((0L until 4000L).map(i => (i, "a")) ++
+      (4000L until 5000L).map(i => (i, "b")) ++
+      (5000L until 5500L).map(i => (i, "c"))).toDF("id", "src")
+    val targets = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0)
+    val kept = Sampling.resampleMixture(df, "id", "src", targets)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("c") == 500, "scarcest source must pass through whole")
+    assert(math.abs(bySrc("a") - 500) < 100, s"src a kept ${bySrc("a")}, want ~500")
+    assert(math.abs(bySrc("b") - 500) < 100, s"src b kept ${bySrc("b")}, want ~500")
+    // stability: same result under different partitioning; unlisted drop
+    val again = Sampling.resampleMixture(df.repartition(13), "id", "src", targets)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    val partial = Sampling.resampleMixture(df, "id", "src", Map("a" -> 1.0))
+      .select($"src").distinct().collect().map(_.getString(0)).toSet
+    assert(partial == Set("a"), "unlisted sources must drop")
+  }
+
   test("sampleByStratum keeps a stable deterministic subset") {
     import spark.implicits._
     val df = (0L until 2000L).toDF("id")

@@ -236,6 +236,26 @@ class PipelineSpec extends SparkTestBase {
     assert(sameCluster >= 9, s"1-probe should stay in-cluster, got $sameCluster/10")
   }
 
+  test("decontaminate: planted n-gram overlap drops exactly the leaking docs") {
+    import spark.implicits._
+    val evalDf = Seq((100L, "alpha beta gamma delta")).toDF("id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma here"),      // shares "alpha beta gamma"
+      (2L, "x y alpha beta z"),           // shares only a 2-gram, no 3-gram
+      (3L, "beta gamma delta end start"), // shares "beta gamma delta"
+      (4L, "completely different words"), // clean
+      (5L, "al pha beta gam ma")          // clean at w=3
+    ).toDF("id", "text")
+    val kept = Dedup.decontaminate(train, "id", "text", evalDf, "text", w = 3)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 5L), s"kept $kept")
+    // maxShared tolerance: doc 1 and 3 each share ONE distinct 3-shingle
+    val tolerant = Dedup.decontaminate(train, "id", "text", evalDf, "text",
+      w = 3, maxShared = 1)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(tolerant == Set(1L, 2L, 3L, 4L, 5L), s"tolerant kept $tolerant")
+  }
+
   test("streaming dedup: duplicated delivery == single delivery == batch truth") {
     import spark.implicits._
     val events = s"$sfDir/events.parquet"
