@@ -86,6 +86,35 @@ object Plans {
         fmt(spark.read.parquet(s"$segDir/postings")
           .where($"term" === graft.index.FeatureIndexer.featureTerm("pagerank"))
           .select($"term", $"bucket", $"firstDocId", $"numDocs"))),
+      ("Scalar-quantized ANN ranking (1-byte codes, no global sort)",
+        "The quantize→dequantize→cosine pipeline stays a narrow projected " +
+          "scan feeding `TakeOrderedAndProject` (per-partition heaps) — " +
+          "at scale the persisted form is the 1-byte `array<tinyint>` codes, " +
+          "a 4x scan reduction over float32.",
+        fmt(graft.pipeline.Quantize.topK(
+          spark.read.parquet(s"$sfDir/embeddings.parquet"),
+          "vec_id", "embedding", queryId = 0L, k = 10))),
+      ("Benchmark decontamination (eval shingles broadcast)",
+        "The eval set's distinct shingles arrive at every train partition " +
+          "via BroadcastExchange (benchmarks are small; the train corpus is " +
+          "not) — both the contamination count join and the final LeftAnti " +
+          "are broadcast joins, so the train side never shuffles its text.",
+        fmt {
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          graft.pipeline.Dedup.decontaminate(
+            docs.where($"doc_id" % 50 =!= 0), "doc_id", "text",
+            docs.where($"doc_id" % 50 === 0), "text", w = 3)
+        }),
+      ("Sequence packing (bucket-partitioned window, never a global sort)",
+        "The global-cumsum semantics execute as a window partitioned by the " +
+          "16-bit hash bucket (`partitionBy __b`) after a metadata-sized " +
+          "offsets broadcast — the largest single-task sort is " +
+          "corpus/2^16, and no `WindowExec: No Partition Defined` appears.",
+        fmt {
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+            .select($"doc_id", size(split($"text", " ")).cast("bigint").as("ntok"))
+          graft.pipeline.Sampling.packSequences(docs, "doc_id", "ntok", 2048L)
+        }),
       ("Codegen'd vector dot product (vec_dot)",
         "The `*(n)` prefix marks whole-stage codegen: the native expression stays " +
           "inside the generated stage (interpreted higher-order functions would not).",
