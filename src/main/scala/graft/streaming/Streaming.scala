@@ -430,11 +430,16 @@ object Streaming {
   ): DataFrame = {
     require(deliveries >= 1, s"bad deliveries $deliveries")
     val src = new java.io.File(parquetFile)
+    // single file or a Spark-written directory of part files
+    val parts =
+      if (src.isDirectory)
+        src.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+      else Seq(src)
+    require(parts.nonEmpty, s"no parquet parts under $parquetFile")
     val d = java.nio.file.Files.createTempDirectory("graft-stream-dup")
-    (0 until deliveries).foreach { i =>
+    for (i <- 0 until deliveries; (p, j) <- parts.zipWithIndex)
       java.nio.file.Files.createSymbolicLink(
-        d.resolve(s"delivery_$i.parquet"), src.toPath.toAbsolutePath)
-    }
+        d.resolve(s"delivery_${i}_$j.parquet"), p.toPath.toAbsolutePath)
     val schema = spark.read.parquet(d.toString).schema
     val agg = spark.readStream.schema(schema).parquet(d.toString)
       .dropDuplicates(keyCol)
