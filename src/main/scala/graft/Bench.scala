@@ -67,9 +67,9 @@ object Bench {
       "ft_wildcard_lead", "ft_suggest_weighted", "ft_parent_join_avg",
       "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_embed",
       "dedup_clusters", "pipe_split", "pipe_token_budget", "pipe_pack",
-      "pipe_decontaminate", "pipe_mix", "stream_dedup",
+      "pipe_decontaminate", "pipe_mix", "pipe_url_dedup", "stream_dedup",
       "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_sq_rescore",
-      "text_quality", "text_termstats",
+      "text_quality", "text_termstats", "text_pii_scrub", "text_unigram_xent",
       "mm_meta", "rel_agg", "rel_window_top2", "rel_json"
     )
     // SPARK_GRAFT_BENCH_SKIP: comma-separated entries to exclude — used by

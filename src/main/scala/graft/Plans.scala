@@ -115,6 +115,20 @@ object Plans {
             .select($"doc_id", size(split($"text", " ")).cast("bigint").as("ntok"))
           graft.pipeline.Sampling.packSequences(docs, "doc_id", "ntok", 2048L)
         }),
+      ("URL canonicalization + capture dedup (one shuffle, pure codegen)",
+        "The whole canonicalization (scheme/host case, default ports, " +
+          "trailing slash, tracking-param drop, query sort) is regular " +
+          "column functions inside one `*(n)` codegen stage over the scan; " +
+          "the only exchange is the hash partition on the canonical key for " +
+          "the max_by/count aggregate — `dedup_exact`'s scale shape.",
+        fmt {
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+            .select($"doc_id", concat(lit("https://s"),
+              ($"doc_id" % 50).cast("string"),
+              lit(".example.com/p/"), ($"doc_id" % 200).cast("string"),
+              lit("?utm_source=x&a=1")).as("url"))
+          graft.pipeline.UrlOps.latestCapture(docs, "url", "doc_id", "doc_id")
+        }),
       ("Codegen'd vector dot product (vec_dot)",
         "The `*(n)` prefix marks whole-stage codegen: the native expression stays " +
           "inside the generated stage (interpreted higher-order functions would not).",

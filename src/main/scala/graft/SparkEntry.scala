@@ -1139,6 +1139,31 @@ object SparkEntry {
       // stable under reruns and upstream row changes (pure function of id)
       graft.pipeline.Sampling.splitCounts(docsDf(s, d), "doc_id", "lang")
         .orderBy(col("split"), col("lang"))),
+    "pipe_url_dedup" -> ((s, d) => {
+      // canonical-URL capture dedup: messy crawl spellings (scheme/host
+      // case, default ports, trailing slashes, tracking params, query
+      // order, fragments) synthesized deterministically per doc_id,
+      // collapsed by UrlOps.canonicalUrl (pure codegen'd columns), latest
+      // capture kept — ONE hash shuffle on the canonical key
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 3 === 0, lit("HTTP://")).otherwise(lit("https://")),
+        lit("Site"), (id % 50).cast("string"), lit(".Example.com"),
+        when(id % 4 === 0, lit(":443"))
+          .when(id % 7 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/p/"), (id % 200).cast("string"),
+        when(id % 5 === 0, lit("/")).otherwise(lit("")),
+        when(id % 2 === 0,
+          concat(lit("?utm_source=feed&b=2&a="), (id % 4).cast("string")))
+          .when(id % 9 === 0,
+            concat(lit("?a="), (id % 4).cast("string"), lit("&b=2")))
+          .otherwise(lit("")),
+        when(id % 11 === 0, lit("#frag")).otherwise(lit("")))
+      graft.pipeline.UrlOps
+        .latestCapture(docsDf(s, d).select(id, url.as("url")),
+          "url", "doc_id", "doc_id")
+        .orderBy(col("curl"))
+    }),
     "pipe_token_budget" -> ((s, d) => {
       // token-budget selection in deterministic hash order: a global
       // ordered cumsum by semantics, executed as range-bucket totals +
@@ -1327,6 +1352,28 @@ object SparkEntry {
       TextOps.quality(docsDf(s, d), "doc_id", "text").orderBy(col("doc_id"))),
     "text_langid" -> ((s, d) =>
       TextOps.langId(docsDf(s, d), "doc_id", "text").orderBy(col("doc_id"))),
+    "text_pii_scrub" -> ((s, d) => {
+      // PII redaction audit: deterministic synthetic PII (email, IPv4,
+      // phone, all functions of doc_id) injected into the corpus text,
+      // scrubbed by the codegen'd regexp_replace chain; per-doc category
+      // counts + scrubbed-text fingerprint. No shuffle — one projection.
+      val id = col("doc_id")
+      val injected = concat(col("text"),
+        lit(" contact user"), id.cast("string"),
+        lit("@mail"), (id % 10).cast("string"), lit(".example.com"),
+        lit(" from 10."), (id % 256).cast("string"),
+        lit(".0."), (id % 100).cast("string"),
+        lit(" call "), (id % 900 + 100).cast("string"),
+        lit("-"), (id % 900 + 100).cast("string"),
+        lit("-"), (id % 9000 + 1000).cast("string"))
+      TextOps.piiStats(docsDf(s, d).select(id, injected.as("text")),
+        "doc_id", "text").orderBy(col("doc_id"))
+    }),
+    "text_unigram_xent" -> ((s, d) =>
+      // CCNet-style unigram LM quality score: model fit + per-doc
+      // cross-entropy, vocabulary-sized broadcast join back
+      TextOps.unigramCrossEntropy(docsDf(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     "text_fingerprint" -> ((s, d) =>
       TextOps.fingerprintMd5(docsDf(s, d), "doc_id", "text").orderBy(col("doc_id"))),
     "text_termstats" -> ((s, d) =>
@@ -2479,6 +2526,46 @@ object SparkEntry {
         |)
         |SELECT split, lang, count(*) AS n FROM s GROUP BY 1, 2
         |ORDER BY split, lang""".stripMargin,
+    "pipe_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'https://' END
+        |     || 'Site' || (doc_id % 50)::VARCHAR || '.Example.com'
+        |     || CASE WHEN doc_id % 4 = 0 THEN ':443'
+        |             WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END
+        |     || '/p/' || (doc_id % 200)::VARCHAR
+        |     || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+        |     || CASE WHEN doc_id % 2 = 0
+        |             THEN '?utm_source=feed&b=2&a=' || (doc_id % 4)::VARCHAR
+        |             WHEN doc_id % 9 = 0
+        |             THEN '?a=' || (doc_id % 4)::VARCHAR || '&b=2'
+        |             ELSE '' END
+        |     || CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS q
+        |  FROM u),
+        |c AS (
+        |  SELECT doc_id,
+        |    scheme || '://'
+        |    || (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |             WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |             ELSE hostport END)
+        |    || (CASE WHEN rtrim(rawpath, '/') = '' THEN '/'
+        |             ELSE rtrim(rawpath, '/') END)
+        |    || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS curl
+        |  FROM (SELECT doc_id, scheme, hostport, rawpath,
+        |          coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |            x -> x <> '' AND NOT regexp_matches(x,
+        |              '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|igshid|ref_src)='))),
+        |            '&'), '') AS qs
+        |        FROM p))
+        |SELECT curl, max(doc_id) AS kept_id, count(*) AS n_captures
+        |FROM c GROUP BY curl ORDER BY curl""".stripMargin,
     "pipe_token_budget" ->
       """WITH t AS (
         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS ntok,
@@ -2842,6 +2929,42 @@ object SparkEntry {
         |SELECT doc_id, CASE WHEN ratio >= 0.02 THEN 'en' ELSE 'und' END AS lang_pred,
         |       round(ratio, 4) AS stop_ratio
         |FROM r ORDER BY doc_id""".stripMargin,
+    "text_pii_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id::VARCHAR
+        |         || '@mail' || (doc_id % 10)::VARCHAR || '.example.com'
+        |         || ' from 10.' || (doc_id % 256)::VARCHAR
+        |         || '.0.' || (doc_id % 100)::VARCHAR
+        |         || ' call ' || (doc_id % 900 + 100)::VARCHAR
+        |         || '-' || (doc_id % 900 + 100)::VARCHAR
+        |         || '-' || (doc_id % 9000 + 1000)::VARCHAR AS text
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, text,
+        |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                 '<EMAIL>', 'g') AS t1 FROM t),
+        |s2 AS (SELECT doc_id, text, t1,
+        |  regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |                 '<IP>', 'g') AS t2 FROM s1)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(t1,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(t2, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS n_phones,
+        |  md5(regexp_replace(t2, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'))
+        |    AS scrubbed_md5
+        |FROM s2 ORDER BY doc_id""".stripMargin,
+    "text_unigram_xent" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |model AS (SELECT tok, count(*) AS ttf FROM toks GROUP BY tok),
+        |n AS (SELECT sum(ttf)::DOUBLE AS total FROM model)
+        |SELECT doc_id,
+        |  round(avg(ln((SELECT total FROM n)) - ln(ttf)), 4) AS xent,
+        |  count(*) AS n_toks
+        |FROM toks JOIN model USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_shingles" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |w AS (SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i FROM t),

@@ -81,6 +81,65 @@ object TextOps {
     )
   }
 
+  /** PII patterns for training-data scrubbing — emails, North-American
+    * phone shapes, IPv4 addresses. RE2-compatible (no backrefs / lookarounds)
+    * so a SQL oracle replicates the scrub with the same patterns, and simple
+    * enough to stay inside whole-stage codegen as `regexp_replace` chains.
+    * Scrub order is fixed (email → ip → phone): the email pattern consumes
+    * its whole local@domain span first so the ip/phone patterns can never
+    * fire inside an address.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** Redact PII in place: `<EMAIL>` / `<IP>` / `<PHONE>` placeholders. */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-doc PII audit: match counts per category + the scrubbed text's
+    * fingerprint (the pipeline's before/after evidence row). One codegen'd
+    * projection — no shuffle, no UDF; linear at any corpus size.
+    */
+  def piiStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(
+        regexp_replace(t, EmailRe, "<EMAIL>"), lit(Ipv4Re), lit(0))).as("n_ips"),
+      size(regexp_extract_all(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"),
+        lit(PhoneRe), lit(0))).as("n_phones"),
+      md5(piiScrub(t).cast("binary")).as("scrubbed_md5"))
+  }
+
+  /** Unigram cross-entropy quality score — the CCNet-style LM filter with a
+    * unigram model fit on the corpus itself: p(t) = ttf(t) / N, per-doc
+    * score = avg over tokens of -ln p(t) = ln N - ln ttf(t). High scores
+    * flag rare-token noise; low scores flag boilerplate. Two shuffles
+    * (model fit, per-doc agg); the token→ttf join broadcasts when the
+    * vocabulary is bounded and falls back to a hash join (AQE decides)
+    * when it isn't — the per-doc side never collects anywhere.
+    */
+  def unigramCrossEntropy(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokensCol(col(textCol))).as("tok"))
+    val model = toks.groupBy(col("tok")).agg(count(lit(1)).as("ttf"))
+    // N is one metadata-sized scalar (the only driver-side value)
+    val n = model.agg(sum(col("ttf"))).first().getLong(0).toDouble
+    toks.join(model.hint("broadcast"), "tok")
+      .groupBy(col(idCol))
+      .agg(
+        round(avg(log(lit(n)) - log(col("ttf"))), 4).as("xent"),
+        count(lit(1)).as("n_toks"))
+  }
+
   /** Offset-based snippet: the ±`ctx`-word window around the hit span
     * `[start, end)` taken directly from the stored text — the consumer of
     * index-time offset postings (ref `uhighlight/UnifiedHighlighter.java`

@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + capture dedup for Common-Crawl-style corpora.
+  *
+  * A web-scale crawl sees the same page under many spellings — scheme/host
+  * case, default ports, trailing slashes, tracking parameters, fragments,
+  * shuffled query order — and under many capture timestamps. Before any
+  * content-level dedup (exact / MinHash / SimHash in [[Dedup]]) a training
+  * pipeline collapses captures by *canonical URL*, keeping the latest. This
+  * is the URL-normalization stage of that pipeline (RFC 3986 §6 syntax-based
+  * normalization plus the usual crawl-specific extras), expressed entirely as
+  * codegen'd column operations (`functions._`, no UDFs) so it runs at full
+  * Parquet scan speed; the dedup itself is ONE hash shuffle on the canonical
+  * key — the same shape as `dedup_exact`, linear at any corpus size.
+  *
+  * Every rule is RE2-compatible (no backreferences), so a SQL oracle can
+  * replicate the whole pipeline with the same regexes.
+  */
+object UrlOps {
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val HostRe   = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+  private val PathRe   = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
+  private val QueryRe  = "\\?([^#]*)"
+
+  /** Tracking parameters dropped by canonicalization (`utm_*` plus the
+    * common click identifiers). Anchored match on the `key=` prefix.
+    */
+  val TrackingParamRe = "^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|igshid|ref_src)="
+
+  /** Canonical form of an absolute http(s) URL:
+    *
+    *   - scheme and host lowercased,
+    *   - default ports stripped (`:80` for http, `:443` for https; any other
+    *     explicit port survives),
+    *   - empty path normalized to `/`, trailing slashes stripped otherwise,
+    *   - fragment dropped,
+    *   - tracking parameters ([[TrackingParamRe]]) and empty params dropped,
+    *   - surviving query parameters sorted (order-insensitive equality).
+    *
+    * Pure `functions._` composition — stays inside whole-stage codegen.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val scheme   = lower(regexp_extract(url, SchemeRe, 1))
+    val hostport = lower(regexp_extract(url, HostRe, 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val rawPath  = regexp_extract(url, PathRe, 1)
+    val stripped = rtrim(rawPath, "/")
+    val path     = when(stripped === "", lit("/")).otherwise(stripped)
+    val params = filter(
+      split(regexp_extract(url, QueryRe, 1), "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRe))
+    val qs = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+
+  /** Keep the latest capture per canonical URL: one groupBy on the canonical
+    * key (`max_by` for the kept row, so a single shuffle carries both the
+    * winner and the group size). `tsCol` is any totally-ordered capture
+    * stamp (warc_ts, crawl id, docId); ties broken by the larger id via the
+    * (ts, id) struct ordering.
+    */
+  def latestCapture(pages: DataFrame, urlCol: String, tsCol: String,
+                    idCol: String): DataFrame =
+    pages
+      .withColumn("curl", canonicalUrl(col(urlCol)))
+      .groupBy(col("curl"))
+      .agg(
+        max_by(col(idCol), struct(col(tsCol), col(idCol))).as("kept_id"),
+        count(lit(1)).as("n_captures"))
+}

@@ -501,4 +501,49 @@ class PipelineSpec extends SparkTestBase {
     val l = TextOps.langId(docs, "doc_id", "text").collect()
     assert(l.map(_.getString(1)).toSet.subsetOf(Set("en", "und")))
   }
+
+  test("url canonicalization: case, ports, slashes, params, fragments") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme/host case folding; path case preserved
+      "HTTP://WWW.Example.COM/A/B" -> "http://www.example.com/A/B",
+      // default ports stripped per scheme; explicit others survive
+      "http://a.com:80/x" -> "http://a.com/x",
+      "https://a.com:443/x" -> "https://a.com/x",
+      "http://a.com:443/x" -> "http://a.com:443/x",
+      "https://a.com:8080/x" -> "https://a.com:8080/x",
+      // empty path -> /; trailing slashes stripped otherwise
+      "https://a.com" -> "https://a.com/",
+      "https://a.com/" -> "https://a.com/",
+      "https://a.com/x///" -> "https://a.com/x",
+      // tracking params dropped, survivors sorted, empties dropped
+      "https://a.com/x?utm_source=s&b=2&a=1" -> "https://a.com/x?a=1&b=2",
+      "https://a.com/x?b=2&a=1&gclid=g&fbclid=f" -> "https://a.com/x?a=1&b=2",
+      "https://a.com/x?utm_campaign=c" -> "https://a.com/x",
+      "https://a.com/x?&&a=1" -> "https://a.com/x?a=1",
+      // fragment dropped, with and without query
+      "https://a.com/x#frag" -> "https://a.com/x",
+      "https://a.com/x?a=1#frag" -> "https://a.com/x?a=1",
+      // query-order insensitivity
+      "https://a.com/x?b=2&a=1" -> "https://a.com/x?a=1&b=2")
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.pipeline.UrlOps.canonicalUrl(col("url")))
+      .collect().map(_.getString(0))
+    cases.map(_._2).zip(got).foreach { case (want, g) => assert(g == want) }
+  }
+
+  test("latestCapture keeps max-ts capture per canonical url") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://a.com/x?b=2&a=1", 10L, 1L),
+      ("https://a.com/x?a=1&b=2&utm_source=s", 30L, 2L),
+      ("HTTPS://A.COM/x/?a=1&b=2#f", 20L, 3L),
+      ("https://a.com/y", 5L, 4L)).toDF("url", "warc_ts", "id")
+    val got = graft.pipeline.UrlOps
+      .latestCapture(pages, "url", "warc_ts", "id")
+      .orderBy("curl")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("https://a.com/x?a=1&b=2", 2L, 3L),
+      ("https://a.com/y", 4L, 1L)))
+  }
 }
