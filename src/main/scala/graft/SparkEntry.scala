@@ -1139,6 +1139,25 @@ object SparkEntry {
       // stable under reruns and upstream row changes (pure function of id)
       graft.pipeline.Sampling.splitCounts(docsDf(s, d), "doc_id", "lang")
         .orderBy(col("split"), col("lang"))),
+    "dedup_lines" -> ((s, d) => {
+      // CCNet-style boilerplate-line removal: two deterministic 12-token
+      // boilerplate lines injected ahead of the body (subscribe banner on
+      // even ids, promo line on ids % 3), dropped because their line
+      // doc-frequency exceeds the threshold while every body line survives
+      val id = col("doc_id")
+      val injected = concat(
+        when(id % 2 === 0, lit(
+          "follow us on social media and subscribe now to our daily newsletter "))
+          .otherwise(lit("")),
+        when(id % 3 === 0, lit(
+          "click here to sign up for premium access and exclusive content today "))
+          .otherwise(lit("")),
+        col("text"))
+      graft.pipeline.Dedup
+        .lineDedup(docsDf(s, d).select(id, injected.as("text")),
+          "doc_id", "text", lineLen = 12, maxDocFreq = 50)
+        .orderBy(col("doc_id"))
+    }),
     "pipe_url_dedup" -> ((s, d) => {
       // canonical-URL capture dedup: messy crawl spellings (scheme/host
       // case, default ports, trailing slashes, tracking params, query
@@ -2526,6 +2545,30 @@ object SparkEntry {
         |)
         |SELECT split, lang, count(*) AS n FROM s GROUP BY 1, 2
         |ORDER BY split, lang""".stripMargin,
+    "dedup_lines" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0
+        |      THEN 'follow us on social media and subscribe now to our daily newsletter '
+        |      ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 0
+        |      THEN 'click here to sign up for premium access and exclusive content today '
+        |      ELSE '' END)
+        |    || text AS text
+        |  FROM documents),
+        |ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM t),
+        |w AS (SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i FROM ts),
+        |lines AS (SELECT doc_id, (i - 1) // 12 AS li,
+        |            string_agg(w, ' ' ORDER BY i) AS line
+        |          FROM w GROUP BY doc_id, li),
+        |df AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM lines GROUP BY line)
+        |SELECT l.doc_id,
+        |  sum(CASE WHEN line_df <= 50 THEN 1 ELSE 0 END)::BIGINT AS kept_lines,
+        |  sum(CASE WHEN line_df > 50 THEN 1 ELSE 0 END)::BIGINT AS dropped_lines,
+        |  md5(coalesce(string_agg(CASE WHEN line_df <= 50 THEN l.line END,
+        |                          ' ' ORDER BY l.li), '')) AS new_md5
+        |FROM lines l JOIN df USING (line)
+        |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
     "pipe_url_dedup" ->
       """WITH u AS (
         |  SELECT doc_id,

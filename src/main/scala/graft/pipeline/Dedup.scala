@@ -28,6 +28,47 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
       .where(col("group_size") > 1)
 
+  /** Line-level dedup (the CCNet boilerplate-removal stage): drop the
+    * "lines" that repeat across more than `maxDocFreq` documents — nav
+    * bars, subscribe banners, copyright footers — and keep each document's
+    * remaining lines in order. This corpus stores text as one
+    * space-separated token stream, so a "line" is a fixed `lineLen`-token
+    * window; a real crawl splits on '\n' in the same slot (the rest of the
+    * pipeline is line-source-agnostic).
+    *
+    * Returns (id, kept_lines, dropped_lines, new_md5) — the audit row plus
+    * the fingerprint of the reassembled text. Three shuffles, all keyed to
+    * stay balanced at any corpus size: explode is shuffle-free, line
+    * doc-frequencies aggregate on the line hash (partial agg first), the
+    * verdict joins back on the same key, and the reassembly groups by doc.
+    * Nothing is collected or broadcast — the line table is corpus-sized by
+    * design.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                lineLen: Int = 12, maxDocFreq: Long = 50): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val lines = df.select(
+        col(idCol),
+        posexplode(transform(
+          sequence(lit(0), floor((size(toks) - 1) / lineLen).cast("int")),
+          i => array_join(slice(toks, i * lineLen + 1, lit(lineLen)), " "))))
+      .withColumnRenamed("pos", "li").withColumnRenamed("col", "line")
+    val docFreq = lines
+      .groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("line_df"))
+    lines.join(docFreq, "line")
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("line_df") <= maxDocFreq, 1L).otherwise(0L))
+          .as("kept_lines"),
+        sum(when(col("line_df") > maxDocFreq, 1L).otherwise(0L))
+          .as("dropped_lines"),
+        md5(array_join(transform(
+          sort_array(collect_list(when(col("line_df") <= maxDocFreq,
+            struct(col("li"), col("line"))))),
+          s => s.getField("line")), " ")).as("new_md5"))
+  }
+
   /** Word w-shingles of a doc as a distinct array column. Each shingle is
     * assembled from `w` O(1) `element_at` reads (a per-position `slice`
     * would re-copy the token array for every offset — measured 10x slower

@@ -532,6 +532,49 @@ class PipelineSpec extends SparkTestBase {
     cases.map(_._2).zip(got).foreach { case (want, g) => assert(g == want) }
   }
 
+  test("lineDedup drops repeated boilerplate lines, keeps body in order") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    def md5hex(s: String): String = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // line length 3, boilerplate shared by 3 docs, threshold 2
+    val boiler = "aa bb cc"
+    val pages = Seq(
+      (1L, s"$boiler d1 e1 f1 g1 h1 i1"),
+      (2L, s"$boiler d2 e2 f2"),
+      (3L, s"$boiler d3 e3 f3"),
+      (4L, "xx yy zz d4 e4 f4")).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(pages, "doc_id", "text",
+        lineLen = 3, maxDocFreq = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, md5hex("d1 e1 f1 g1 h1 i1")),
+      (2L, 1L, 1L, md5hex("d2 e2 f2")),
+      (3L, 1L, 1L, md5hex("d3 e3 f3")),
+      (4L, 2L, 0L, md5hex("xx yy zz d4 e4 f4"))))
+  }
+
+  test("lineDedup: short tail lines chunk correctly; all-dropped doc stays") {
+    import spark.implicits._
+    // two docs that are pure boilerplate (every line repeats), one with a
+    // 1-token tail line
+    val pages = Seq(
+      (1L, "aa bb cc dd"),
+      (2L, "aa bb cc dd"),
+      (3L, "aa bb cc dd"),
+      (4L, "uu vv ww x")).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(pages, "doc_id", "text",
+        lineLen = 3, maxDocFreq = 2)
+      .orderBy("doc_id").collect()
+    // docs 1-3: lines "aa bb cc" (df=3, dropped) and "dd" (df=3, dropped)
+    assert(got.length == 4)
+    val d1 = got(0)
+    assert(d1.getLong(1) == 0L && d1.getLong(2) == 2L)
+    val d4 = got(3)
+    assert(d4.getLong(1) == 2L && d4.getLong(2) == 0L)
+  }
+
   test("latestCapture keeps max-ts capture per canonical url") {
     import spark.implicits._
     val pages = Seq(
