@@ -908,6 +908,17 @@ object SparkEntry {
         .groupBy($"source").agg((count(lit(1)) * 4).cast("bigint").as("est_count"))
         .orderBy($"source")
     }),
+    "ft_facet_assoc" -> ((s, d) => {
+      // association facets (ref TaxonomyFacetIntAssociations): sum each
+      // matching doc's n_chars under every prefix of its source/lang path
+      import s.implicits._
+      val j = ftMatch(s, d, Query.parse("data OR query"))
+        .join(docsDf(s, d), "doc_id")
+      graft.search.Facets
+        .taxonomyAssociations(j, array($"source", $"lang"),
+          $"n_chars".cast("long"))
+        .orderBy($"path")
+    }),
     "ft_highlight" -> ((s, d) => {
       // highlighter module: snippet = window around the first hit term in
       // the stored text of matching docs
@@ -1058,6 +1069,10 @@ object SparkEntry {
         .groupBy($"term").agg(count(lit(1)).as("weight"))
       searcherFor(s, d).suggestWeighted("st", weights, 10)
     }),
+    "ft_suggest_freetext" -> ((s, d) =>
+      // free-text next-word suggestion (ref suggest/analyzing/
+      // FreeTextSuggester.java): bigram-LM continuations of 'data'
+      TextOps.nextWordSuggest(docsDf(s, d), "text", "data", 10)),
     "ft_fuzzy_suggest" -> ((s, d) => {
       // fuzzy-prefix autocomplete (ref suggest/analyzing/FuzzySuggester):
       // 'sca' -> completions of any prefix within 1 Damerau edit
@@ -2433,6 +2448,13 @@ object SparkEntry {
         |SELECT df.term, coalesce(w.weight, 0)::BIGINT AS weight, df.doc_freq
         |FROM df LEFT JOIN w USING (term)
         |ORDER BY weight DESC, doc_freq DESC, term ASC LIMIT 10""".stripMargin,
+    "ft_suggest_freetext" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |w AS (SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i FROM t),
+        |b AS (SELECT w, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS nw FROM w)
+        |SELECT nw AS suggestion, count(*) AS freq FROM b
+        |WHERE w = 'data' AND nw IS NOT NULL
+        |GROUP BY nw ORDER BY freq DESC, suggestion ASC LIMIT 10""".stripMargin,
     "ft_fuzzy_suggest" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |df AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY term)
@@ -2474,6 +2496,18 @@ object SparkEntry {
          |SELECT d.source, (count(*) * 4)::BIGINT AS est_count
          |FROM sampled JOIN documents d USING (doc_id)
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "ft_facet_assoc" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |m AS (SELECT DISTINCT doc_id FROM documents
+         |      WHERE ${hasTerm("data")} OR ${hasTerm("query")}),
+         |j AS (SELECT d.source, d.lang, d.n_chars
+         |      FROM m JOIN documents d USING (doc_id)),
+         |pref AS (
+         |  SELECT source AS path, n_chars FROM j
+         |  UNION ALL
+         |  SELECT source || '/' || lang AS path, n_chars FROM j)
+         |SELECT path, sum(n_chars)::BIGINT AS sum_assoc, count(*) AS n_docs
+         |FROM pref GROUP BY path ORDER BY path""".stripMargin,
     "ft_group_top2" ->
       (bm25Scored(Seq("data", "query"), "TRUE") +
         """

@@ -119,6 +119,30 @@ object TextOps {
       md5(piiScrub(t).cast("binary")).as("scrubbed_md5"))
   }
 
+  /** Free-text next-word suggestion — the reference's
+    * `suggest/analyzing/FreeTextSuggester.java` core: an n-gram language
+    * model over the corpus ranks continuations of a context word by bigram
+    * frequency (term tiebreak). The bigram extraction is one codegen'd
+    * zip_with expansion; the context filter lands BEFORE the aggregation
+    * shuffle, so only the context word's bigrams move. The index-side
+    * variant persists the (w, next, freq) table once — the same shape as
+    * the infix gram table — turning each query into a pushed point lookup.
+    */
+  def nextWordSuggest(df: DataFrame, textCol: String, context: String,
+                      k: Int = 10): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    df.select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("w"), b.as("nw")))).as("p"))
+      .select(col("p.w").as("w"), col("p.nw").as("suggestion"))
+      .where(col("w") === context)
+      .groupBy(col("suggestion"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("suggestion").asc)
+      .limit(k)
+  }
+
   /** Unigram cross-entropy quality score — the CCNet-style LM filter with a
     * unigram model fit on the corpus itself: p(t) = ttf(t) / N, per-doc
     * score = avg over tokens of -ln p(t) = ln N - ln ttf(t). High scores

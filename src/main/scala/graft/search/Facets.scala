@@ -28,4 +28,24 @@ object Facets {
       .as("path"))
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** Association facets — the reference's
+    * `facet/taxonomy/TaxonomyFacetIntAssociations.java` /
+    * `TaxonomyFacetFloatAssociations.java`: each matching document carries a
+    * per-category association value (a confidence, a weight, a revenue
+    * figure) and the facet aggregates the VALUE per label instead of just
+    * counting documents. Same one-explode one-groupBy shape as
+    * [[taxonomyRollup]]; agg state is still bounded by path cardinality.
+    *
+    * @param valueCol numeric association value carried by each doc
+    * @return (path, sum_assoc, n_docs) per distinct path prefix
+    */
+  def taxonomyAssociations(df: DataFrame, pathCol: Column, valueCol: Column,
+                           sep: String = "/"): DataFrame =
+    df.select(
+        explode(transform(pathCol,
+          (_, i) => array_join(slice(pathCol, lit(1), i + 1), sep))).as("path"),
+        valueCol.as("assoc"))
+      .groupBy(col("path"))
+      .agg(sum(col("assoc")).as("sum_assoc"), count(lit(1)).as("n_docs"))
 }
