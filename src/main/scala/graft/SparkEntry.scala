@@ -233,6 +233,30 @@ object SparkEntry {
         precision = Precision.DoubleOracle, k1 = K1, b = B)
     })
 
+  private val paySearchers = TrieMap[String, IndexSearcher]()
+
+  /** Payload-variant index (ref the analysis payloads package): every doc gets one
+    * injected `data|<doc_id%7+1>` delimited-payload token appended; the
+    * natural `data` occurrences carry the default payload 1.
+    */
+  private def paySearcherFor(spark: SparkSession, sfDir: String): IndexSearcher =
+    paySearchers.getOrElseUpdate(sfDir, {
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createDirectories(indexDirFor(sfDir))
+        .toString
+      val pages = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(format_string("doc%012d", $"doc_id").as("url"),
+          concat($"text", lit(" data|"), (($"doc_id" % 7) + 1).cast("string"))
+            .as("text"))
+        .as[(String, String)]
+      val cfg = IndexConfig(bucketShift = 8, numPostingPartitions = 8,
+        numDocPartitions = 4, storePositions = true, storePayloads = true)
+      IndexBuilder.buildSegment(pages, s"$dir/segpay", cfg)
+      new IndexSearcher(spark, Seq(Manifest.read(s"$dir/segpay").get),
+        precision = Precision.DoubleOracle, k1 = K1, b = B)
+    })
+
   private val dfrSearchers = TrieMap[String, IndexSearcher]()
 
   /** Same segments, scored with DFR InL2 (ref `similarities/DFRSimilarity
@@ -509,6 +533,18 @@ object SparkEntry {
       se.fetchDocs(topKVerified(se, Query.or("datastream", "embedding"), 10))
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc).limit(10)
+    }),
+    "ft_payload_topk" -> ((s, d) => {
+      // payload-score ranking (ref queries/payloads/PayloadScoreQuery.java,
+      // PayloadFunction Sum): docs ranked by the sum of 'data' payloads —
+      // the injected |N token plus default-1 natural occurrences
+      val se = paySearcherFor(s, d)
+      import s.implicits._
+      val hits = se.payloadScoreTopK("data", "sum", 10).collect()
+        .map(r => graft.search.ScoredDoc(r.getLong(0), r.getDouble(1)))
+      se.fetchDocs(hits)
+        .select(docIdOf($"url"), $"score".cast("bigint").as("payload_sum"))
+        .orderBy($"payload_sum".desc, $"doc_id".asc)
     }),
     "ft_dfr_topk" -> ((s, d) => {
       // divergence from randomness, the classic InL2 combination (ref
@@ -1833,6 +1869,12 @@ object SparkEntry {
          |SELECT doc_id, round(score, 6) AS score FROM scored
          |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
     },
+    "ft_payload_topk" ->
+      """SELECT doc_id,
+        |  (len(list_filter(string_split(text, ' '), x -> x = 'data'))
+        |   + (doc_id % 7 + 1))::BIGINT AS payload_sum
+        |FROM documents
+        |ORDER BY payload_sum DESC, doc_id ASC LIMIT 10""".stripMargin,
     "ft_dfr_topk" -> {
       val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
       s"""WITH tok AS (

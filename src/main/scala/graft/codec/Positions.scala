@@ -28,6 +28,43 @@ object Positions {
     w.result()
   }
 
+  /** Raw (non-delta) variant for per-position PAYLOAD values (ref
+    * `analysis/payloads/PayloadAttribute` — arbitrary per-position
+    * metadata): payloads are not monotone within a doc, so each value is
+    * VInt-encoded as-is. Doc boundaries stay implicit via freqs, exactly
+    * like [[encode]].
+    */
+  def encodeRaw(perDoc: Array[Array[Int]], n: Int): Array[Byte] = {
+    var total = 8
+    var d = 0
+    while (d < n) { total += perDoc(d).length * 2 + 1; d += 1 }
+    val w = new BlockCodec.ByteWriter(total)
+    d = 0
+    while (d < n) {
+      val ps = perDoc(d)
+      var i = 0
+      while (i < ps.length) { w.writeVLong(ps(i).toLong); i += 1 }
+      d += 1
+    }
+    w.result()
+  }
+
+  /** Decode the raw (payload) stream using per-doc freqs as boundaries. */
+  def decodeRaw(bytes: Array[Byte], freqs: Array[Long], n: Int): Array[Array[Int]] = {
+    val r = new BlockCodec.ByteReader(bytes)
+    val out = new Array[Array[Int]](n)
+    var d = 0
+    while (d < n) {
+      val f = freqs(d).toInt
+      val ps = new Array[Int](f)
+      var i = 0
+      while (i < f) { ps(i) = r.readVLong().toInt; i += 1 }
+      out(d) = ps
+      d += 1
+    }
+    out
+  }
+
   /** Decode using the block's per-doc freqs as boundaries. */
   def decode(bytes: Array[Byte], freqs: Array[Long], n: Int): Array[Array[Int]] = {
     val r = new BlockCodec.ByteReader(bytes)

@@ -51,6 +51,8 @@ object CheckIndex {
         c = c.withColumn("posPacked", lit(null).cast("binary"))
       if (!c.columns.contains("offsPacked"))
         c = c.withColumn("offsPacked", lit(null).cast("binary"))
+      if (!c.columns.contains("paysPacked"))
+        c = c.withColumn("paysPacked", lit(null).cast("binary"))
       c.as[PostingBlock]
     }
     val blockCount = blocksDs.count()
@@ -98,6 +100,17 @@ object CheckIndex {
               }
             }
             d += 1
+          }
+        }
+        if (manifest.hasPayloads && b.paysPacked == null && !isFeature)
+          errs += s"$key: missing payloads"
+        if (b.paysPacked != null) {
+          // freq payload values per doc (raw codec; values are arbitrary)
+          val pays = Positions.decodeRaw(b.paysPacked, fs, b.numDocs)
+          var d = 0
+          while (d < b.numDocs) {
+            if (pays(d).length != fs(d).toInt) { errs += s"$key: payloads/freq disagree"; d = b.numDocs }
+            else d += 1
           }
         }
         if (manifest.hasOffsets && b.offsPacked == null && !isFeature)

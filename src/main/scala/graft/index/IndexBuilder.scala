@@ -53,7 +53,18 @@ final case class IndexConfig(
     // norms (the reference's discountOverlaps default). Plain string data,
     // so configs keep serializing into executor closures. Single-field
     // builds only.
-    synonyms: Seq[(List[String], String)] = Seq.empty
+    synonyms: Seq[(List[String], String)] = Seq.empty,
+    // per-position payloads (ref analysis/payloads/DelimitedPayloadToken
+    // Filter.java + queries/payloads/PayloadScoreQuery.java): tokens carry
+    // a trailing `|<int>` payload (default 1 when absent). Payload mode
+    // whitespace-pre-splits the text — the tokenizer the reference pairs
+    // delimited payloads with (UAX#29 would break at '|') — then runs each
+    // chunk through the standard lowercase/stop/filter chain; all
+    // sub-tokens of a chunk stack at the chunk's position with its
+    // payload. Requires storePositions; mutually exclusive with
+    // storeOffsets (source offsets shift when the `|N` suffix is
+    // stripped).
+    storePayloads: Boolean = false
 ) {
   def analyzer: StandardAnalyzer =
     new StandardAnalyzer(stopwords, maxTokenLength, graft.analysis.TermFilter.byName(termFilter))
@@ -130,7 +141,11 @@ object IndexBuilder {
     val offsets = counts.scanLeft(0L)(_ + _)
     val withPositions = cfg.storePositions
     val withOffsets = cfg.storeOffsets
+    val withPayloads = cfg.storePayloads
     require(!withOffsets || withPositions, "storeOffsets requires storePositions")
+    require(!withPayloads || withPositions, "storePayloads requires storePositions")
+    require(!(withPayloads && withOffsets),
+      "storePayloads is mutually exclusive with storeOffsets")
     val synRules = cfg.synonyms
     val docTokens = sortedRows.mapPartitionsWithIndex { (pid, it) =>
       val analyzer = new StandardAnalyzer(stop, maxLen, graft.analysis.TermFilter.byName(filterName))
@@ -142,7 +157,61 @@ object IndexBuilder {
         val text = row.getString(1)
         val docId = id
         id += 1
-        if (withPositions) {
+        if (withPayloads) {
+          // DelimitedPayload chain (ref analysis/payloads/
+          // DelimitedPayloadTokenFilter.java): whitespace pre-split —
+          // the tokenizer the reference pairs payloads with — trailing
+          // `|<int>` extracted (default 1), the remainder through the
+          // standard lowercase/stop/filter chain. One position per chunk
+          // (whitespace semantics); sub-tokens stack at it with the
+          // chunk's payload.
+          val chunks = text.split(' ')
+          val byTerm = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[(Int, Int)]]()
+          var docLen = 0
+          var ci = 0
+          while (ci < chunks.length) {
+            val raw = chunks(ci)
+            val bar = raw.lastIndexOf('|')
+            var pay = 1
+            var body = raw
+            if (bar > 0 && bar < raw.length - 1) {
+              val suf = raw.substring(bar + 1)
+              if (suf.forall(c => c >= '0' && c <= '9')) {
+                pay = suf.toInt; body = raw.substring(0, bar)
+              }
+            }
+            val subs = analyzer.tokens(body)
+            docLen += subs.size
+            subs.foreach { t =>
+              var b = byTerm.get(t.term)
+              if (b == null) {
+                b = new scala.collection.mutable.ArrayBuffer[(Int, Int)](2)
+                byTerm.put(t.term, b)
+              }
+              b += ((ci, pay))
+            }
+            ci += 1
+          }
+          val n = byTerm.size
+          val terms = new Array[String](n)
+          val freqs = new Array[Int](n)
+          val positions = new Array[Array[Int]](n)
+          val payloads = new Array[Array[Int]](n)
+          var i = 0
+          val iter = byTerm.entrySet().iterator()
+          while (iter.hasNext) {
+            val e = iter.next()
+            terms(i) = e.getKey
+            val entries = e.getValue
+            freqs(i) = entries.size
+            positions(i) = entries.map(_._1).toArray
+            payloads(i) = entries.map(_._2).toArray
+            i += 1
+          }
+          DocTokens(docId, url, docLen,
+            java.lang.Byte.toUnsignedInt(SmallFloat.intToByte4(docLen)),
+            terms, freqs, positions, payloads = payloads)
+        } else if (withPositions) {
           val toks = analyzer.tokens(text)
           // injected synonym tokens stack at their match position and add
           // postings, but doc length / norm counts ONLY the analyzer's own
@@ -411,6 +480,19 @@ object IndexBuilder {
             $"tf.positions".as("pos"),
             $"tf.offsets".as("offs")
           )
+      else if (cfg.storePositions && cfg.storePayloads)
+        docTokens
+          .select($"docId", $"norm",
+            explode(arrays_zip($"terms", $"freqs", $"positions", $"payloads")).as("tf"))
+          .select(
+            $"tf.terms".as("term"),
+            shiftright($"docId", shift).as("bucket"),
+            $"docId",
+            $"tf.freqs".as("freq"),
+            $"norm",
+            $"tf.positions".as("pos"),
+            $"tf.payloads".as("pays")
+          )
       else if (cfg.storePositions)
         docTokens
           .select($"docId", $"norm",
@@ -449,7 +531,9 @@ object IndexBuilder {
     // iterator sees every (term, doc) pair in the corpus)
     val withPos = cfg.storePositions
     val withOffs = cfg.storeOffsets
-    spark.createDataset(sortedRows.mapPartitions(blockBuilder(_, withPos, withOffs)))
+    val withPays = cfg.storePayloads
+    spark.createDataset(
+      sortedRows.mapPartitions(blockBuilder(_, withPos, withOffs, withPays)))
   }
 
   /** Final on-disk layout of a posting-block table: range-partitioned and
@@ -472,7 +556,8 @@ object IndexBuilder {
   private def blockBuilder(
       rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
       withPos: Boolean = false,
-      withOffs: Boolean = false
+      withOffs: Boolean = false,
+      withPays: Boolean = false
   ): Iterator[PostingBlock] = new Iterator[PostingBlock] {
     private val B = BlockCodec.BlockSize
     private val docIds = new Array[Long](B)
@@ -480,8 +565,10 @@ object IndexBuilder {
     private val norms = new Array[Int](B)
     private val poss: Array[Array[Int]] = if (withPos) new Array[Array[Int]](B) else null
     private val offs: Array[Array[Int]] = if (withOffs) new Array[Array[Int]](B) else null
+    private val pays: Array[Array[Int]] = if (withPays) new Array[Array[Int]](B) else null
     private var pPos: Array[Int] = null // pending row's positions
     private var pOffs: Array[Int] = null // pending row's offset pairs
+    private var pPays: Array[Int] = null // pending row's payloads
     private var n = 0
     private var curTerm: String = null // term of the open block
     private var curTermU8: org.apache.spark.unsafe.types.UTF8String = null
@@ -528,7 +615,9 @@ object IndexBuilder {
         posPacked = if (withPos) graft.codec.Positions.encode(poss, n) else null,
         // offsets reuse the positions codec: per doc the flattened
         // (start, end) pairs are a nondecreasing sequence of 2*freq ints
-        offsPacked = if (withOffs) graft.codec.Positions.encode(offs, n) else null
+        offsPacked = if (withOffs) graft.codec.Positions.encode(offs, n) else null,
+        // payloads are arbitrary values -> raw VInt, not delta
+        paysPacked = if (withPays) graft.codec.Positions.encodeRaw(pays, n) else null
       )
       n = 0
       block
@@ -556,6 +645,7 @@ object IndexBuilder {
           docIds(0) = pDocId; freqs(0) = pFreq.toLong; norms(0) = pNorm
           if (withPos) poss(0) = pPos
           if (withOffs) offs(0) = pOffs
+          if (withPays) pays(0) = pPays
           n = 1
         } else {
           val row = rows.next()
@@ -567,6 +657,7 @@ object IndexBuilder {
             norms(n) = row.getInt(4)
             if (withPos) poss(n) = row.getArray(5).toIntArray()
             if (withOffs) offs(n) = row.getArray(6).toIntArray()
+            if (withPays) pays(n) = row.getArray(6).toIntArray()
             n += 1
           } else if (n == 0) { // first row of the partition
             open(termU8.clone(), bucket) // clone: sorter reuses row buffers
@@ -575,6 +666,7 @@ object IndexBuilder {
             norms(0) = row.getInt(4)
             if (withPos) poss(0) = row.getArray(5).toIntArray()
             if (withOffs) offs(0) = row.getArray(6).toIntArray()
+            if (withPays) pays(0) = row.getArray(6).toIntArray()
             n = 1
           } else { // boundary: stash the row, emit the finished block
             pTermU8 = termU8.clone()
@@ -584,6 +676,7 @@ object IndexBuilder {
             pNorm = row.getInt(4)
             if (withPos) pPos = row.getArray(5).toIntArray()
             if (withOffs) pOffs = row.getArray(6).toIntArray()
+            if (withPays) pPays = row.getArray(6).toIntArray()
             nextBlock = flushBlock()
           }
         }
@@ -763,7 +856,8 @@ object IndexBuilder {
             lineage = lineage.map { case (p, r, t, _) => PartitionLineage(p, r, t) }.toSeq,
             hasPositions = cfg.storePositions,
             fieldStats = fieldStats,
-            hasOffsets = cfg.storeOffsets
+            hasOffsets = cfg.storeOffsets,
+            hasPayloads = cfg.storePayloads
           )
           Manifest.commit(dir, manifest)
           manifest

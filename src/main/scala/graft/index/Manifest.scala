@@ -27,7 +27,8 @@ final case class SegmentManifest(
     // per-field BM25 stats for multi-field segments (empty = single default
     // field; readers fall back to the segment-global stats)
     fieldStats: Seq[Schema.FieldStat] = Seq.empty,
-    hasOffsets: Boolean = false
+    hasOffsets: Boolean = false,
+    hasPayloads: Boolean = false
 ) {
   def sizeScore: Long = blockCount // merge-policy size proxy
 }
@@ -63,6 +64,7 @@ object Manifest {
        |  "buildWallSec": ${m.buildWallSec},
        |  "hasPositions": ${m.hasPositions},
        |  "hasOffsets": ${m.hasOffsets},
+       |  "hasPayloads": ${m.hasPayloads},
        |  "lineage": $lineage,
        |  "fieldStats": $fieldStats
        |}""".stripMargin
@@ -116,7 +118,8 @@ object Manifest {
       lineage = lineage,
       hasPositions = field(json, "hasPositions").contains("true"),
       fieldStats = fieldStats,
-      hasOffsets = field(json, "hasOffsets").contains("true")
+      hasOffsets = field(json, "hasOffsets").contains("true"),
+      hasPayloads = field(json, "hasPayloads").contains("true")
     )
   }
 

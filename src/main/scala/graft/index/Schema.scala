@@ -72,7 +72,10 @@ object Schema {
       fieldLengths: Array[Int] = null,
       // per-term character offsets, (start, end) pairs flattened in the
       // SAME order as `positions` (IndexConfig.storeOffsets)
-      offsets: Array[Array[Int]] = null
+      offsets: Array[Array[Int]] = null,
+      // per-term per-position payload values in the SAME order as
+      // `positions` (IndexConfig.storePayloads)
+      payloads: Array[Array[Int]] = null
   )
 
   /** One 128-doc posting block for (term, bucket).
@@ -119,7 +122,12 @@ object Schema {
       // per doc, the (start, end) pairs flattened in position order — a
       // nondecreasing int sequence, so the SAME delta-VInt codec as
       // positions applies with 2*freq values per doc
-      offsPacked: Array[Byte] = null
+      offsPacked: Array[Byte] = null,
+      // optional per-position payloads (IndexConfig.storePayloads, ref
+      // analysis/payloads/* + queries/payloads/PayloadScoreQuery.java):
+      // per doc, `freq` raw-VInt values in position order — payloads are
+      // arbitrary (non-monotone), so the raw codec, not the delta one
+      paysPacked: Array[Byte] = null
   )
 
   /** Term-dictionary row (the block-tree/.tim re-expression: range-partitioned

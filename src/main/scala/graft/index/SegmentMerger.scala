@@ -80,9 +80,12 @@ object SegmentMerger {
           val compat0 = // pre-positions segments merge with a null column
             if (raw.columns.contains("posPacked")) raw
             else raw.withColumn("posPacked", lit(null).cast("binary"))
-          val compat = // pre-offsets segments likewise
+          val compat1 = // pre-offsets segments likewise
             if (compat0.columns.contains("offsPacked")) compat0
             else compat0.withColumn("offsPacked", lit(null).cast("binary"))
+          val compat = // pre-payloads segments likewise
+            if (compat1.columns.contains("paysPacked")) compat1
+            else compat1.withColumn("paysPacked", lit(null).cast("binary"))
           compat
             .withColumn("firstDocId", $"firstDocId" + lit(base))
             .withColumn("lastDocId", $"lastDocId" + lit(base))
@@ -92,7 +95,8 @@ object SegmentMerger {
         val typed = blocks
           .select($"term", $"bucket", $"firstDocId", $"lastDocId", $"numDocs",
             $"docsPacked", $"freqsPacked", $"normsPacked", $"impacts",
-            $"freqSum", $"maxFreq", $"minNorm", $"posPacked", $"offsPacked")
+            $"freqSum", $"maxFreq", $"minNorm", $"posPacked", $"offsPacked",
+            $"paysPacked")
           .as[PostingBlock]
         val purged =
           if (deadGlobal.isEmpty) typed
@@ -132,6 +136,7 @@ object SegmentMerger {
           lineage = manifests.flatMap(_.lineage),
           hasPositions = manifests.forall(_.hasPositions),
           hasOffsets = manifests.forall(_.hasOffsets),
+          hasPayloads = manifests.forall(_.hasPayloads),
           // per-field stats sum across inputs (stale under purged deletes,
           // same as the reference's merged stats until recomputed)
           fieldStats = manifests.flatMap(_.fieldStats)
@@ -167,6 +172,10 @@ object SegmentMerger {
           if (b.offsPacked != null)
             graft.codec.Positions.decode(b.offsPacked, fs.map(_ * 2), b.numDocs)
           else null
+        val pay = // payloads: raw codec, freq values per doc
+          if (b.paysPacked != null)
+            graft.codec.Positions.decodeRaw(b.paysPacked, fs, b.numDocs)
+          else null
         val keep = ids.indices.filter(i =>
           java.util.Arrays.binarySearch(dead, ids(i)) < 0)
         if (keep.isEmpty) None
@@ -196,6 +205,10 @@ object SegmentMerger {
             offsPacked =
               if (off != null)
                 graft.codec.Positions.encode(keep.map(off).toArray, ki.length)
+              else null,
+            paysPacked =
+              if (pay != null)
+                graft.codec.Positions.encodeRaw(keep.map(pay).toArray, ki.length)
               else null))
         }
       }
@@ -219,8 +232,10 @@ object SegmentMerger {
         val ns = scala.collection.mutable.ArrayBuffer[Long]()
         val hasPos = parts.forall(_.posPacked != null)
         val hasOff = parts.forall(_.offsPacked != null)
+        val hasPay = parts.forall(_.paysPacked != null)
         val pos = scala.collection.mutable.ArrayBuffer[Array[Int]]()
         val off = scala.collection.mutable.ArrayBuffer[Array[Int]]()
+        val pay = scala.collection.mutable.ArrayBuffer[Array[Int]]()
         parts.foreach { p =>
           val pFreqs = BlockCodec.pforDecode(p.freqsPacked)
           ids ++= BlockCodec.deltaDecode(BlockCodec.forDecode(p.docsPacked), p.firstDocId)
@@ -230,15 +245,19 @@ object SegmentMerger {
             pos ++= graft.codec.Positions.decode(p.posPacked, pFreqs, p.numDocs)
           if (hasOff)
             off ++= graft.codec.Positions.decode(p.offsPacked, pFreqs.map(_ * 2), p.numDocs)
+          if (hasPay)
+            pay ++= graft.codec.Positions.decodeRaw(p.paysPacked, pFreqs, p.numDocs)
         }
         val posArr = pos.toArray
         val offArr = off.toArray
+        val payArr = pay.toArray
         var off2 = 0
         ids.toArray.grouped(B).zip(fs.toArray.grouped(B).zip(ns.toArray.grouped(B))).map {
           case (gi, (gf, gn)) =>
             val pairs = gi.indices.map(i => (gf(i).toInt, gn(i).toInt))
             val gPos = if (hasPos) posArr.slice(off2, off2 + gi.length) else null
             val gOff = if (hasOff) offArr.slice(off2, off2 + gi.length) else null
+            val gPay = if (hasPay) payArr.slice(off2, off2 + gi.length) else null
             off2 += gi.length
             PostingBlock(
               term = parts.head.term,
@@ -256,7 +275,9 @@ object SegmentMerger {
               posPacked =
                 if (hasPos) graft.codec.Positions.encode(gPos, gi.length) else null,
               offsPacked =
-                if (hasOff) graft.codec.Positions.encode(gOff, gi.length) else null
+                if (hasOff) graft.codec.Positions.encode(gOff, gi.length) else null,
+              paysPacked =
+                if (hasPay) graft.codec.Positions.encodeRaw(gPay, gi.length) else null
             )
         }
       }

@@ -1657,6 +1657,66 @@ final class IndexSearcher(
     }.toMap
   }
 
+  /** Payload-score top-k — the re-expression of
+    * `queries/payloads/PayloadScoreQuery.java` with its `PayloadFunction`
+    * family (`Min`/`Max`/`Sum` + the average the reference derives from
+    * Sum): rank documents by an aggregate of the payload values stored at
+    * `term`'s positions. ONE pushed postings scan per segment over the
+    * term's blocks (term equality reaches the Parquet scan); decode and
+    * per-doc aggregation run distributed per block — a doc's postings for
+    * a term live in exactly one block, so no regrouping is needed — and
+    * only the global `ORDER BY LIMIT k` crosses stages. Tombstoned docs
+    * never surface.
+    */
+  def payloadScoreTopK(term: String, func: String = "sum", k: Int = 10): DataFrame = {
+    import graft.codec.BlockCodec
+    val fcode = func match {
+      case "max" => 1
+      case "min" => 2
+      case "avg" => 3
+      case "sum" => 0
+      case other => throw new IllegalArgumentException(s"unknown payload function: $other")
+    }
+    val tombs = tombstones
+    val perSeg = segments.zipWithIndex.flatMap { case (m, seg) =>
+      if (!m.hasPayloads) None
+      else {
+        val base = bases(seg)
+        Some(spark.read.parquet(s"${m.dir}/postings")
+          .where($"term" === term)
+          .select($"firstDocId", $"numDocs", $"docsPacked", $"freqsPacked",
+            $"paysPacked")
+          .as[(Long, Int, Array[Byte], Array[Byte], Array[Byte])]
+          .flatMap { case (first, n, docsB, freqsB, paysB) =>
+            if (paysB == null) Iterator.empty
+            else {
+              val dead = tombs.value(seg)
+              val ids = BlockCodec.deltaDecode(BlockCodec.forDecode(docsB), first)
+              val fs = BlockCodec.pforDecode(freqsB)
+              val pays = graft.codec.Positions.decodeRaw(paysB, fs, n)
+              Iterator.range(0, n).filter(i => !dead.contains(ids(i))).map { i =>
+                val ps = pays(i)
+                val v = fcode match {
+                  case 1 => ps.max.toDouble
+                  case 2 => ps.min.toDouble
+                  case 3 => ps.sum.toDouble / ps.length
+                  case _ => ps.sum.toDouble
+                }
+                (ids(i) + base, v)
+              }
+            }
+          }.toDF("docId", "payload_score"))
+      }
+    }
+    if (perSeg.isEmpty)
+      return spark.emptyDataFrame
+        .withColumn("docId", lit(0L)).withColumn("payload_score", lit(0.0))
+        .limit(0)
+    perSeg.reduce(_ unionByName _)
+      .orderBy($"payload_score".desc, $"docId".asc)
+      .limit(k)
+  }
+
   /** Score breakdown for one (query, doc) — the re-expression of the
     * reference's `Weight#explain` (`search/Explanation.java`): the root
     * value equals exactly what [[topK]]/[[scoreMatches]] produce for the
