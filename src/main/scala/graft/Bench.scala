@@ -65,6 +65,7 @@ object Bench {
       "ft_synonym_index",
       "ft_highlight_offsets", "mm_decode",
       "ft_wildcard_lead", "ft_suggest_weighted", "ft_parent_join_avg",
+      "ft_payload_topk", "ft_span_first",
       "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_embed",
       "dedup_clusters", "dedup_lines", "pipe_split", "pipe_token_budget", "pipe_pack",
       "pipe_decontaminate", "pipe_mix", "pipe_url_dedup", "stream_dedup",

@@ -546,6 +546,30 @@ object SparkEntry {
         .select(docIdOf($"url"), $"score".cast("bigint").as("payload_sum"))
         .orderBy($"payload_sum".desc, $"doc_id".asc)
     }),
+    "ft_payload_check" -> ((s, d) => {
+      // payload-filtered matching (ref queries/payloads/
+      // SpanPayloadCheckQuery.java): 'data' occurrences count only where
+      // the stored payload equals 1 — the natural occurrences (default
+      // payload) plus the injected token on doc_id%7==0 docs
+      val se = paySearcherFor(s, d)
+      import s.implicits._
+      se.payloadCheckFreqs("data", 1)
+        .toDF("docId", "check_freq")
+        .join(se.docsTable.select($"docId", $"url"), "docId")
+        .select(docIdOf($"url"), $"check_freq".cast("bigint").as("check_freq"))
+        .orderBy($"doc_id")
+    }),
+    "ft_span_first" -> ((s, d) => {
+      // position-bounded matching (ref spans/SpanFirstQuery.java): 'data'
+      // occurrences whose span end (pos+1) is within the first 5 positions
+      val se = searcherFor(s, d)
+      import s.implicits._
+      se.spanFirstFreqs("data", 5)
+        .toDF("docId", "first_freq")
+        .join(se.docsTable.select($"docId", $"url"), "docId")
+        .select(docIdOf($"url"), $"first_freq".cast("bigint").as("first_freq"))
+        .orderBy($"doc_id")
+    }),
     "ft_dfr_topk" -> ((s, d) => {
       // divergence from randomness, the classic InL2 combination (ref
       // DFRSimilarity): per-term score = log2((N+1)/(n+0.5)) *
@@ -1875,6 +1899,21 @@ object SparkEntry {
         |   + (doc_id % 7 + 1))::BIGINT AS payload_sum
         |FROM documents
         |ORDER BY payload_sum DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "ft_payload_check" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (len(list_filter(string_split(text, ' '), x -> x = 'data'))
+        |     + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS f
+        |  FROM documents)
+        |SELECT doc_id, f::BIGINT AS check_freq FROM m WHERE f > 0
+        |ORDER BY doc_id""".stripMargin,
+    "ft_span_first" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |                  generate_subscripts(string_split(text, ' '), 1) AS pos
+        |           FROM documents)
+        |SELECT doc_id, count(*)::BIGINT AS first_freq
+        |FROM t WHERE term = 'data' AND pos <= 5
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ft_dfr_topk" -> {
       val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
       s"""WITH tok AS (

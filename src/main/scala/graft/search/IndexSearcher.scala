@@ -1717,6 +1717,81 @@ final class IndexSearcher(
       .limit(k)
   }
 
+  /** Payload-check matching — the re-expression of
+    * `queries/payloads/SpanPayloadCheckQuery.java`: a term occurrence
+    * counts only when the payload stored at its position equals
+    * `payload`. Same execution shape as [[payloadScoreTopK]]: ONE pushed
+    * postings scan per segment (term equality reaches the Parquet scan),
+    * distributed per-block decode, and the full (docId, matching-freq)
+    * set comes back — no driver-side per-doc work. Tombstoned docs never
+    * surface.
+    */
+  def payloadCheckFreqs(term: String, payload: Int): Dataset[(Long, Int)] = {
+    import graft.codec.BlockCodec
+    require(segments.forall(_.hasPayloads), "index was built without payloads")
+    val tombs = tombstones
+    val basesL = bases
+    segments.zipWithIndex.map { case (m, seg) =>
+      spark.read.parquet(s"${m.dir}/postings")
+        .where($"term" === term)
+        .select($"firstDocId", $"numDocs", $"docsPacked", $"freqsPacked",
+          $"paysPacked")
+        .as[(Long, Int, Array[Byte], Array[Byte], Array[Byte])]
+        .flatMap { case (first, n, docsB, freqsB, paysB) =>
+          if (paysB == null) Iterator.empty
+          else {
+            val dead = tombs.value(seg)
+            val base = basesL(seg)
+            val ids = BlockCodec.deltaDecode(BlockCodec.forDecode(docsB), first)
+            val fs = BlockCodec.pforDecode(freqsB)
+            val pays = graft.codec.Positions.decodeRaw(paysB, fs, n)
+            Iterator.range(0, n).flatMap { i =>
+              if (dead.contains(ids(i))) None
+              else {
+                val c = pays(i).count(_ == payload)
+                if (c > 0) Some((ids(i) + base, c)) else None
+              }
+            }
+          }
+        }
+    }.reduce(_ unionByName _)
+  }
+
+  /** Span-first matching — the re-expression of
+    * `spans/SpanFirstQuery.java` (the `end`-bounded case of
+    * `SpanPositionRangeQuery`): a term occurrence counts only when its
+    * span end (position + 1) is ≤ `end`. ONE pushed postings scan for the
+    * term; positions decode lazily per block and the per-doc position
+    * array is sorted, so the in-range count is a prefix scan. Returns the
+    * full (docId, in-range freq) match set; tombstoned docs never
+    * surface.
+    */
+  def spanFirstFreqs(term: String, end: Int): Dataset[(Long, Int)] = {
+    import graft.codec.BlockCodec
+    require(segments.forall(_.hasPositions), "index was built without positions")
+    val tombs = tombstones
+    val basesL = bases
+    blocksFor(Seq(term)).flatMap { b =>
+      if (b.posPacked == null) Iterator.empty
+      else {
+        val dead = tombs.value(b.seg)
+        val base = basesL(b.seg)
+        val ids = BlockCodec.deltaDecode(BlockCodec.forDecode(b.docsPacked), b.firstDocId)
+        val fs = BlockCodec.pforDecode(b.freqsPacked)
+        val poss = graft.codec.Positions.decode(b.posPacked, fs, b.numDocs)
+        Iterator.range(0, b.numDocs).flatMap { i =>
+          if (dead.contains(ids(i))) None
+          else {
+            val ps = poss(i)
+            var c = 0
+            while (c < ps.length && ps(c) + 1 <= end) c += 1
+            if (c > 0) Some((ids(i) + base, c)) else None
+          }
+        }
+      }
+    }
+  }
+
   /** Score breakdown for one (query, doc) — the re-expression of the
     * reference's `Weight#explain` (`search/Explanation.java`): the root
     * value equals exactly what [[topK]]/[[scoreMatches]] produce for the

@@ -69,6 +69,51 @@ class PayloadSpec extends SparkTestBase {
       .map(_.getDouble(1)).toSeq == Seq(2.0))
   }
 
+  test("payloadCheckFreqs counts only payload-matching occurrences") {
+    import spark.implicits._
+    // x carries payloads 3,1(default),3 in u1; 3 in u2; 5 in u3
+    val pages = Seq(
+      ("u1", "x|3 y x x|3"),
+      ("u2", "x|3 z"),
+      ("u3", "x|5 y"))
+    val dir = tmpDir("paycheck")
+    IndexBuilder.buildSegment(spark.createDataset(pages), dir, cfg)
+    val se = new IndexSearcher(spark, Seq(graft.index.Manifest.read(dir).get))
+    val urlOf = se.docsTable.select($"docId", $"url").as[(Long, String)]
+      .collect().toMap
+    def freqs(p: Int): Map[String, Int] =
+      se.payloadCheckFreqs("x", p).collect()
+        .map { case (id, f) => urlOf(id) -> f }.toMap
+    assert(freqs(3) == Map("u1" -> 2, "u2" -> 1))
+    assert(freqs(1) == Map("u1" -> 1))
+    assert(freqs(5) == Map("u3" -> 1))
+    assert(freqs(9).isEmpty)
+  }
+
+  test("spanFirstFreqs counts only positions with span end <= n") {
+    import spark.implicits._
+    val plain = IndexConfig(bucketShift = 4, numPostingPartitions = 4,
+      numDocPartitions = 2, storePositions = true)
+    // q at positions 0,2 in u1; 3 in u2; 5 in u3 (0-based)
+    val pages = Seq(
+      ("u1", "q a q b c"),
+      ("u2", "a b c q"),
+      ("u3", "a b c d e q"))
+    val dir = tmpDir("spanfirst")
+    IndexBuilder.buildSegment(spark.createDataset(pages), dir, plain)
+    val se = new IndexSearcher(spark, Seq(graft.index.Manifest.read(dir).get))
+    val urlOf = se.docsTable.select($"docId", $"url").as[(Long, String)]
+      .collect().toMap
+    def freqs(n: Int): Map[String, Int] =
+      se.spanFirstFreqs("q", n).collect()
+        .map { case (id, f) => urlOf(id) -> f }.toMap
+    assert(freqs(1) == Map("u1" -> 1)) // only pos 0 has end <= 1
+    assert(freqs(3) == Map("u1" -> 2)) // pos 0 and 2
+    assert(freqs(4) == Map("u1" -> 2, "u2" -> 1))
+    assert(freqs(6) == Map("u1" -> 2, "u2" -> 1, "u3" -> 1))
+    assert(freqs(0).isEmpty)
+  }
+
   test("payloads survive merge (docID remap) and delete purge") {
     import spark.implicits._
     val a = Seq(("a1", "x|3 y"), ("a2", "x|4 z"))
