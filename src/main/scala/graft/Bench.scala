@@ -67,7 +67,7 @@ object Bench {
       "ft_wildcard_lead", "ft_suggest_weighted", "ft_parent_join_avg",
       "ft_payload_topk", "ft_span_first",
       "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_embed",
-      "dedup_clusters", "dedup_lines", "pipe_split", "pipe_token_budget", "pipe_pack",
+      "dedup_clusters", "dedup_lines", "dedup_substring", "pipe_split", "pipe_token_budget", "pipe_pack",
       "pipe_decontaminate", "pipe_mix", "pipe_url_dedup", "stream_dedup",
       "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_sq_rescore",
       "text_quality", "text_termstats", "text_pii_scrub", "text_unigram_xent",

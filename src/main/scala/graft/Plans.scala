@@ -129,6 +129,18 @@ object Plans {
               lit("?utm_source=x&a=1")).as("url"))
           graft.pipeline.UrlOps.latestCapture(docs, "url", "doc_id", "doc_id")
         }),
+      ("Exact substring dedup (window verdict join, per-doc reassembly)",
+        "The Lee-et-al duplicated-span removal as four balanced shuffles: " +
+          "window occurrences stay (key, doc, start) rows — the 64-bit " +
+          "md5-prefix key aggregates with partial agg (HashAggregate " +
+          "before the exchange), the verdict joins back on the same key " +
+          "(AQE splits Zipf-head boilerplate windows), coverage collapses " +
+          "per doc (collect_set bounded by doc length), and the residue " +
+          "re-joins the token arrays. Nothing broadcast, nothing on the " +
+          "driver.",
+        fmt(graft.pipeline.Dedup.substringDedup(
+          spark.read.parquet(s"$sfDir/documents.parquet"),
+          "doc_id", "text", w = 5))),
       ("Codegen'd vector dot product (vec_dot)",
         "The `*(n)` prefix marks whole-stage codegen: the native expression stays " +
           "inside the generated stage (interpreted higher-order functions would not).",

@@ -1233,6 +1233,24 @@ object SparkEntry {
           "doc_id", "text", lineLen = 12, maxDocFreq = 50)
         .orderBy(col("doc_id"))
     }),
+    "dedup_substring" -> ((s, d) => {
+      // exact duplicated-substring removal (Lee et al. ACL'22; see
+      // Dedup.substringDedup): a fixed 10-token disclaimer prepended on
+      // doc_id%4==0 docs duplicates corpus-wide, so every 5-token window
+      // inside it drops while the per-doc boundary windows and unique
+      // bodies survive; naturally duplicated documents collapse whole
+      val id = col("doc_id")
+      val injected = concat(
+        when(id % 4 === 0, lit(
+          "this content is provided as is without any warranty whatsoever "))
+          .otherwise(lit("")),
+        col("text"))
+      graft.pipeline.Dedup
+        .substringDedup(docsDf(s, d).select(id, injected.as("text")),
+          "doc_id", "text", w = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
     "pipe_url_dedup" -> ((s, d) => {
       // canonical-URL capture dedup: messy crawl spellings (scheme/host
       // case, default ports, trailing slashes, tracking params, query
@@ -2684,6 +2702,33 @@ object SparkEntry {
         |                          ' ' ORDER BY l.li), '')) AS new_md5
         |FROM lines l JOIN df USING (line)
         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
+    "dedup_substring" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 4 = 0
+        |      THEN 'this content is provided as is without any warranty whatsoever '
+        |      ELSE '' END) || text AS text
+        |  FROM documents),
+        |ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM t),
+        |w0 AS (SELECT doc_id, ts,
+        |         unnest(generate_series(1, greatest(len(ts) - 4, 0))) AS s
+        |       FROM ts),
+        |w AS (SELECT doc_id, s,
+        |        substr(md5(array_to_string(ts[s:s+4], ' ')), 1, 16) AS k
+        |      FROM w0),
+        |dup AS (SELECT k FROM w GROUP BY k HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, s + d AS p
+        |        FROM (SELECT w.doc_id, w.s FROM w JOIN dup USING (k)),
+        |             generate_series(0, 4) gs(d)),
+        |tok AS (SELECT doc_id, unnest(ts) AS tok,
+        |               generate_subscripts(ts, 1) AS i FROM ts)
+        |SELECT t2.doc_id,
+        |  count(*)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS dup_tokens,
+        |  md5(coalesce(string_agg(CASE WHEN c.p IS NULL THEN t2.tok END,
+        |                          ' ' ORDER BY t2.i), '')) AS clean_fp
+        |FROM tok t2 LEFT JOIN cov c ON c.doc_id = t2.doc_id AND c.p = t2.i
+        |GROUP BY t2.doc_id ORDER BY t2.doc_id""".stripMargin,
     "pipe_url_dedup" ->
       """WITH u AS (
         |  SELECT doc_id,

@@ -69,6 +69,69 @@ object Dedup {
           s => s.getField("line")), " ")).as("new_md5"))
   }
 
+  /** Exact duplicated-substring removal (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022): every token
+    * covered by a `w`-token window whose exact text occurs at least
+    * `minOcc` times corpus-wide (all occurrences counted — within-doc
+    * repeats included) is dropped; the residue keeps its original order.
+    * Documented divergence from the paper's suffix-array tool: the paper
+    * keeps one copy of each duplicated substring, this drops ALL
+    * occurrences — the conservative variant, and the one expressible
+    * without a global suffix array.
+    *
+    * Returns one audit row per document: (id, n_tokens, dup_tokens,
+    * clean_fp) with clean_fp = md5 of the space-joined kept tokens
+    * (md5("") when everything was duplicated).
+    *
+    * 100 TB shape: window occurrences are (key, doc, start) rows that
+    * live in shuffles, never on the driver. Four balanced shuffles:
+    * window-key occurrence counts (partial agg first), the verdict join
+    * back on the same key (AQE skew-join splits Zipf-head boilerplate
+    * windows), per-doc covered positions (collect_set bounded by doc
+    * length), and the re-join to the token arrays. The window key is the
+    * 64-bit md5 hex prefix — fixed-width in the shuffles and replicable
+    * verbatim in SQL (`substr(md5(win), 1, 16)`), so an oracle reproduces
+    * the full pipeline, collisions included; a key collision can only
+    * over-mark (conservative) and is ~absent below 2^32 windows per
+    * corpus-unique text.
+    */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     w: Int = 5, minOcc: Long = 2): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val toks = df.repartition(par)
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+    val nSh = size(col("toks")) - (w - 1)
+    // window text from w O(1) element_at reads (see [[shingles]] on why
+    // not slice); 1-based starts to match SQL generate_subscripts
+    val winKey = (i: Column) => substring(
+      md5(concat_ws(" ", (0 until w).map(o => element_at(col("toks"), i + lit(o))): _*)),
+      1, 16)
+    val wins = toks.select(col("id"),
+        when(nSh >= 1,
+          transform(sequence(lit(1), nSh), i =>
+            struct(i.as("s"), winKey(i).as("k"))))
+          .otherwise(array().cast("array<struct<s:int,k:string>>")).as("ws"))
+      .select(col("id"), explode(col("ws")).as("win"))
+      .select(col("id"), col("win.s").as("s"), col("win.k").as("k"))
+    val dupKeys = wins.groupBy(col("k"))
+      .agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= minOcc)
+      .select(col("k"))
+    val covered = wins.join(dupKeys, "k")
+      .select(col("id"), explode(sequence(col("s"), col("s") + (w - 1))).as("p"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_set(col("p"))).as("cov"))
+    toks.join(covered, Seq("id"), "left")
+      .select(col("id"),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("bigint").as("dup_tokens"),
+        md5(array_join(
+          when(col("cov").isNull, col("toks"))
+            .otherwise(filter(col("toks"), (t, i) =>
+              !array_contains(col("cov"), i + lit(1)))),
+          " ")).as("clean_fp"))
+  }
+
   /** Word w-shingles of a doc as a distinct array column. Each shingle is
     * assembled from `w` O(1) `element_at` reads (a per-position `slice`
     * would re-copy the token array for every offset — measured 10x slower

@@ -555,6 +555,51 @@ class PipelineSpec extends SparkTestBase {
       (4L, 2L, 0L, md5hex("xx yy zz d4 e4 f4"))))
   }
 
+  test("substringDedup: planted repeated span covered exactly; residue in order") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    def md5hex(s: String): String = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // w=3: "p q r s" repeats in docs 1 and 2 (starts offset differently),
+    // so its two 3-windows cover exactly those 4 tokens in both docs;
+    // doc 3 shares no 3-window; doc 4 repeats a window WITHIN itself;
+    // doc 5 is too short for any window
+    val pages = Seq(
+      (1L, "p q r s a1 b1 c1"),
+      (2L, "x2 p q r s y2"),
+      (3L, "p q z3 r s w3"),
+      (4L, "m n o t m n o"),
+      (5L, "u v")).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(pages, "doc_id", "text", w = 3)
+      .orderBy("id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 7L, 4L, md5hex("a1 b1 c1")),
+      (2L, 6L, 4L, md5hex("x2 y2")),
+      (3L, 6L, 0L, md5hex("p q z3 r s w3")),
+      // "m n o" occurs twice within doc 4 -> both occurrences drop
+      (4L, 7L, 6L, md5hex("t")),
+      (5L, 2L, 0L, md5hex("u v"))))
+  }
+
+  test("substringDedup: fully duplicated doc collapses to md5(empty)") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    def md5hex(s: String): String = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val pages = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"),
+      (3L, "f g h i j")).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(pages, "doc_id", "text", w = 5)
+      .orderBy("id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 5L, md5hex("")),
+      (2L, 5L, 5L, md5hex("")),
+      (3L, 5L, 0L, md5hex("f g h i j"))))
+  }
+
   test("lineDedup: short tail lines chunk correctly; all-dropped doc stays") {
     import spark.implicits._
     // two docs that are pure boilerplate (every line repeats), one with a
