@@ -134,6 +134,21 @@ object OracleSql {
        |         ELSE substr($v, 1, len($v)-1) END
        |  ELSE substr($v, 1, len($v)-1) END""".stripMargin
 
+  /** American Soundex of expression `v` as DuckDB SQL — the independent
+    * replica of [[graft.analysis.Phonetic.soundex]]'s column chain (same
+    * algorithm, RE2-safe: run collapse is one replace per digit, no
+    * backreferences — DuckDB's RE2 engine rejects `\1` in patterns).
+    */
+  def soundexSql(v: String): String = {
+    val digits =
+      s"translate(substr(upper($v),1,1) || translate(substr(upper($v),2), 'HW', '')," +
+        s" 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '${graft.analysis.Phonetic.CodeTable}')"
+    val collapsed = (1 to 6).foldLeft(digits) { (d, k) =>
+      s"regexp_replace($d, '$k{2,}', '$k', 'g')"
+    }
+    s"substr(upper($v),1,1) || substr(translate(substr($collapsed,2),'0','') || '000', 1, 3)"
+  }
+
   /** Deterministic morphological variant of token `w` at 1-based position
     * `i`: 'query' always becomes 'queries'; every 3rd token gets '-s', every
     * 3rd+1 '-es'. Mirrors the Spark-side derivation in the `ft_stem_topk`

@@ -570,6 +570,58 @@ object SparkEntry {
         .select(docIdOf($"url"), $"first_freq".cast("bigint").as("first_freq"))
         .orderBy($"doc_id")
     }),
+    "ft_span_range" -> ((s, d) => {
+      // position-range matching (ref spans/SpanPositionRangeQuery.java):
+      // 'data' occurrences whose span lies within positions [3, 12)
+      val se = searcherFor(s, d)
+      import s.implicits._
+      se.spanRangeFreqs("data", 3, 12)
+        .toDF("docId", "range_freq")
+        .join(se.docsTable.select($"docId", $"url"), "docId")
+        .select(docIdOf($"url"), $"range_freq".cast("bigint").as("range_freq"))
+        .orderBy($"doc_id")
+    }),
+    "ft_covering" -> ((s, d) => {
+      // per-doc minimum-should-match (ref sandbox search/CoveringQuery.java):
+      // four SHOULD clauses; each doc requires nmatch >= (doc_id % 3) + 1 of
+      // them (the per-doc LongValuesSource), scores as the matching sum
+      val se = searcherFor(s, d)
+      import s.implicits._
+      val clauses = Seq("data", "query", "stream", "table")
+        .map(t => TermQuery(t): Query)
+      val minM = substring($"url", 4, 12).cast("bigint") % 3 + 1
+      se.coveringMatches(clauses, minM)
+        .join(se.docsTable.select($"docId", $"url"), "docId")
+        .select(docIdOf($"url"), round($"score", 6).as("score"),
+          $"nmatch".cast("bigint").as("nmatch"))
+        .orderBy($"doc_id")
+    }),
+    "ft_common_terms" -> ((s, d) => {
+      // dynamic-stopword query (ref queries/CommonTermsQuery.java): terms
+      // in > 50% of docs demote to scoring-only; a rare term is required
+      val se = searcherFor(s, d)
+      import s.implicits._
+      val q = se.commonTermsQuery(Seq("dup", "data", "query"), maxTermFrequency = 0.5)
+      se.fetchDocs(topKVerified(se, q, 10))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc).limit(10)
+    }),
+    "ft_spell_phonetic" -> ((s, d) => {
+      // phonetic suggestions (ref analysis/phonetic/PhoneticFilter.java):
+      // dictionary terms sounding like the typo 'stram' (Soundex S365),
+      // ranked by docFreq
+      searcherFor(s, d).phoneticSuggest("stram", 5)
+    }),
+    "text_soundex" -> ((s, d) => {
+      // the Soundex chain over the whole corpus vocabulary — every distinct
+      // token's code computed by the codegen'd column chain, differentially
+      // gated against the independent DuckDB replica
+      import s.implicits._
+      s.read.parquet(s"$d/documents.parquet")
+        .select(explode(split($"text", " ")).as("term")).distinct()
+        .select($"term", graft.analysis.Phonetic.soundex($"term").as("code"))
+        .orderBy($"term")
+    }),
     "ft_dfr_topk" -> ((s, d) => {
       // divergence from randomness, the classic InL2 combination (ref
       // DFRSimilarity): per-term score = log2((N+1)/(n+0.5)) *
@@ -1932,6 +1984,53 @@ object SparkEntry {
         |SELECT doc_id, count(*)::BIGINT AS first_freq
         |FROM t WHERE term = 'data' AND pos <= 5
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // engine positions are 0-based, generate_subscripts 1-based: span start
+    // pos0 >= 3 <=> pos >= 4; span end pos0+1 <= 12 <=> pos <= 12
+    "ft_span_range" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |                  generate_subscripts(string_split(text, ' '), 1) AS pos
+        |           FROM documents)
+        |SELECT doc_id, count(*)::BIGINT AS range_freq
+        |FROM t WHERE term = 'data' AND pos >= 4 AND pos <= 12
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ft_covering" -> {
+      s"""${OracleSql.bm25Ctes(Seq("data", "query", "stream", "table"))}, scored AS (
+         |  SELECT doc_id, sum(s) AS score, count(*) AS nmatch FROM sc GROUP BY doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score, nmatch::BIGINT AS nmatch
+         |FROM scored WHERE nmatch >= (doc_id % 3) + 1
+         |ORDER BY doc_id""".stripMargin
+    },
+    "ft_common_terms" -> {
+      s"""${OracleSql.bm25Ctes(Seq("dup", "data", "query"))}, df AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |), lowterms AS (
+         |  SELECT term FROM df WHERE df <= 0.5 * (SELECT n FROM stats)
+         |), scored AS (
+         |  SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM scored
+         |WHERE doc_id IN (SELECT doc_id FROM tok
+         |                 WHERE term IN (SELECT term FROM lowterms))
+         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+    "ft_spell_phonetic" -> {
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+         |), d AS (
+         |  SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY term
+         |)
+         |SELECT term, doc_freq::BIGINT AS doc_freq FROM d
+         |WHERE ${OracleSql.soundexSql("term")} = ${OracleSql.soundexSql("'stram'")}
+         |ORDER BY doc_freq DESC, term ASC LIMIT 5""".stripMargin
+    },
+    "text_soundex" -> {
+      s"""WITH t AS (
+         |  SELECT DISTINCT unnest(string_split(text, ' ')) AS term FROM documents
+         |)
+         |SELECT term, ${OracleSql.soundexSql("term")} AS code FROM t
+         |ORDER BY term""".stripMargin
+    },
     "ft_dfr_topk" -> {
       val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
       s"""WITH tok AS (

@@ -1,6 +1,6 @@
 package graft.search
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analysis.StandardAnalyzer
@@ -1758,15 +1758,23 @@ final class IndexSearcher(
   }
 
   /** Span-first matching — the re-expression of
-    * `spans/SpanFirstQuery.java` (the `end`-bounded case of
-    * `SpanPositionRangeQuery`): a term occurrence counts only when its
-    * span end (position + 1) is ≤ `end`. ONE pushed postings scan for the
-    * term; positions decode lazily per block and the per-doc position
-    * array is sorted, so the in-range count is a prefix scan. Returns the
-    * full (docId, in-range freq) match set; tombstoned docs never
+    * `spans/SpanFirstQuery.java`: the `start = 0` case of
+    * [[spanRangeFreqs]].
+    */
+  def spanFirstFreqs(term: String, end: Int): Dataset[(Long, Int)] =
+    spanRangeFreqs(term, 0, end)
+
+  /** Position-range matching — the re-expression of
+    * `spans/SpanPositionRangeQuery.java`: a term occurrence counts only
+    * when its span lies inside `[start, end)` in the reference's span
+    * coordinates (span start = position ≥ `start`, span end = position + 1
+    * ≤ `end`). ONE pushed postings scan for the term; positions decode
+    * lazily per block and the per-doc position array is sorted, so the
+    * in-range count is one lower-bound scan plus a prefix scan. Returns
+    * the full (docId, in-range freq) match set; tombstoned docs never
     * surface.
     */
-  def spanFirstFreqs(term: String, end: Int): Dataset[(Long, Int)] = {
+  def spanRangeFreqs(term: String, start: Int, end: Int): Dataset[(Long, Int)] = {
     import graft.codec.BlockCodec
     require(segments.forall(_.hasPositions), "index was built without positions")
     val tombs = tombstones
@@ -1783,13 +1791,101 @@ final class IndexSearcher(
           if (dead.contains(ids(i))) None
           else {
             val ps = poss(i)
-            var c = 0
+            var lo = 0
+            while (lo < ps.length && ps(lo) < start) lo += 1
+            var c = lo
             while (c < ps.length && ps(c) + 1 <= end) c += 1
-            if (c > 0) Some((ids(i) + base, c)) else None
+            if (c > lo) Some((ids(i) + base, c - lo)) else None
           }
         }
       }
     }
+  }
+
+  /** Covering query — the re-expression of the reference's sandbox
+    * `CoveringQuery` (`lucene/sandbox/src/java/org/apache/lucene/search/CoveringQuery.java`):
+    * a doc matches when at least `minMatch`-of-its-row clauses match, where
+    * the minimum is a PER-DOC value (the reference's `LongValuesSource`),
+    * and scores as the sum of the matching clauses. Execution shape: one
+    * scored match set per clause (each a pushed postings scan), ONE union +
+    * hash aggregation for (Σscore, nmatch), then a docId-equi join against
+    * the stored-fields table for the per-doc minimum — every step
+    * distributed, one shuffle for the agg and one for the join.
+    *
+    * `minMatch` is evaluated against [[docsTable]] columns (plus `docId`).
+    */
+  def coveringMatches(clauses: Seq[Query], minMatch: Column): DataFrame = {
+    require(clauses.nonEmpty, "CoveringQuery needs at least one clause")
+    val perDoc = clauses
+      .map(q => scoreMatches(q).toDF("docId", "score"))
+      .reduce(_ unionByName _)
+      .groupBy($"docId")
+      .agg(sum($"score").as("score"),
+        org.apache.spark.sql.functions.count(lit(1)).as("nmatch"))
+    perDoc
+      .join(docsTable.withColumn("minMatch", minMatch).select($"docId", $"minMatch"),
+        Seq("docId"))
+      .where($"nmatch" >= $"minMatch")
+      .select($"docId", $"score", $"nmatch", $"minMatch")
+  }
+
+  /** Top-k cut of [[coveringMatches]] by (6-dp rounded score desc, docId). */
+  def coveringTopK(clauses: Seq[Query], minMatch: Column, k: Int): DataFrame =
+    coveringMatches(clauses, minMatch)
+      .orderBy(round($"score", 6).desc, $"docId".asc)
+      .limit(k)
+
+  /** Common-terms query — the re-expression of
+    * `lucene/queries/src/java/org/apache/lucene/queries/CommonTermsQuery.java`:
+    * query terms whose docFreq exceeds `maxTermFrequency × docCount` are
+    * demoted to an optional (scoring-only) group, the rest form the
+    * required group (`lowFreqMinimumShouldMatch`-of). Docs therefore must
+    * match a rare term; stopword-like terms only contribute to the score —
+    * the dynamic-stopword behavior of the reference's default
+    * (lowFreqOccur=SHOULD wrapped as MUST, highFreqOccur=SHOULD). The df
+    * split costs one pruned dictionary point lookup; the returned query
+    * runs through the normal pruned executor.
+    */
+  def commonTermsQuery(terms: Seq[String], maxTermFrequency: Double,
+      lowFreqMinimumShouldMatch: Int = 1): Query = {
+    val uniq = terms.distinct
+    val ts = termStats(uniq)
+    val (high, low) = uniq.partition { t =>
+      val field = graft.index.FieldKey.fieldOf(t)
+      ts.get(t).exists(_.docFreq > maxTermFrequency * statsFor(field).docCount)
+    }
+    def group(ts0: Seq[String], msm: Int): Query =
+      BoolQuery(ts0.map(t => TermQuery(t) -> (Occur.Should: Occur)), msm)
+    (low.nonEmpty, high.nonEmpty) match {
+      case (true, true) =>
+        BoolQuery(Seq(
+          group(low, math.min(lowFreqMinimumShouldMatch, low.size)) -> (Occur.Must: Occur),
+          group(high, 0) -> (Occur.Should: Occur)))
+      case (true, false) => group(low, math.min(lowFreqMinimumShouldMatch, low.size))
+      case (false, true) => group(high, 1)
+      case _             => MatchNoneQuery
+    }
+  }
+
+  /** Phonetic suggestions — the re-expression of the reference's phonetic
+    * analysis matching (`analysis/phonetic/PhoneticFilter.java` +
+    * commons-codec Soundex): dictionary terms whose American Soundex code
+    * equals the input's, ranked by docFreq. The code is a pure codegen'd
+    * column chain ([[graft.analysis.Phonetic.soundex]]) evaluated in the
+    * dictionary scan — the vocabulary is metadata-sized relative to the
+    * corpus, the same cost class as the word-break scans (the reference
+    * instead indexes codes at analysis time; with a phonetic-code column
+    * persisted at build this would become a PushedFilter — not done, the
+    * dictionary scan is already sub-millisecond per segment).
+    */
+  def phoneticSuggest(term: String, n: Int = 5): DataFrame = {
+    val code = graft.analysis.Phonetic.soundex _
+    termsDictWithLen
+      .where(!$"term".contains(graft.index.FieldKey.Sep.toString) &&
+        code($"term") === code(lit(term)))
+      .groupBy($"term").agg(sum($"docFreq").as("doc_freq"))
+      .orderBy($"doc_freq".desc, $"term".asc)
+      .limit(n)
   }
 
   /** Score breakdown for one (query, doc) — the re-expression of the
