@@ -207,6 +207,36 @@ object SparkEntry {
         precision = Precision.DoubleOracle, k1 = K1, b = B)
     })
 
+  private val dvSearchers = TrieMap[String, IndexSearcher]()
+
+  /** Segment with an in-place numeric doc-values update applied (ref
+    * `index/IndexWriter.java#updateNumericDocValue`): the stored `length`
+    * of every doc_id % 10 == 0 doc is patched to length+1000 WITHOUT
+    * reindexing — a fixed-generation sparse patch overlaid at read time
+    * ([[graft.index.DocValues]]). Fixed gen 1 + deterministic patch content
+    * make the update idempotent across cached-index reruns.
+    */
+  private def dvSearcherFor(spark: SparkSession, sfDir: String): IndexSearcher =
+    dvSearchers.getOrElseUpdate(sfDir, {
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createDirectories(indexDirFor(sfDir))
+        .toString
+      val pages = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(format_string("doc%012d", $"doc_id").as("url"), $"text")
+        .as[(String, String)]
+      val cfg = IndexConfig(bucketShift = 8, numPostingPartitions = 8,
+        numDocPartitions = 4)
+      IndexBuilder.buildSegment(pages, s"$dir/segdv", cfg)
+      val patch = spark.read.parquet(s"$dir/segdv/docs")
+        .where(substring($"url", 4, 12).cast("bigint") % 10 === 0)
+        .select($"docId", ($"length" + 1000L).as("value"))
+      graft.index.DocValues.update(spark, s"$dir/segdv", "length", patch,
+        gen = Some(1))
+      new IndexSearcher(spark, Seq(Manifest.read(s"$dir/segdv").get),
+        precision = Precision.DoubleOracle, k1 = K1, b = B)
+    })
+
   private val synSearchers = TrieMap[String, IndexSearcher]()
 
   /** Index over `documents` with index-time synonym rules (ref
@@ -605,6 +635,19 @@ object SparkEntry {
       se.fetchDocs(topKVerified(se, q, 10))
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc).limit(10)
+    }),
+    "ft_dv_update" -> ((s, d) => {
+      // in-place numeric doc-values update (ref
+      // IndexWriter#updateNumericDocValue): stored `length` patched to
+      // +1000 for doc_id % 10 == 0 without reindexing; the field sort over
+      // the patched segment reflects the updated values
+      val se = dvSearcherFor(s, d)
+      import s.implicits._
+      se.matching(se.parse("data AND query")).toDF("docId")
+        .join(se.docsTable.select($"docId", $"url", $"length"), "docId")
+        .select(docIdOf($"url"), $"length".cast("bigint").as("dl"))
+        .orderBy($"dl".desc, $"doc_id".asc)
+        .limit(15)
     }),
     "ft_spell_phonetic" -> ((s, d) => {
       // phonetic suggestions (ref analysis/phonetic/PhoneticFilter.java):
@@ -2014,6 +2057,14 @@ object SparkEntry {
          |                 WHERE term IN (SELECT term FROM lowterms))
          |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
     },
+    "ft_dv_update" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |patched AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 10 = 0 THEN dl + 1000 ELSE dl END AS dl FROM dlen)
+         |SELECT doc_id, dl FROM patched
+         |WHERE ${hasTerm("data")} AND ${hasTerm("query")}
+         |ORDER BY dl DESC, doc_id ASC LIMIT 15""".stripMargin,
     "ft_spell_phonetic" -> {
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

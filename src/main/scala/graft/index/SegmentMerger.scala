@@ -58,9 +58,11 @@ object SegmentMerger {
           Deletes.readSorted(spark, m.dir).map(_ + base)
         }.sorted.toArray
 
-        // docs: union + remap (+ tombstone purge) + rewrite sorted by docId
+        // docs: union + remap (+ tombstone purge) + rewrite sorted by docId;
+        // DocValues.readDocs bakes any doc-values update generations into
+        // the merged row store (the reference's DV-generation compaction)
         val docsAll = manifests.zip(bases).map { case (m, base) =>
-          spark.read.parquet(s"${m.dir}/docs").withColumn("docId", $"docId" + lit(base))
+          DocValues.readDocs(spark, m.dir).withColumn("docId", $"docId" + lit(base))
         }.reduce(_ unionByName _)
         val docsLive =
           if (deadGlobal.isEmpty) docsAll

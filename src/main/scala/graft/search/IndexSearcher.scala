@@ -2165,7 +2165,7 @@ final class IndexSearcher(
   def docsTable: DataFrame =
     segments.zipWithIndex
       .map { case (s, i) =>
-        spark.read.parquet(s"${s.dir}/docs")
+        graft.index.DocValues.readDocs(spark, s.dir)
           .withColumn("docId", $"docId" + lit(bases(i)))
       }
       .reduce(_ unionByName _)
@@ -2183,8 +2183,9 @@ final class IndexSearcher(
       val lo = bases(i); val hi = lo + s.maxDocId
       val local = ids.collect { case d if d >= lo && d <= hi => d - lo }
       if (local.isEmpty) None
-      else Some(spark.read.parquet(s"${s.dir}/docs")
-        .where($"docId".isin(local: _*))
+      else Some(graft.index.DocValues.overlay(spark,
+          spark.read.parquet(s"${s.dir}/docs").where($"docId".isin(local: _*)),
+          s.dir)
         .withColumn("docId", $"docId" + lit(lo)))
     }
     if (parts.isEmpty)
