@@ -1371,6 +1371,30 @@ object SparkEntry {
           "url", "doc_id", "doc_id")
         .orderBy(col("curl"))
     }),
+    "web_domain_stats" -> ((s, d) => {
+      // per-domain crawl rollup (head-domain skew report): registrable
+      // domain = last two host labels after canonicalization; pages,
+      // distinct canonical urls/hosts/langs, exact-sum mean text length —
+      // ONE hash shuffle on the domain key
+      val id = col("doc_id")
+      val url = concat(
+        lit("https://"),
+        when(id % 4 === 0, lit("www.")).otherwise(lit("")),
+        lit("site"), (id % 7).cast("string"), lit("."),
+        when(id % 3 === 0, lit("example.com"))
+          .when(id % 3 === 1, lit("webcrawl.org"))
+          .otherwise(lit("dataset.net")),
+        lit("/p/"), (id % 100).cast("string"),
+        when(id % 5 === 0, lit("?utm_source=x&a=1")).otherwise(lit("")))
+      val pages = s.read.parquet(s"$d/documents.parquet").withColumn("u", url)
+      graft.pipeline.UrlOps.domainStats(pages, "u", "n_chars", "lang")
+        .select(col("domain"), col("pages").cast("bigint").as("pages"),
+          col("n_urls").cast("bigint").as("n_urls"),
+          col("n_hosts").cast("bigint").as("n_hosts"),
+          col("n_langs").cast("bigint").as("n_langs"),
+          round(col("avg_len"), 4).as("avg_len"))
+        .orderBy(col("domain"))
+    }),
     "pipe_token_budget" -> ((s, d) => {
       // token-budget selection in deterministic hash order: a global
       // ordered cumsum by semantics, executed as range-bucket totals +
@@ -2919,8 +2943,35 @@ object SparkEntry {
         |        FROM p))
         |SELECT curl, max(doc_id) AS kept_id, count(*) AS n_captures
         |FROM c GROUP BY curl ORDER BY curl""".stripMargin,
+    "web_domain_stats" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ('https://' || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+        |     || 'site' || (doc_id % 7)::VARCHAR || '.'
+        |     || CASE WHEN doc_id % 3 = 0 THEN 'example.com'
+        |             WHEN doc_id % 3 = 1 THEN 'webcrawl.org'
+        |             ELSE 'dataset.net' END
+        |     || '/p/' || (doc_id % 100)::VARCHAR
+        |     || CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x&a=1' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    replace(url, '?utm_source=x&a=1', '?a=1') AS curl
+        |  FROM u),
+        |d AS (
+        |  SELECT doc_id, lang, n_chars, curl,
+        |    regexp_extract(curl, '://([^/:?#]+)', 1) AS host,
+        |    regexp_extract(regexp_extract(curl, '://([^/:?#]+)', 1),
+        |                   '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM c)
+        |SELECT domain, count(*)::BIGINT AS pages,
+        |  count(DISTINCT curl)::BIGINT AS n_urls,
+        |  count(DISTINCT host)::BIGINT AS n_hosts,
+        |  count(DISTINCT lang)::BIGINT AS n_langs,
+        |  round(sum(n_chars)::BIGINT::DOUBLE / count(*)::DOUBLE, 4) AS avg_len
+        |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
     "pipe_token_budget" ->
-      """WITH t AS (
+"""WITH t AS (
         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS ntok,
         |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h
         |  FROM documents

@@ -60,6 +60,51 @@ object UrlOps {
       when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
   }
 
+  /** Host of an absolute URL (lowercased, port stripped). */
+  def hostOf(url: Column): Column =
+    regexp_replace(lower(regexp_extract(url, HostRe, 1)), ":[0-9]+$", "")
+
+  /** Registrable domain of a host — the last two dot-labels
+    * (`www.site3.example.com` → `example.com`). A deliberate simplification
+    * of the public-suffix list: multi-label suffixes like `co.uk` would
+    * need the PSL table broadcast-joined on the host's label suffixes (same
+    * execution shape, a data dependency this sandbox can't ship). Pure
+    * regexp — codegen'd, no shuffle.
+    */
+  def registrableDomain(host: Column): Column = {
+    val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    when(last2 === "", host).otherwise(last2)
+  }
+
+  /** Per-domain crawl rollup — the domain-level statistics stage of a
+    * web-corpus pipeline (head-domain skew report, per-domain quality
+    * inputs): pages, distinct canonical URLs, distinct hosts, language
+    * spread, and mean text length per registrable domain. ONE hash shuffle
+    * on the domain key; the distinct counts ride the same aggregation as
+    * HLL-free exact `count_distinct` (at 100 TB swap to
+    * `approx_count_distinct` — same plan shape, documented tradeoff).
+    */
+  def domainStats(pages: DataFrame, urlCol: String, textLenCol: String,
+                  langCol: String): DataFrame = {
+    val curl = canonicalUrl(col(urlCol))
+    pages
+      .withColumn("curl", curl)
+      .withColumn("host", hostOf(col("curl")))
+      .withColumn("domain", registrableDomain(col("host")))
+      .groupBy(col("domain"))
+      .agg(
+        count(lit(1)).as("pages"),
+        count_distinct(col("curl")).as("n_urls"),
+        count_distinct(col("host")).as("n_hosts"),
+        count_distinct(col(langCol)).as("n_langs"),
+        sum(col(textLenCol)).cast("long").as("len_sum"))
+      // exact integer sum + one division: the mean is bit-deterministic
+      // regardless of aggregation order (float sums are not)
+      .withColumn("avg_len",
+        col("len_sum").cast("double") / col("pages").cast("double"))
+      .drop("len_sum")
+  }
+
   /** Keep the latest capture per canonical URL: one groupBy on the canonical
     * key (`max_by` for the kept row, so a single shuffle carries both the
     * winner and the group size). `tsCol` is any totally-ordered capture

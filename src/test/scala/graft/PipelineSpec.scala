@@ -634,4 +634,30 @@ class PipelineSpec extends SparkTestBase {
     assert(got == Seq(("https://a.com/x?a=1&b=2", 2L, 3L),
       ("https://a.com/y", 4L, 1L)))
   }
+
+  test("domainStats: registrable-domain rollup with exact-sum means") {
+    import spark.implicits._
+    val pages = Seq(
+      // two hosts, three captures of two canonical urls on example.com
+      ("https://www.a.example.com/p?utm_source=s", 10L, "en"),
+      ("https://www.a.example.com/p", 20L, "en"),
+      ("HTTP://b.example.com:80/q/", 30L, "de"),
+      // single-label host falls back to itself
+      ("https://localhost/x", 40L, "en"),
+      ("https://other.org/y", 50L, "fr")).toDF("url", "n_chars", "lang")
+    val got = graft.pipeline.UrlOps
+      .domainStats(pages, "url", "n_chars", "lang")
+      .orderBy("domain")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("example.com", 3L, 2L, 2L, 2L, 20.0),
+      ("localhost", 1L, 1L, 1L, 1L, 40.0),
+      ("other.org", 1L, 1L, 1L, 1L, 50.0)))
+    // host/domain column helpers
+    val hd = Seq("https://www.x.co.uk:8080/p").toDF("u")
+      .select(graft.pipeline.UrlOps.hostOf(col("u")).as("h"))
+      .select(col("h"), graft.pipeline.UrlOps.registrableDomain(col("h")))
+      .as[(String, String)].head()
+    assert(hd == ("www.x.co.uk", "co.uk")) // PSL simplification, documented
+  }
 }
