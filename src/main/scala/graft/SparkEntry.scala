@@ -887,6 +887,18 @@ object SparkEntry {
         .orderBy($"score".desc, $"doc_id".asc)
         .limit(10)
     }),
+    "ft_simple_parse" -> ((s, d) => {
+      // end-user simple syntax (ref queryparser/simple/SimpleQueryParser):
+      // '+' AND binds tighter than '|' OR, '-' raises MUST_NOT into the
+      // enclosing boolean — (data AND query) OR stream, excluding dup-docs
+      val se = searcherFor(s, d)
+      import s.implicits._
+      val q = se.parseSimple("data + query | stream -dup")
+      se.fetchDocs(topKVerified(se, q, 10))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc)
+        .limit(10)
+    }),
     "ft_field_phrase" -> ((s, d) => {
       // field-scoped phrase over the two-field index: per-field positions
       // (restart per field) + per-field stats/norms drive the PhraseScorer
@@ -2400,6 +2412,26 @@ object SparkEntry {
          |    (SELECT w FROM widf) - (SELECT w FROM widf) / (1 + pf.freq *
          |      (1.0 / (1.2 * (0.25 + 0.75 * qlen.qdl / (SELECT avgdl FROM stats))))) AS score
          |  FROM pf JOIN qlen ON qlen.doc_id = pf.doc_id)
+         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+    "ft_simple_parse" -> {
+      s"""${OracleSql.bm25Ctes(Seq("data", "query", "stream"))}, agg AS (
+         |  SELECT doc_id,
+         |    max(CASE WHEN term = 'data' THEN s END) AS sd,
+         |    max(CASE WHEN term = 'query' THEN s END) AS sq,
+         |    max(CASE WHEN term = 'stream' THEN s END) AS ss
+         |  FROM sc GROUP BY doc_id
+         |), scored AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN sd IS NOT NULL AND sq IS NOT NULL
+         |          THEN sd + sq ELSE 0 END + coalesce(ss, 0)) AS score,
+         |    (sd IS NOT NULL AND sq IS NOT NULL) AS andmatch,
+         |    (ss IS NOT NULL) AS smatch
+         |  FROM agg
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM scored
+         |WHERE (andmatch OR smatch)
+         |  AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'dup')
          |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
     },
     "ft_classic_parse" -> {

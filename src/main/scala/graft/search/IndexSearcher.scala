@@ -279,11 +279,23 @@ final class IndexSearcher(
     * (`IndexSearcher.maxClauseCount` spirit, default 1024).
     */
   def parseFull(s: String, maxExpansions: Int = 1024): Query = {
+    val q = Query.parse(s, analyzeOne, dictRewriter(maxExpansions))
+    if (IndexSearcher.hasPhrase(q))
+      require(segments.forall(_.hasPositions),
+        "phrase syntax needs an index built with storePositions")
+    q
+  }
+
+  /** The dictionary-backed `MultiTermQuery.rewrite(reader)` used by both
+    * parsers: prefix/wildcard/range expand constant-score, fuzzy scoring
+    * (the reference's per-type rewrite defaults, `MultiTermQuery.java`).
+    */
+  private def dictRewriter(maxExpansions: Int): MultiTerm => Query = {
     def scoringOr(terms: Seq[String]): Query =
       BoolQuery(terms.map(t => TermQuery(t) -> (Occur.Should: Occur)))
     def constOr(terms: Seq[String]): Query =
       ConstScoreQuery(scoringOr(terms), 1.0)
-    val rewriter: MultiTerm => Query = {
+    val f: MultiTerm => Query = {
       case MultiTerm.Prefix(p)      => constOr(expandPrefix(p, maxExpansions))
       case MultiTerm.Wildcard(pat)  => constOr(expandWildcard(pat, maxExpansions))
       case MultiTerm.Fuzzy(t, edits) =>
@@ -293,7 +305,17 @@ final class IndexSearcher(
         val hiPred = if (incHi) $"term" <= hi else $"term" < hi
         constOr(expandTerms(loPred && hiPred, maxExpansions))
     }
-    val q = Query.parse(s, analyzeOne, rewriter)
+    f
+  }
+
+  /** End-user simple syntax with the same dictionary-backed rewrite — the
+    * reference's `queryparser/simple/SimpleQueryParser.java` pairing; never
+    * throws on malformed input.
+    */
+  def parseSimple(s: String, defaultAnd: Boolean = false,
+      maxExpansions: Int = 1024): Query = {
+    val q = SimpleParser.parse(s, analyzeOne, dictRewriter(maxExpansions),
+      defaultAnd)
     if (IndexSearcher.hasPhrase(q))
       require(segments.forall(_.hasPositions),
         "phrase syntax needs an index built with storePositions")

@@ -477,7 +477,7 @@ object Query {
   private val rangeRe = """([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])""".r
 
   /** Index of the first occurrence of `c` in `s` not preceded by `\`. */
-  private def indexOfUnescaped(s: String, c: Char, from: Int = 0): Int = {
+  private[search] def indexOfUnescaped(s: String, c: Char, from: Int = 0): Int = {
     var i = from
     while (i < s.length) {
       if (s.charAt(i) == '\\') i += 2
@@ -488,7 +488,7 @@ object Query {
   }
 
   /** Strip escape backslashes: `\x` → `x` (QueryParserBase#discardEscapeChar). */
-  private def unescape(s: String): String =
+  private[search] def unescape(s: String): String =
     if (s.indexOf('\\') < 0) s
     else {
       val b = new StringBuilder(s.length)
