@@ -1001,6 +1001,20 @@ object SparkEntry {
         .select(docIdOf($"url")).distinct()
         .orderBy($"doc_id")
     }),
+    "ft_near_before" -> ((s, d) => {
+      // positional ordering constraint (ref Intervals.before): unordered
+      // (data, stream) windows within width 8 that end before a later
+      // 'query' occurrence
+      val se = searcherFor(s, d)
+      import s.implicits._
+      import graft.search.Intervals._
+      se.intervalHits(Before(
+          MaxWidth(Unordered(Seq(Term("data"), Term("stream"))), 8), Term("query")))
+        .toDF("docId", "n", "minWidth")
+        .join(se.docsTable.select($"docId", $"url"), "docId")
+        .select(docIdOf($"url")).distinct()
+        .orderBy($"doc_id")
+    }),
     "ft_sort_topk" -> ((s, d) => {
       val se = searcherFor(s, d)
       import s.implicits._
@@ -2609,6 +2623,25 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM t c
         |                  WHERE c.doc_id = m.doc_id AND c.term = 'query'
         |                    AND c.pos BETWEEN m.s AND m.e)
+        |ORDER BY 1""".stripMargin,
+    "ft_near_before" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |                  generate_subscripts(string_split(text, ' '), 1) AS pos
+        |           FROM documents),
+        |pairs AS (SELECT a.doc_id, least(a.pos, b.pos) AS s,
+        |                 greatest(a.pos, b.pos) AS e
+        |          FROM t a JOIN t b ON b.doc_id = a.doc_id
+        |          WHERE a.term = 'data' AND b.term = 'stream'),
+        |minimal AS (SELECT DISTINCT p.doc_id, p.s, p.e FROM pairs p
+        |            WHERE NOT EXISTS (SELECT 1 FROM pairs q
+        |                              WHERE q.doc_id = p.doc_id
+        |                                AND q.s >= p.s AND q.e <= p.e
+        |                                AND (q.s > p.s OR q.e < p.e)))
+        |SELECT DISTINCT m.doc_id AS doc_id FROM minimal m
+        |WHERE m.e - m.s + 1 <= 8
+        |  AND EXISTS (SELECT 1 FROM t c
+        |              WHERE c.doc_id = m.doc_id AND c.term = 'query'
+        |                AND c.pos > m.e)
         |ORDER BY 1""".stripMargin,
     "ft_near_phrase" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,

@@ -123,6 +123,49 @@ object Intervals {
     def required: Seq[String] = minuend.required
   }
 
+  /** Intervals of `source` that end before (some interval of) `reference`
+    * starts (ref `Intervals.before`). The reference must occur, so its
+    * terms are required.
+    */
+  final case class Before(source: Source, reference: Source) extends Source {
+    def terms: Seq[String] = source.terms ++ reference.terms
+    def required: Seq[String] = source.required ++ reference.required
+  }
+
+  /** Intervals of `source` that start after (some interval of) `reference`
+    * ends (ref `Intervals.after`).
+    */
+  final case class After(source: Source, reference: Source) extends Source {
+    def terms: Seq[String] = source.terms ++ reference.terms
+    def required: Seq[String] = source.required ++ reference.required
+  }
+
+  /** Intervals of `source` overlapping >= 1 interval of `reference`
+    * (ref `Intervals.overlapping`).
+    */
+  final case class Overlapping(source: Source, reference: Source) extends Source {
+    def terms: Seq[String] = source.terms ++ reference.terms
+    def required: Seq[String] = source.required ++ reference.required
+  }
+
+  /** Intervals of `minuend` that do NOT appear within `positions` of any
+    * interval of `subtrahend` (ref `Intervals.notWithin`). The subtrahend
+    * is never required — a doc without it matches trivially.
+    */
+  final case class NotWithin(minuend: Source, positions: Int,
+      subtrahend: Source) extends Source {
+    def terms: Seq[String] = minuend.terms ++ subtrahend.terms
+    def required: Seq[String] = minuend.required
+  }
+
+  /** Each child interval widened by `before` positions on the left (floored
+    * at 0) and `after` on the right (ref `Intervals.extend`).
+    */
+  final case class Extend(child: Source, before: Int, after: Int) extends Source {
+    def terms: Seq[String] = child.terms
+    def required: Seq[String] = child.required
+  }
+
   /** Minimum possible extent (width) of any interval the source can emit —
     * the reference's `IntervalsSource#minExtent`, which anchors the sloppy
     * frequency `1 / max(len - minExtent + 1, 1)` so a tightest-possible
@@ -140,6 +183,11 @@ object Intervals {
     case NotContaining(m, _)  => minExtent(m)
     case NotContainedBy(s, _) => minExtent(s)
     case NonOverlapping(m, _) => minExtent(m)
+    case Before(s, _)         => minExtent(s)
+    case After(s, _)          => minExtent(s)
+    case Overlapping(s, _)    => minExtent(s)
+    case NotWithin(m, _, _)   => minExtent(m)
+    case Extend(c, b, a)      => minExtent(c) + b + a
   }
 
   // ---------------------------------------------------------- evaluation
@@ -237,6 +285,34 @@ object Intervals {
       if (b.isEmpty) a
       else a.filter(iv => !b.exists(bv =>
         startOf(bv) <= endOf(iv) && endOf(bv) >= startOf(iv)))
+    case Before(source, reference) =>
+      val a = eval(source, pos); val b = eval(reference, pos)
+      if (b.isEmpty) Array.emptyLongArray
+      else {
+        val maxStart = b.iterator.map(startOf).max
+        a.filter(iv => endOf(iv) < maxStart)
+      }
+    case After(source, reference) =>
+      val a = eval(source, pos); val b = eval(reference, pos)
+      if (b.isEmpty) Array.emptyLongArray
+      else {
+        val minEnd = b.iterator.map(endOf).min
+        a.filter(iv => startOf(iv) > minEnd)
+      }
+    case Overlapping(source, reference) =>
+      val a = eval(source, pos); val b = eval(reference, pos)
+      if (b.isEmpty) Array.emptyLongArray
+      else a.filter(iv => b.exists(bv =>
+        startOf(bv) <= endOf(iv) && endOf(bv) >= startOf(iv)))
+    case NotWithin(minuend, positions, subtrahend) =>
+      val a = eval(minuend, pos); val b = eval(subtrahend, pos)
+      if (b.isEmpty) a
+      else a.filter(iv => !b.exists(bv =>
+        startOf(bv) - positions <= endOf(iv) &&
+          endOf(bv) + positions >= startOf(iv)))
+    case Extend(child, before, after) =>
+      minimize(eval(child, pos).map(iv =>
+        pack(math.max(startOf(iv) - before, 0), endOf(iv) + after)))
   }
 
   /** Contiguous chains: child k+1's interval starts at prev end + 1. DFS

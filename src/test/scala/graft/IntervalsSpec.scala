@@ -143,6 +143,21 @@ class IntervalsSpec extends SparkTestBase {
       case NonOverlapping(m, s) =>
         val sv = brute(s, pos)
         brute(m, pos).filterNot(iv => sv.exists(x => x._1 <= iv._2 && x._2 >= iv._1))
+      case Before(s, r) =>
+        val rv = brute(r, pos)
+        brute(s, pos).filter(iv => rv.exists(x => iv._2 < x._1))
+      case After(s, r) =>
+        val rv = brute(r, pos)
+        brute(s, pos).filter(iv => rv.exists(x => iv._1 > x._2))
+      case Overlapping(s, r) =>
+        val rv = brute(r, pos)
+        brute(s, pos).filter(iv => rv.exists(x => x._1 <= iv._2 && x._2 >= iv._1))
+      case NotWithin(m, p, s) =>
+        val sv = brute(s, pos)
+        brute(m, pos).filterNot(iv =>
+          sv.exists(x => x._1 - p <= iv._2 && x._2 + p >= iv._1))
+      case Extend(c, b, a) =>
+        minim(brute(c, pos).map(iv => (math.max(iv._1 - b, 0), iv._2 + a)))
     }
   }
 
@@ -163,7 +178,17 @@ class IntervalsSpec extends SparkTestBase {
       NotContaining(Unordered(Seq(Term("a"), Term("b"))), Term("c")),
       NotContainedBy(Term("c"), Unordered(Seq(Term("a"), Term("b")))),
       NonOverlapping(Unordered(Seq(Term("a"), Term("b"))), Term("c")),
-      NonOverlapping(Phrase(Seq(Term("a"), Term("b"))), Unordered(Seq(Term("b"), Term("c")))))
+      NonOverlapping(Phrase(Seq(Term("a"), Term("b"))), Unordered(Seq(Term("b"), Term("c")))),
+      Before(Term("a"), Term("b")),
+      Before(Unordered(Seq(Term("a"), Term("b"))), Term("c")),
+      After(Term("a"), Term("b")),
+      After(Unordered(Seq(Term("a"), Term("b"))), Term("c")),
+      Overlapping(Unordered(Seq(Term("a"), Term("b"))), Term("c")),
+      Overlapping(Phrase(Seq(Term("a"), Term("b"))), Unordered(Seq(Term("b"), Term("c")))),
+      NotWithin(Term("a"), 2, Term("b")),
+      NotWithin(Unordered(Seq(Term("a"), Term("b"))), 1, Term("c")),
+      Extend(Term("a"), 1, 2),
+      Containing(Extend(Term("a"), 2, 2), Term("b")))
     for (trial <- 0 until 300) {
       val pos = Seq("a", "b", "c").map { t =>
         val n = rnd.nextInt(5)
