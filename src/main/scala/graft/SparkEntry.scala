@@ -106,6 +106,21 @@ object SparkEntry {
   private def docIdOf(url: org.apache.spark.sql.Column) =
     substring(url, 4, 12).cast("bigint").as("doc_id")
 
+  /** Deterministic messy-crawl URL for the web_* entries: 3 registrable
+    * domains, 7 site labels, optional www/tracking-param variants — all
+    * pure functions of doc_id so the DuckDB oracle rebuilds them exactly.
+    */
+  private def webUrlOf(id: org.apache.spark.sql.Column) =
+    concat(
+      lit("https://"),
+      when(id % 4 === 0, lit("www.")).otherwise(lit("")),
+      lit("site"), (id % 7).cast("string"), lit("."),
+      when(id % 3 === 0, lit("example.com"))
+        .when(id % 3 === 1, lit("webcrawl.org"))
+        .otherwise(lit("dataset.net")),
+      lit("/p/"), (id % 100).cast("string"),
+      when(id % 5 === 0, lit("?utm_source=x&a=1")).otherwise(lit("")))
+
   /** Engine top-k → (doc_id, score) with 6-dp rounding; selection order is
     * (rounded score desc, doc_id asc) on BOTH sides so rounding ties cut
     * identically.
@@ -1402,17 +1417,8 @@ object SparkEntry {
       // domain = last two host labels after canonicalization; pages,
       // distinct canonical urls/hosts/langs, exact-sum mean text length —
       // ONE hash shuffle on the domain key
-      val id = col("doc_id")
-      val url = concat(
-        lit("https://"),
-        when(id % 4 === 0, lit("www.")).otherwise(lit("")),
-        lit("site"), (id % 7).cast("string"), lit("."),
-        when(id % 3 === 0, lit("example.com"))
-          .when(id % 3 === 1, lit("webcrawl.org"))
-          .otherwise(lit("dataset.net")),
-        lit("/p/"), (id % 100).cast("string"),
-        when(id % 5 === 0, lit("?utm_source=x&a=1")).otherwise(lit("")))
-      val pages = s.read.parquet(s"$d/documents.parquet").withColumn("u", url)
+      val pages = s.read.parquet(s"$d/documents.parquet")
+        .withColumn("u", webUrlOf(col("doc_id")))
       graft.pipeline.UrlOps.domainStats(pages, "u", "n_chars", "lang")
         .select(col("domain"), col("pages").cast("bigint").as("pages"),
           col("n_urls").cast("bigint").as("n_urls"),
@@ -1420,6 +1426,18 @@ object SparkEntry {
           col("n_langs").cast("bigint").as("n_langs"),
           round(col("avg_len"), 4).as("avg_len"))
         .orderBy(col("domain"))
+    }),
+    "web_domain_cap" -> ((s, d) => {
+      // head-domain rate capping: domains over 120 pages downsample to
+      // ~120 by hashed-id residue — deterministic, partition-independent,
+      // no per-group ranking task (Sampling.capPerKey)
+      import s.implicits._
+      val u = graft.pipeline.UrlOps
+      val pages = s.read.parquet(s"$d/documents.parquet")
+        .withColumn("domain", u.registrableDomain(
+          u.hostOf(u.canonicalUrl(webUrlOf(col("doc_id"))))))
+      graft.pipeline.Sampling.capPerKey(pages, "domain", "doc_id", 120L)
+        .select($"doc_id", $"domain").orderBy($"doc_id")
     }),
     "pipe_token_budget" -> ((s, d) => {
       // token-budget selection in deterministic hash order: a global
@@ -3035,6 +3053,18 @@ object SparkEntry {
         |  count(DISTINCT lang)::BIGINT AS n_langs,
         |  round(sum(n_chars)::BIGINT::DOUBLE / count(*)::DOUBLE, 4) AS avg_len
         |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
+    "web_domain_cap" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'example.com'
+        |         WHEN doc_id % 3 = 1 THEN 'webcrawl.org'
+        |         ELSE 'dataset.net' END AS domain
+        |  FROM documents),
+        |n AS (SELECT domain, count(*) AS n FROM d GROUP BY domain)
+        |SELECT doc_id, domain FROM d JOIN n USING (domain)
+        |WHERE n <= 120
+        |   OR ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % n < 120
+        |ORDER BY doc_id""".stripMargin,
     "pipe_token_budget" ->
 """WITH t AS (
         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS ntok,

@@ -59,6 +59,23 @@ object Sampling {
   private def hash32(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("bigint")
 
+  /** Deterministic per-key rate capping — the head-domain downsampling
+    * stage of a web-corpus pipeline: groups with ≤ `cap` rows pass
+    * untouched; larger groups keep each row with probability `cap/n` via
+    * the hashed-id residue, i.e. ~`cap` expected survivors, rerun-stable
+    * and independent of partitioning. Execution: ONE metadata-shaped count
+    * aggregation + one equi-join (AQE broadcasts it while the key
+    * cardinality is small) + a pure-function filter — no windows, no
+    * per-group ranking task, so a 10⁹-page head domain costs the same as
+    * any other (the exact-top-cap alternative would single-task sort it).
+    */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, cap: Long): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+    df.join(counts, Seq(keyCol))
+      .where(col("__n") <= cap || hash32(col(idCol)) % col("__n") < cap)
+      .drop("__n")
+  }
+
   /** Token-budget selection: keep documents, in the deterministic
     * (hash(id), id) order, while the cumulative token count stays ≤
     * `budget` — the "take the first N tokens of a shuffled corpus" step of

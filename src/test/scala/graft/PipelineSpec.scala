@@ -660,4 +660,22 @@ class PipelineSpec extends SparkTestBase {
       .as[(String, String)].head()
     assert(hd == ("www.x.co.uk", "co.uk")) // PSL simplification, documented
   }
+
+  test("capPerKey: small groups pass whole, big groups rate-cap deterministically") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, if (i < 30) "small" else "big"))
+      .toDF("id", "key")
+    val kept = graft.pipeline.Sampling.capPerKey(df, "key", "id", 100L)
+      .select($"id").as[Long].collect().toSet
+    // the small group survives intact
+    assert((0L until 30L).forall(kept.contains))
+    // the big group (970 rows) downsamples to ~100 (rate cap, not exact)
+    val bigKept = kept.count(_ >= 30L)
+    assert(bigKept > 60 && bigKept < 140, s"bigKept=$bigKept")
+    // deterministic and partition-independent
+    val again = graft.pipeline.Sampling
+      .capPerKey(df.repartition(7), "key", "id", 100L)
+      .select($"id").as[Long].collect().toSet
+    assert(again == kept)
+  }
 }
