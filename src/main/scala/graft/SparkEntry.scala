@@ -106,6 +106,22 @@ object SparkEntry {
   private def docIdOf(url: org.apache.spark.sql.Column) =
     substring(url, 4, 12).cast("bigint").as("doc_id")
 
+  /** Synthetic link multigraph for the web-graph entries, pure doc_id
+    * arithmetic (every 10th page dangling, every 3rd page a third
+    * out-link, doc 6 a parallel edge) so the SQL oracle rebuilds the edge
+    * multiset independently. Returns (node count, edges(src,dst)).
+    */
+  private def webEdges(docs: DataFrame): (Long, DataFrame) = {
+    val n = docs.count()
+    val id = col("doc_id")
+    val linked = docs.where(id % 10 =!= 0)
+    val edges = linked.select(id.as("src"), ((id + 1) % n).as("dst"))
+      .union(linked.select(id.as("src"), ((id * 2 + 1) % n).as("dst")))
+      .union(linked.where(id % 3 === 0)
+        .select(id.as("src"), ((id + 7) % n).as("dst")))
+    (n, edges)
+  }
+
   /** Deterministic messy-crawl URL for the web_* entries: 3 registrable
     * domains, 7 site labels, optional www/tracking-param variants — all
     * pure functions of doc_id so the DuckDB oracle rebuilds them exactly.
@@ -1438,6 +1454,83 @@ object SparkEntry {
           u.hostOf(u.canonicalUrl(webUrlOf(col("doc_id"))))))
       graft.pipeline.Sampling.capPerKey(pages, "domain", "doc_id", 120L)
         .select($"doc_id", $"domain").orderBy($"doc_id")
+    }),
+    "web_anchor_texts" -> ((s, d) => {
+      // anchor-text corpus: per-doc HTML with two well-formed links (messy
+      // hrefs — case, default port, trailing slash, tracking param) and one
+      // unterminated link, synthesized as pure functions of doc_id; pairs
+      // extracted by ONE whole-link regex (malformed tag drops only its own
+      // pair), hrefs canonicalized, rollup per link target — one explode +
+      // one hash shuffle on the target
+      val id = col("doc_id")
+      val html = concat(
+        lit("<html><body><p>intro</p><a href=\"HTTPS://Site"),
+        ((id + 1) % 7).cast("string"),
+        lit(".Example.com:443/p/"), (id % 40).cast("string"),
+        lit("/\">page "), (id % 40).cast("string"), lit(" overview</a>"),
+        when(id % 3 === 0, concat(
+          lit("<a href=\"https://webcrawl.org/t/"), (id % 9).cast("string"),
+          lit("?utm_source=x&z=1\" rel=\"nofollow\">topic "),
+          (id % 9).cast("string"), lit("</a>"))).otherwise(lit("")),
+        when(id % 5 === 0,
+          lit("<a href=\"https://broken.example.com/x\">unterminated"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      graft.pipeline.UrlOps
+        .anchorTexts(docsDf(s, d).select(id, html.as("html")),
+          "html", "doc_id")
+        .orderBy(col("target"))
+    }),
+    "web_pagerank" -> ((s, d) => {
+      // link-graph PageRank (5 iterations, d=0.85): synthetic multigraph
+      // from doc_id arithmetic — every 10th page dangling (exercises the
+      // redistribution term), every 3rd page a third out-link, doc 6 a
+      // parallel edge; per iteration ONE edges⋈ranks join + ONE dst agg,
+      // dangling mass as a 1-row broadcast, one materializing barrier per
+      // iteration (Pregel superstep — lazy fixed points triple the plan
+      // per round); output scaled by N so 6-dp rounding is well-conditioned
+      val docs = docsDf(s, d).select(col("doc_id"))
+      val (n, edges) = webEdges(docs)
+      graft.pipeline.WebGraph
+        .pageRank(docs, "doc_id", edges, "src", "dst", iters = 5)
+        .select(col("id").as("doc_id"),
+          round(col("pr") * n, 6).as("pr_n"))
+        .orderBy(col("doc_id"))
+    }),
+    "web_hits" -> ((s, d) => {
+      // HITS hubs & authorities (3 iterations, L2-normalized) on the same
+      // synthetic multigraph as web_pagerank; two join+agg pairs per
+      // iteration, norms as 1-row broadcasts, one barrier per iteration
+      val docs = docsDf(s, d).select(col("doc_id"))
+      val (_, edges) = webEdges(docs)
+      graft.pipeline.WebGraph
+        .hits(docs, "doc_id", edges, "src", "dst", iters = 3)
+        .select(col("id").as("doc_id"), round(col("auth"), 6).as("auth"),
+          round(col("hub"), 6).as("hub"))
+        .orderBy(col("doc_id"))
+    }),
+    "web_recrawl_diff" -> ((s, d) => {
+      // incremental-crawl snapshot diff: previous capture under messy URL
+      // spellings, current under clean ones (the join must go through
+      // canonicalization); every 13th page gone, every 7th changed, every
+      // 17th spawns a new page — new/changed feed NRT re-index, gone feeds
+      // tombstones; one full-outer hash join on the canonical key
+      val id = col("doc_id")
+      val urlMessy = concat(lit("HTTPS://Site"), (id % 30).cast("string"),
+        lit(".Example.com:443/p/"), id.cast("string"), lit("/"))
+      val urlClean = concat(lit("https://site"), (id % 30).cast("string"),
+        lit(".example.com/p/"), id.cast("string"))
+      val docs = docsDf(s, d)
+      val prev = docs.select(urlMessy.as("url"), md5(col("text")).as("fp"))
+      val next = docs.where(id % 13 =!= 0)
+        .select(urlClean.as("url"),
+          when(id % 7 === 0, md5(concat(col("text"), lit("v2"))))
+            .otherwise(md5(col("text"))).as("fp"))
+        .union(docs.where(id % 17 === 0)
+          .select(concat(urlClean, lit("-new")).as("url"),
+            md5(concat(col("text"), lit("new"))).as("fp")))
+      graft.pipeline.UrlOps.recrawlDiff(prev, next, "url", "fp")
+        .orderBy(col("curl"))
     }),
     "pipe_token_budget" -> ((s, d) => {
       // token-budget selection in deterministic hash order: a global
@@ -3065,6 +3158,117 @@ object SparkEntry {
         |WHERE n <= 120
         |   OR ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % n < 120
         |ORDER BY doc_id""".stripMargin,
+    // independent derivation: the oracle rebuilds the (target, anchor)
+    // pairs from doc_id arithmetic (what the synthesized links MUST
+    // extract+canonicalize to), gating the whole regex+canonicalUrl chain
+    // without sharing any of its code; the unterminated %5 link appears in
+    // the html but must contribute nothing
+    "web_anchor_texts" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'https://site' || ((doc_id + 1) % 7)::VARCHAR
+        |      || '.example.com/p/' || (doc_id % 40)::VARCHAR AS target,
+        |    'page ' || (doc_id % 40)::VARCHAR || ' overview' AS anchor
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    'https://webcrawl.org/t/' || (doc_id % 9)::VARCHAR || '?z=1' AS target,
+        |    'topic ' || (doc_id % 9)::VARCHAR AS anchor
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT target, count(*)::BIGINT AS n_links,
+        |  count(DISTINCT doc_id)::BIGINT AS n_sources,
+        |  array_to_string(list_sort(list(DISTINCT anchor)), '|') AS anchors
+        |FROM p GROUP BY target ORDER BY target""".stripMargin,
+    // the 5 PageRank iterations unroll into chained CTEs — same edge
+    // multiset, outdegrees, dangling redistribution and damping as the
+    // engine, derived independently from doc_id arithmetic
+    "web_pagerank" -> {
+      def it(k: Int) =
+        s"""d${k - 1} AS (SELECT coalesce(sum(pr), 0.0) AS m
+           |  FROM r${k - 1} WHERE id NOT IN (SELECT src FROM od)),
+           |r$k AS (SELECT d.doc_id AS id,
+           |    0.15/(SELECT n FROM nn) + 0.85*(coalesce(c.s, 0.0)
+           |      + (SELECT m FROM d${k - 1})/(SELECT n FROM nn)) AS pr
+           |  FROM documents d LEFT JOIN (
+           |    SELECT e.dst AS id2, sum(p.pr/o.deg) AS s
+           |    FROM e JOIN r${k - 1} p ON e.src = p.id
+           |           JOIN od o ON o.src = e.src
+           |    GROUP BY e.dst) c ON d.doc_id = c.id2)""".stripMargin
+      s"""WITH nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |e AS (
+         |  SELECT doc_id AS src,
+         |         (doc_id + 1) % (SELECT count(*) FROM documents) AS dst
+         |  FROM documents WHERE doc_id % 10 <> 0
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 2 + 1) % (SELECT count(*) FROM documents)
+         |  FROM documents WHERE doc_id % 10 <> 0
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id + 7) % (SELECT count(*) FROM documents)
+         |  FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 3 = 0),
+         |od AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT doc_id AS id, 1.0/(SELECT n FROM nn) AS pr
+         |       FROM documents),
+         |${(1 to 5).map(it).mkString(",\n")}
+         |SELECT id AS doc_id, round(pr * (SELECT n FROM nn), 6) AS pr_n
+         |FROM r5 ORDER BY doc_id""".stripMargin
+    },
+    // HITS: 3 unrolled iterations, same independently-derived edge
+    // multiset; each auth/hub pass L2-normalizes via a scalar subquery
+    "web_hits" -> {
+      def it(k: Int) =
+        s"""a${k}r AS (SELECT d.doc_id AS id, coalesce(c.s, 0.0) AS va
+           |  FROM documents d LEFT JOIN (
+           |    SELECT e.dst AS id2, sum(p.hub) AS s
+           |    FROM e JOIN h${k - 1} p ON e.src = p.id GROUP BY e.dst) c
+           |  ON d.doc_id = c.id2),
+           |a$k AS (SELECT id, va/(SELECT sqrt(sum(va*va)) FROM a${k}r) AS auth
+           |  FROM a${k}r),
+           |h${k}r AS (SELECT d.doc_id AS id, coalesce(c.s, 0.0) AS vh
+           |  FROM documents d LEFT JOIN (
+           |    SELECT e.src AS id3, sum(p.auth) AS s
+           |    FROM e JOIN a$k p ON e.dst = p.id GROUP BY e.src) c
+           |  ON d.doc_id = c.id3),
+           |h$k AS (SELECT id, vh/(SELECT sqrt(sum(vh*vh)) FROM h${k}r) AS hub
+           |  FROM h${k}r)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT doc_id AS src,
+         |         (doc_id + 1) % (SELECT count(*) FROM documents) AS dst
+         |  FROM documents WHERE doc_id % 10 <> 0
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 2 + 1) % (SELECT count(*) FROM documents)
+         |  FROM documents WHERE doc_id % 10 <> 0
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id + 7) % (SELECT count(*) FROM documents)
+         |  FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 3 = 0),
+         |h0 AS (SELECT doc_id AS id, 1.0 AS hub FROM documents),
+         |${(1 to 3).map(it).mkString(",\n")}
+         |SELECT a3.id AS doc_id, round(a3.auth, 6) AS auth,
+         |       round(h3.hub, 6) AS hub
+         |FROM a3 JOIN h3 ON a3.id = h3.id ORDER BY doc_id""".stripMargin
+    },
+    "web_recrawl_diff" ->
+      """WITH prev AS (
+        |  SELECT 'https://site' || (doc_id % 30)::VARCHAR
+        |    || '.example.com/p/' || doc_id::VARCHAR AS curl,
+        |    md5(text) AS old_fp FROM documents),
+        |nxt AS (
+        |  SELECT 'https://site' || (doc_id % 30)::VARCHAR
+        |    || '.example.com/p/' || doc_id::VARCHAR AS curl,
+        |    CASE WHEN doc_id % 7 = 0 THEN md5(text || 'v2')
+        |         ELSE md5(text) END AS new_fp
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT 'https://site' || (doc_id % 30)::VARCHAR
+        |    || '.example.com/p/' || doc_id::VARCHAR || '-new',
+        |    md5(text || 'new')
+        |  FROM documents WHERE doc_id % 17 = 0)
+        |SELECT coalesce(p.curl, n.curl) AS curl, old_fp, new_fp,
+        |  CASE WHEN old_fp IS NULL THEN 'new'
+        |       WHEN new_fp IS NULL THEN 'gone'
+        |       WHEN old_fp = new_fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM prev p FULL OUTER JOIN nxt n ON p.curl = n.curl
+        |ORDER BY curl""".stripMargin,
     "pipe_token_budget" ->
 """WITH t AS (
         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS ntok,

@@ -105,6 +105,69 @@ object UrlOps {
       .drop("len_sum")
   }
 
+  /** Regex matching one complete double-quoted link, `<a href="…" …>text</a>`
+    * (RE2-safe: no backreferences, so a DuckDB oracle can run it verbatim).
+    * Anchor text is the tag's immediate character run — a link whose text
+    * holds nested markup, or an unterminated `<a>`, simply doesn't match.
+    */
+  val LinkRe = "<a href=\"[^\"]+\"[^>]*>[^<]*</a>"
+
+  /** (href, anchor-text) pairs exploded from an HTML column — the
+    * link-extraction step of an anchor-text corpus (the web-graph signal a
+    * search index feeds beside body text; the reference's crawl heritage
+    * keeps an HTML link parser in its benchmark feeds,
+    * `/root/reference/lucene/benchmark/.../feeds/DemoHTMLParser.java`).
+    * ONE `regexp_extract_all` pulls whole links, then href and text are
+    * re-extracted per link — a single match list, so a malformed tag drops
+    * its own pair and can never misalign the pairs after it (zipping two
+    * independent extractions would). One projection + one explode, no
+    * shuffle; all codegen'd `functions._`.
+    */
+  def anchorPairs(pages: DataFrame, htmlCol: String): DataFrame =
+    pages
+      .withColumn("__link",
+        explode(regexp_extract_all(col(htmlCol), lit(LinkRe), lit(0))))
+      .withColumn("href", regexp_extract(col("__link"), "<a href=\"([^\"]+)\"", 1))
+      .withColumn("anchor", regexp_extract(col("__link"), ">([^<]*)</a>", 1))
+      .drop("__link")
+
+  /** Anchor-text rollup per link target: canonicalize each href and
+    * aggregate the anchors pointing at it — links, distinct sources, and
+    * the sorted distinct anchor texts. ONE hash shuffle on the canonical
+    * target.
+    */
+  def anchorTexts(pages: DataFrame, htmlCol: String, idCol: String): DataFrame =
+    anchorPairs(pages, htmlCol)
+      .withColumn("target", canonicalUrl(col("href")))
+      .groupBy(col("target"))
+      .agg(
+        count(lit(1)).as("n_links"),
+        count_distinct(col(idCol)).as("n_sources"),
+        array_join(array_sort(collect_set(col("anchor"))), "|").as("anchors"))
+
+  /** Recrawl snapshot diff — the incremental-crawl stage that feeds index
+    * updates: full-outer join of two crawl snapshots on the canonical URL,
+    * classifying each page as `new` (absent before), `gone` (absent now),
+    * `changed` (content fingerprint differs) or `unchanged`. The `changed`
+    * + `new` rows are exactly the docs an NRT ingest re-indexes and `gone`
+    * the docs it tombstones (graft's `Streaming.indexStream` + `Deletes`).
+    * ONE hash shuffle per side on the canonical key; snapshots are expected
+    * canonical-unique (run [[latestCapture]] first on raw captures).
+    */
+  def recrawlDiff(prev: DataFrame, next: DataFrame,
+                  urlCol: String, fpCol: String): DataFrame = {
+    val p = prev.select(canonicalUrl(col(urlCol)).as("curl"),
+      col(fpCol).as("old_fp"))
+    val nx = next.select(canonicalUrl(col(urlCol)).as("curl"),
+      col(fpCol).as("new_fp"))
+    p.join(nx, Seq("curl"), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, lit("new"))
+          .when(col("new_fp").isNull, lit("gone"))
+          .when(col("old_fp") === col("new_fp"), lit("unchanged"))
+          .otherwise(lit("changed")))
+  }
+
   /** Keep the latest capture per canonical URL: one groupBy on the canonical
     * key (`max_by` for the kept row, so a single shuffle carries both the
     * winner and the group size). `tsCol` is any totally-ordered capture

@@ -678,4 +678,110 @@ class PipelineSpec extends SparkTestBase {
       .select($"id").as[Long].collect().toSet
     assert(again == kept)
   }
+
+  test("anchorPairs: malformed link drops alone, never misaligns the rest") {
+    import spark.implicits._
+    val pages = Seq(
+      // good, malformed (unterminated), good — the bad one must not shift
+      // the third link's pairing
+      (1L, "<p>x</p><a href=\"https://a.com/1\">one</a>" +
+        "<a href=\"https://bad.com/x\">oops<em>no close</em>" +
+        "<a href=\"https://b.com/2\" rel=\"nofollow\">two</a>"),
+      (2L, "<body>no links at all</body>")).toDF("id", "html")
+    val got = graft.pipeline.UrlOps.anchorPairs(pages, "html")
+      .select($"id", $"href", $"anchor")
+      .as[(Long, String, String)].collect().toSeq.sorted
+    assert(got == Seq(
+      (1L, "https://a.com/1", "one"),
+      (1L, "https://b.com/2", "two")))
+  }
+
+  test("anchorTexts: canonical-target rollup with sorted distinct anchors") {
+    import spark.implicits._
+    val pages = Seq(
+      // three spellings of the same target, two distinct anchor texts
+      (1L, "<a href=\"HTTPS://A.com:443/p/\">zebra</a>"),
+      (2L, "<a href=\"https://a.com/p?utm_source=s\">apple</a>" +
+        "<a href=\"https://a.com/p\">zebra</a>"),
+      (3L, "<a href=\"https://other.org/q\">only</a>")).toDF("id", "html")
+    val got = graft.pipeline.UrlOps.anchorTexts(pages, "html", "id")
+      .orderBy("target")
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      ("https://a.com/p", 3L, 2L, "apple|zebra"),
+      ("https://other.org/q", 1L, 1L, "only")))
+  }
+
+  test("pageRank: DataFrame fixed-point == driver brute force " +
+    "(dangling node, hub, parallel edges)") {
+    import spark.implicits._
+    val n = 12
+    // node 0 dangling, node 1 a hub, 3->5 a parallel edge, 7-8-9 a cycle
+    val es = Seq((1, 2), (2, 1), (3, 5), (3, 5), (4, 1), (5, 1), (6, 1),
+      (7, 8), (8, 9), (9, 7), (10, 11), (11, 10), (2, 0), (4, 0))
+    val got = graft.pipeline.WebGraph
+      .pageRank((0 until n).toDF("id"), "id", es.toDF("src", "dst"),
+        "src", "dst", iters = 7, checkpointEvery = 3)
+      .as[(Long, Double)].collect().toMap
+    var pr = Array.fill(n)(1.0 / n)
+    val out = es.groupBy(_._1).view.mapValues(_.size).toMap
+    for (_ <- 1 to 7) {
+      val next = Array.fill(n)((1.0 - 0.85) / n)
+      val dang = (0 until n).filterNot(out.contains).map(pr).sum
+      for ((s2, d2) <- es) next(d2) += 0.85 * pr(s2) / out(s2)
+      for (v <- 0 until n) next(v) += 0.85 * dang / n
+      pr = next
+    }
+    for (v <- 0 until n)
+      assert(math.abs(got(v.toLong) - pr(v)) < 1e-9, s"node $v")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9) // probability mass conserved
+    assert(got(1L) > got(2L)) // the hub outranks its satellites
+  }
+
+  test("hits: DataFrame iterations == driver brute force (L2-normalized)") {
+    import spark.implicits._
+    val n = 10
+    val es = Seq((1, 2), (2, 1), (3, 5), (3, 5), (4, 1), (5, 1), (6, 1),
+      (7, 8), (8, 9), (9, 7))
+    val got = graft.pipeline.WebGraph
+      .hits((0 until n).toDF("id"), "id", es.toDF("src", "dst"),
+        "src", "dst", iters = 4, checkpointEvery = 2)
+      .as[(Long, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    var auth = Array.fill(n)(1.0)
+    var hub = Array.fill(n)(1.0)
+    for (_ <- 1 to 4) {
+      val a = Array.fill(n)(0.0)
+      for ((s2, d2) <- es) a(d2) += hub(s2)
+      val an = math.sqrt(a.map(x => x * x).sum)
+      for (v <- 0 until n) a(v) /= an
+      val h = Array.fill(n)(0.0)
+      for ((s2, d2) <- es) h(s2) += a(d2)
+      val hn = math.sqrt(h.map(x => x * x).sum)
+      for (v <- 0 until n) h(v) /= hn
+      auth = a; hub = h
+    }
+    for (v <- 0 until n) {
+      assert(math.abs(got(v.toLong)._1 - auth(v)) < 1e-9, s"auth $v")
+      assert(math.abs(got(v.toLong)._2 - hub(v)) < 1e-9, s"hub $v")
+    }
+    assert(got(1L)._1 > got(3L)._1) // the in-link magnet is the authority
+  }
+
+  test("recrawlDiff: canonical join classifies new/gone/changed/unchanged") {
+    import spark.implicits._
+    val prev = Seq(("HTTPS://A.com:443/p/1/", "f1"),
+      ("https://a.com/p/2", "f2"), ("https://a.com/p/3", "f3"))
+      .toDF("url", "fp")
+    val next = Seq(("https://a.com/p/1", "f1"),
+      ("https://a.com/p/2", "f2x"), ("https://a.com/p/4", "f4"))
+      .toDF("url", "fp")
+    val got = graft.pipeline.UrlOps.recrawlDiff(prev, next, "url", "fp")
+      .select("curl", "status").as[(String, String)].collect().toMap
+    assert(got == Map(
+      "https://a.com/p/1" -> "unchanged",
+      "https://a.com/p/2" -> "changed",
+      "https://a.com/p/3" -> "gone",
+      "https://a.com/p/4" -> "new"))
+  }
 }
