@@ -355,6 +355,20 @@ object SparkEntry {
         k1 = K1, b = B, similarity = graft.search.Similarity.Axiomatic())
     })
 
+  private val sweetSearchers = TrieMap[String, IndexSearcher]()
+
+  /** Entry hyperparameters for SweetSpot: plateau [8,40] terms, classic
+    * steepness 0.5, tf floor base 0.5 below freq 2 — exercises both tf
+    * branches and both sides of the plateau on the corpus.
+    */
+  private def sweetSearcherFor(spark: SparkSession, sfDir: String): IndexSearcher =
+    sweetSearchers.getOrElseUpdate(sfDir, {
+      val base = searcherFor(spark, sfDir)
+      new IndexSearcher(spark, base.segments, precision = Precision.DoubleOracle,
+        k1 = K1, b = B, similarity = graft.search.Similarity.SweetSpot(
+          lnMin = 8, lnMax = 40, steepness = 0.5, tfBase = 0.5, tfMin = 2.0))
+    })
+
   private val multiSearchers = TrieMap[String, IndexSearcher]()
 
   /** Same segments, scored by the sum of BM25 and ClassicSimilarity (ref
@@ -735,6 +749,18 @@ object SparkEntry {
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc).limit(10)
     }),
+    "ft_sweetspot_topk" -> ((s, d) => {
+      // sweet-spot classic TF-IDF (ref misc/SweetSpotSimilarity): plateau
+      // length norm 1/sqrt(0.5*(|dl-8|+|dl-40|-32)+1) (flat at 1 inside
+      // [8,40], short docs penalized too — NOT antitone in the norm, so
+      // the block-max bound uses the plateau value) and baseline tf
+      // (freq<=2 -> 0.5, else sqrt(freq+0.25-2))
+      val se = sweetSearcherFor(s, d)
+      import s.implicits._
+      se.fetchDocs(topKVerified(se, Query.or("data", "query"), 10))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc).limit(10)
+    }),
     "ft_wordbreak" -> ((s, d) => {
       // word-break suggestions for a run-together term (ref
       // suggest/spell/WordBreakSpellChecker.java): one break, both parts
@@ -952,6 +978,18 @@ object SparkEntry {
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc)
         .limit(10)
+    }),
+    "ft_complex_phrase" -> ((s, d) => {
+      // ComplexPhraseQueryParser: wildcard and fuzzy atoms INSIDE a quoted
+      // phrase (ref queryparser/complexPhrase) — "data s* quary~1" becomes
+      // a 3-slot MultiPhraseQuery with the s*-prefix and 1-edit dictionary
+      // expansions as slot alternations
+      val se = searcherFor(s, d)
+      import s.implicits._
+      val q = se.parseComplexPhrase("data s* quary~1")
+      se.fetchDocs(topKVerified(se, q, 10))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc).limit(10)
     }),
     "ft_interval_topk" -> ((s, d) => {
       // SCORED interval query (ref queries/intervals/IntervalQuery):
@@ -2275,6 +2313,40 @@ object SparkEntry {
          |SELECT doc_id, round(score, 6) AS score FROM scored
          |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
     },
+    // SweetSpot: classic idf x baseline tf x plateau length norm, all on
+    // the quantized byte4 doc length (same as the engine's norm byte)
+    "ft_sweetspot_topk" -> {
+      val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+         |), dlen AS (
+         |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+         |), qlen AS (
+         |  SELECT doc_id,
+         |    (SELECT max(v) FROM (VALUES $vals) b4(v) WHERE v <= dl) AS qdl
+         |  FROM dlen
+         |), stats AS (
+         |  SELECT count(*)::DOUBLE AS n_docs FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, count(*)::DOUBLE AS freq FROM tok
+         |  WHERE term IN ('data', 'query') GROUP BY doc_id, term
+         |), df AS (
+         |  SELECT term, count(DISTINCT doc_id)::DOUBLE AS n FROM tok
+         |  WHERE term IN ('data', 'query') GROUP BY term
+         |), sc AS (
+         |  SELECT tf.doc_id,
+         |    (ln(((SELECT n_docs FROM stats) + 1) / (df.n + 1)) + 1) *
+         |    (CASE WHEN tf.freq <= 2.0 THEN 0.5
+         |          ELSE sqrt(tf.freq + 0.25 - 2.0) END) *
+         |    (1 / sqrt(0.5 * (abs(qlen.qdl - 8) + abs(qlen.qdl - 40) - 32)
+         |              + 1)) AS s
+         |  FROM tf JOIN df USING (term) JOIN qlen USING (doc_id)
+         |), scored AS (
+         |  SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM scored
+         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
     "ft_ib_topk" -> {
       val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
       s"""WITH tok AS (
@@ -2652,6 +2724,43 @@ object SparkEntry {
          |pf AS (SELECT a.doc_id, count(DISTINCT a.pos)::DOUBLE AS f
          |       FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
          |       WHERE a.term = 'data' AND b.term IN ('query', 'stream')
+         |       GROUP BY a.doc_id),
+         |sc AS (SELECT pf.doc_id,
+         |         (SELECT idf FROM idfsum) - (SELECT idf FROM idfsum) / (1 + pf.f *
+         |           (1.0 / (1.2 * (0.25 + 0.75 * qlen.qdl / (SELECT avgdl FROM stats))))) AS score
+         |       FROM pf JOIN qlen ON qlen.doc_id = pf.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM sc
+         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+    // complex phrase: slot expansions derived in SQL from the same corpus
+    // vocabulary (prefix LIKE, levenshtein<=1 — no adjacent-transposition
+    // terms exist for 'quary', so Damerau == Levenshtein here); BM25 with
+    // idf summed over every expanded term, tf = distinct phrase starts
+    "ft_complex_phrase" -> {
+      val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         |             generate_subscripts(string_split(text, ' '), 1) AS pos
+         |      FROM documents),
+         |exp2 AS (SELECT DISTINCT term FROM tok WHERE term LIKE 's%'),
+         |exp3 AS (SELECT DISTINCT term FROM tok
+         |         WHERE levenshtein(term, 'quary') <= 1),
+         |qterms AS (SELECT 'data' AS term UNION SELECT term FROM exp2
+         |           UNION SELECT term FROM exp3),
+         |dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |qlen AS (SELECT doc_id, dl,
+         |  (SELECT max(v) FROM (VALUES $vals) b4(v) WHERE v <= dl) AS qdl FROM dlen),
+         |stats AS (SELECT count(*)::DOUBLE AS n,
+         |                 sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dlen),
+         |df AS (SELECT tok.term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+         |       JOIN qterms q ON q.term = tok.term GROUP BY tok.term),
+         |idfsum AS (SELECT sum(ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))) AS idf
+         |           FROM df),
+         |pf AS (SELECT a.doc_id, count(DISTINCT a.pos)::DOUBLE AS f
+         |       FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |                JOIN t c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+         |       WHERE a.term = 'data' AND b.term IN (SELECT term FROM exp2)
+         |         AND c.term IN (SELECT term FROM exp3)
          |       GROUP BY a.doc_id),
          |sc AS (SELECT pf.doc_id,
          |         (SELECT idf FROM idfsum) - (SELECT idf FROM idfsum) / (1 + pf.f *

@@ -53,6 +53,16 @@ sealed trait SimScorer extends Serializable {
     * frequency left unrounded.
     */
   def scoreF(freq: Double, norm: Int): Double = score(freq.toInt, norm)
+
+  /** Upper bound used when scoring an impact-skyline pair for block-max
+    * pruning. The skyline keeps pairs competitive under "score grows with
+    * freq, shrinks with norm" — sound for every monotone similarity, where
+    * this default (the score itself) is tight. A similarity whose length
+    * normalization is NOT antitone in the norm (SweetSpot's plateau
+    * penalizes short docs too) must override this with a norm-independent
+    * bound, or pruning may discard true top-k hits.
+    */
+  def boundScore(freq: Int, norm: Int): Double = score(freq, norm)
 }
 
 /** Float-exact BM25 per-term scorer (rank-identity mode). */
@@ -408,6 +418,42 @@ final class TfIdfFloatScorer(val weight: Float) extends SimScorer {
     (raw * normTable(norm & 0xff)).toDouble
   }
   def weightD: Double = weight.toDouble
+}
+
+/** SweetSpotSimilarity per-term scorer (ref
+  * `misc/src/java/org/apache/lucene/misc/SweetSpotSimilarity.java`): the
+  * classic TF-IDF frame with a plateau length norm —
+  * `1/sqrt(steep·(|dl−min|+|dl−max|−(max−min))+1)`, flat 1.0 inside
+  * [lnMin,lnMax], sqrt falloff outside — and a baseline tf,
+  * `tf ≤ tfMin ? tfBase : sqrt(tf + tfBase² − tfMin)` (0 at tf=0). The
+  * length norm penalizes SHORT docs too, so it is not antitone in the norm
+  * byte: [[boundScore]] bounds with the plateau value (lengthNorm ≤ 1) to
+  * keep the impact-skyline pruning sound. `weight` = boost · Σ idf, dl = the
+  * SmallFloat-decoded quantized length (same byte4 pipeline as Classic).
+  */
+final class SweetSpotScorer(
+    val weight: Double, lnMin: Int, lnMax: Int, steep: Double,
+    tfBase: Double, tfMin: Double, floatExact: Boolean) extends SimScorer {
+  private val normTable: Array[Double] = {
+    val t = Array.tabulate(256) { i =>
+      val dl = SmallFloat.lengthTable(i).toDouble
+      1.0 / math.sqrt(
+        steep * (math.abs(dl - lnMin) + math.abs(dl - lnMax) - (lnMax - lnMin)) + 1.0)
+    }
+    t(0) = t(255) // length-0 sentinel convention, as TFIDFSimilarity's table
+    t
+  }
+  private def tf(freq: Double): Double =
+    if (freq == 0.0) 0.0
+    else if (freq <= tfMin) tfBase
+    else math.sqrt(freq + tfBase * tfBase - tfMin)
+  def score(freq: Int, norm: Int): Double = scoreF(freq.toDouble, norm)
+  override def scoreF(freq: Double, norm: Int): Double = {
+    val s = tf(freq) * weight * normTable(norm & 0xff)
+    if (floatExact) s.toFloat.toDouble else s
+  }
+  override def boundScore(freq: Int, norm: Int): Double = tf(freq.toDouble) * weight
+  def weightD: Double = weight
 }
 
 /** Double ClassicSimilarity per-term scorer (oracle-SQL-comparable mode). */

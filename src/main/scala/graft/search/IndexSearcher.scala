@@ -133,6 +133,20 @@ object Similarity {
   /** Raw term frequency (ref `RawTFSimilarity.java`): score = boost·freq. */
   case object RawTf extends Similarity
 
+  /** Sweet-spot tuned classic TF-IDF (ref `misc/SweetSpotSimilarity.java`):
+    * plateau length norm flat at 1.0 for doc lengths in [lnMin, lnMax]
+    * (sqrt falloff outside — short docs penalized too) and a baseline tf
+    * floor; defaults as the reference setters' documented defaults except
+    * the plateau, which the reference leaves degenerate ([1,1]).
+    */
+  final case class SweetSpot(
+      lnMin: Int = 1, lnMax: Int = 1, steepness: Double = 0.5,
+      tfBase: Double = 0.0, tfMin: Double = 0.0) extends Similarity {
+    require(lnMin >= 1 && lnMax >= lnMin, s"illegal plateau [$lnMin,$lnMax]")
+    require(steepness > 0, s"illegal steepness $steepness")
+    require(tfBase >= 0 && tfMin >= 0, s"illegal tf floor ($tfBase,$tfMin)")
+  }
+
   /** Sum of sub-model scores (ref `MultiSimilarity.java:55-69` — double
     * accumulation, float narrowing in float-exact mode).
     */
@@ -320,6 +334,52 @@ final class IndexSearcher(
       require(segments.forall(_.hasPositions),
         "phrase syntax needs an index built with storePositions")
     q
+  }
+
+  /** Phrase with embedded multi-term atoms — the reference's
+    * `queryparser/complexPhrase/ComplexPhraseQueryParser.java`: inside the
+    * quotes each whitespace token may be a plain term, a wildcard
+    * (`quer*`, `?ata`), or a fuzzy term (`quary~`, `quary~1`); every
+    * multi-term atom expands against the dictionary and the phrase becomes
+    * a [[MultiPhraseQuery]] slot per position (the reference rewrites to
+    * exactly this union-postings shape). A token the analyzer drops
+    * (stopword) leaves a position gap, like the classic phrase path; an
+    * atom with no dictionary matches makes the phrase unmatchable
+    * ([[MatchNoneQuery]]). Fuzzy edits cap at 2 (`LevenshteinAutomata`
+    * limit).
+    */
+  def parseComplexPhrase(phrase: String, slop: Int = 0,
+      maxExpansions: Int = 1024): Query = {
+    require(segments.forall(_.hasPositions),
+      "complex phrase needs an index built with storePositions")
+    val FuzzyRe = "^(.*?)~([0-9]?)$".r
+    var pos = 0
+    val slots = Seq.newBuilder[(Int, Seq[String])]
+    var dead = false
+    phrase.trim.split("\\s+").iterator.filter(_.nonEmpty).foreach { tok =>
+      val (body, edits) = tok match {
+        case FuzzyRe(b, e) if b.nonEmpty => (b, if (e.isEmpty) 2 else e.toInt)
+        case _                           => (tok, -1)
+      }
+      if (body.exists(c => c == '*' || c == '?')) {
+        val ts = expandWildcard(body.toLowerCase(java.util.Locale.ROOT),
+          maxExpansions)
+        if (ts.isEmpty) dead = true else slots += pos -> ts
+        pos += 1
+      } else if (edits > 0) {
+        val ts = expandFuzzy(analyzeOne(body), math.min(edits, 2),
+          maxExpansions)
+        if (ts.isEmpty) dead = true else slots += pos -> ts
+        pos += 1
+      } else {
+        val toks = analyzer.tokens(body)
+        if (toks.isEmpty) pos += 1 // stopword: position gap, slot skipped
+        else { slots += pos -> Seq(toks.head.term); pos += 1 }
+      }
+    }
+    val built = slots.result()
+    if (dead || built.isEmpty) MatchNoneQuery
+    else MultiPhraseQuery(built, slop)
   }
 
   // ------------------------------------------------------------- stats
@@ -683,6 +743,12 @@ final class IndexSearcher(
           st.sumTotalTermFreq, boost, precision == Precision.FloatExact)
       case Similarity.RawTf =>
         new RawTfScorer(boost, precision == Precision.FloatExact)
+      case Similarity.SweetSpot(lnMin, lnMax, steep, tfBase, tfMin) =>
+        // classic idf sum (the TFIDF frame SweetSpot extends)
+        new SweetSpotScorer(
+          boost * terms.map(t => TfIdf.idfD(ts(t).docFreq, st.docCount)).sum,
+          lnMin, lnMax, steep, tfBase, tfMin,
+          precision == Precision.FloatExact)
       case Similarity.Multi(subs) =>
         new SumSimScorer(subs.map(sumIdfSimX(_, terms, ts, boost)),
           precision == Precision.FloatExact)
@@ -799,6 +865,10 @@ final class IndexSearcher(
           precision == Precision.FloatExact)
       case Similarity.RawTf =>
         new RawTfScorer(boost, precision == Precision.FloatExact)
+      case Similarity.SweetSpot(lnMin, lnMax, steep, tfBase, tfMin) =>
+        new SweetSpotScorer(boost * TfIdf.idfD(df, st.docCount),
+          lnMin, lnMax, steep, tfBase, tfMin,
+          precision == Precision.FloatExact)
       case Similarity.Multi(subs) =>
         new SumSimScorer(subs.map(simScorerX(_, df, ttf, st, boost)),
           precision == Precision.FloatExact)

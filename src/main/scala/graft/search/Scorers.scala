@@ -81,7 +81,7 @@ final class TermScorer(blocks: Array[BlockView], scorer: SimScorer) extends DocS
 
   private def maxScoreOf(i: Int): Double = {
     if (blockMax(i).isNaN) {
-      blockMax(i) = Impacts.maxScore(Impacts.decode(blocks(i).impacts), scorer.score)
+      blockMax(i) = Impacts.maxScore(Impacts.decode(blocks(i).impacts), scorer.boundScore)
     }
     blockMax(i)
   }

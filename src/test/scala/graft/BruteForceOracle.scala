@@ -83,6 +83,9 @@ final class BruteForceOracle(
     case ax: Similarity.Axiomatic =>
       AxiomaticScorer(ax, df, docCount, sumTtf, boost, floatExact = true)
     case Similarity.RawTf => new RawTfScorer(boost, floatExact = true)
+    case Similarity.SweetSpot(lnMin, lnMax, steep, tfBase, tfMin) =>
+      new SweetSpotScorer(boost * TfIdf.idfD(df, docCount),
+        lnMin, lnMax, steep, tfBase, tfMin, floatExact = true)
     case Similarity.Multi(subs) =>
       new SumSimScorer(subs.map(mkScorerSim(_, df, ttf, boost)), floatExact = true)
     case pf: Similarity.PerField => // single-field oracle: default field

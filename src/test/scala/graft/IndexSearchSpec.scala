@@ -235,6 +235,29 @@ class IndexSearchSpec extends SparkTestBase {
     }
   }
 
+  test("SweetSpot similarity duel: engine == oracle, pruned == exhaustive " +
+    "(non-antitone length norm, plateau bound)") {
+    // plateau chosen inside the corpus length distribution so both sides
+    // of the sweet spot occur — the case where a naive skyline bound
+    // (score at the pair's own norm) could under-bound and break pruning
+    val ss = Similarity.SweetSpot(lnMin = 20, lnMax = 60, steepness = 0.5,
+      tfBase = 0.5, tfMin = 2.0)
+    val se = new IndexSearcher(spark, Seq(Manifest.read(segDir).get),
+      similarity = ss)
+    val oracle = new BruteForceOracle(pagesLocal, StandardAnalyzer.Default,
+      similarity = ss)
+    for (qs <- queryStrings :+ "court^2 OR law") {
+      val q = Query.parse(qs)
+      val expected = oracle.topK(q, 10)
+      val pruned = se.topK(q, 10, pruning = true).collect()
+        .map(s => (s.docId, s.score)).toSeq
+      val exhaustive = se.topK(q, 10, pruning = false).collect()
+        .map(s => (s.docId, s.score)).toSeq
+      assert(pruned == exhaustive, s"SweetSpot pruning changed results: $qs")
+      assert(pruned == expected, s"SweetSpot engine != oracle for: $qs")
+    }
+  }
+
   test("DFR, IB, DFI and Axiomatic similarity duels: engine == oracle, pruned == exhaustive") {
     // every component combination: {In, IF} x {L, B} x {H1, H2} for DFR,
     // {LL, SPL} x {DF, TTF} x {H1, H2} for IB, the 3 DFI measures, and the

@@ -325,4 +325,42 @@ class PhraseQuerySpec extends SparkTestBase {
     val s2 = new IndexSearcher(spark, Seq(Manifest.read(dir).get))
     intercept[IllegalArgumentException](s2.parseFull("\"a b\""))
   }
+
+  test("complex phrase: wildcard/fuzzy atoms expand into MultiPhrase slots") {
+    // "data quer*" -> slot {data}, slot {query} (dictionary expansion)
+    searcher.parseComplexPhrase("data quer*") match {
+      case MultiPhraseQuery(slots, 0) =>
+        assert(slots == Seq(0 -> Seq("data"), 1 -> Seq("query")))
+      case q => fail(s"unexpected $q")
+    }
+    // fuzzy atom: 1-edit neighbors of 'quary' in THIS corpus = {query}
+    searcher.parseComplexPhrase("data quary~1") match {
+      case MultiPhraseQuery(slots, 0) =>
+        assert(slots == Seq(0 -> Seq("data"), 1 -> Seq("query")))
+      case q => fail(s"unexpected $q")
+    }
+    // wildcard with several expansions keeps them all as one slot
+    searcher.parseComplexPhrase("data ta*") match {
+      case MultiPhraseQuery(slots, 0) =>
+        assert(slots.head == (0 -> Seq("data")))
+        assert(slots(1)._2.toSet == Set("table"))
+      case q => fail(s"unexpected $q")
+    }
+    // no dictionary match for an atom -> unmatchable phrase
+    assert(searcher.parseComplexPhrase("data zz*") == MatchNoneQuery)
+    // matches behave like the expanded MultiPhrase (doc0, doc4 adjacency)
+    val got = searcher.topK(searcher.parseComplexPhrase("data quer*"), 10)
+      .collect().map(_.docId).toSet
+    assert(got == Set(0L, 4L))
+    // a stopword atom leaves a position gap (default analyzer keeps
+    // stopwords, so build a stopword-filtering searcher view)
+    val stopSearcher = new IndexSearcher(spark, searcher.segments,
+      precision = Precision.DoubleOracle,
+      analyzer = new graft.analysis.StandardAnalyzer(stopwords = Set("the")))
+    stopSearcher.parseComplexPhrase("data the quer*") match {
+      case MultiPhraseQuery(slots, 0) =>
+        assert(slots.map(_._1) == Seq(0, 2))
+      case q => fail(s"unexpected $q")
+    }
+  }
 }
