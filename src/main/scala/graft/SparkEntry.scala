@@ -979,6 +979,15 @@ object SparkEntry {
         .orderBy($"score".desc, $"doc_id".asc)
         .limit(10)
     }),
+    "ft_surround" -> ((s, d) => {
+      // surround query language (ref queryparser/surround): infix AND/NOT
+      // over a prefix distance op — "4N(data, s*) AND table NOT slow" =
+      // unordered (data, s*-expansion) within width 5, must contain table,
+      // must not contain slow; the distance op runs on the intervals
+      // algebra (MaxWidth over Unordered)
+      val se = searcherFor(s, d)
+      ftMatch(s, d, se.parseSurround("4N(data, s*) AND table NOT slow"))
+    }),
     "ft_complex_phrase" -> ((s, d) => {
       // ComplexPhraseQueryParser: wildcard and fuzzy atoms INSIDE a quoted
       // phrase (ref queryparser/complexPhrase) — "data s* quary~1" becomes
@@ -2732,6 +2741,18 @@ object SparkEntry {
          |SELECT doc_id, round(score, 6) AS score FROM sc
          |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
     },
+    "ft_surround" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |                  generate_subscripts(string_split(text, ' '), 1) AS pos
+        |           FROM documents),
+        |nearset AS (SELECT DISTINCT a.doc_id
+        |            FROM t a JOIN t b ON b.doc_id = a.doc_id
+        |            WHERE a.term = 'data' AND b.term LIKE 's%'
+        |              AND greatest(a.pos, b.pos) - least(a.pos, b.pos) + 1 <= 5)
+        |SELECT DISTINCT doc_id FROM nearset
+        |WHERE doc_id IN (SELECT doc_id FROM t WHERE term = 'table')
+        |  AND doc_id NOT IN (SELECT doc_id FROM t WHERE term = 'slow')
+        |ORDER BY doc_id""".stripMargin,
     // complex phrase: slot expansions derived in SQL from the same corpus
     // vocabulary (prefix LIKE, levenshtein<=1 — no adjacent-transposition
     // terms exist for 'quary', so Damerau == Levenshtein here); BM25 with

@@ -336,6 +336,19 @@ final class IndexSearcher(
     q
   }
 
+  /** Surround proximity syntax onto the intervals algebra — the
+    * reference's `queryparser/surround` pairing; see [[SurroundParser]].
+    * Distance operators need a positional index.
+    */
+  def parseSurround(s: String, maxExpansions: Int = 1024): Query = {
+    val q = SurroundParser.parse(s, analyzeOne,
+      pat => expandWildcard(pat, maxExpansions))
+    if (IndexSearcher.hasPhrase(q))
+      require(segments.forall(_.hasPositions),
+        "surround distance operators need an index built with storePositions")
+    q
+  }
+
   /** Phrase with embedded multi-term atoms — the reference's
     * `queryparser/complexPhrase/ComplexPhraseQueryParser.java`: inside the
     * quotes each whitespace token may be a plain term, a wildcard

@@ -363,4 +363,18 @@ class PhraseQuerySpec extends SparkTestBase {
       case q => fail(s"unexpected $q")
     }
   }
+
+  test("surround queries match through the intervals algebra") {
+    def docs(q: Query) = searcher.matching(q).collect().toSet
+    // W(data, query): ordered adjacent (width <= 2) -> doc0, doc4
+    assert(docs(searcher.parseSurround("W(data, query)")) == Set(0L, 4L))
+    // 2W: width <= 3 admits doc1's "data x query"
+    assert(docs(searcher.parseSurround("2W(data, query)")) == Set(0L, 1L, 4L))
+    // N unordered: doc2's "query data" now matches at distance 1
+    assert(docs(searcher.parseSurround("N(data, query)")) == Set(0L, 2L, 4L))
+    // boolean composition over the distance op
+    assert(docs(searcher.parseSurround("W(data, query) NOT table")) == Set(0L))
+    // wildcard inside the distance op: quer* expands against the dictionary
+    assert(docs(searcher.parseSurround("2W(data, quer*)")) == Set(0L, 1L, 4L))
+  }
 }
