@@ -122,6 +122,26 @@ object SparkEntry {
     (n, edges)
   }
 
+  /** Synthetic page HTML for the anchor entries: two well-formed links
+    * (messy hrefs — case, default port, trailing slash, tracking param;
+    * the %3 topic link carries rel="nofollow") and one unterminated link,
+    * all pure functions of doc_id.
+    */
+  private def anchorHtmlOf(id: org.apache.spark.sql.Column) =
+    concat(
+      lit("<html><body><p>intro</p><a href=\"HTTPS://Site"),
+      ((id + 1) % 7).cast("string"),
+      lit(".Example.com:443/p/"), (id % 40).cast("string"),
+      lit("/\">page "), (id % 40).cast("string"), lit(" overview</a>"),
+      when(id % 3 === 0, concat(
+        lit("<a href=\"https://webcrawl.org/t/"), (id % 9).cast("string"),
+        lit("?utm_source=x&z=1\" rel=\"nofollow\">topic "),
+        (id % 9).cast("string"), lit("</a>"))).otherwise(lit("")),
+      when(id % 5 === 0,
+        lit("<a href=\"https://broken.example.com/x\">unterminated"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+
   /** Deterministic messy-crawl URL for the web_* entries: 3 registrable
     * domains, 7 site labels, optional www/tracking-param variants — all
     * pure functions of doc_id so the DuckDB oracle rebuilds them exactly.
@@ -1510,23 +1530,59 @@ object SparkEntry {
       // pair), hrefs canonicalized, rollup per link target — one explode +
       // one hash shuffle on the target
       val id = col("doc_id")
-      val html = concat(
-        lit("<html><body><p>intro</p><a href=\"HTTPS://Site"),
-        ((id + 1) % 7).cast("string"),
-        lit(".Example.com:443/p/"), (id % 40).cast("string"),
-        lit("/\">page "), (id % 40).cast("string"), lit(" overview</a>"),
-        when(id % 3 === 0, concat(
-          lit("<a href=\"https://webcrawl.org/t/"), (id % 9).cast("string"),
-          lit("?utm_source=x&z=1\" rel=\"nofollow\">topic "),
-          (id % 9).cast("string"), lit("</a>"))).otherwise(lit("")),
-        when(id % 5 === 0,
-          lit("<a href=\"https://broken.example.com/x\">unterminated"))
-          .otherwise(lit("")),
-        lit("</body></html>"))
       graft.pipeline.UrlOps
-        .anchorTexts(docsDf(s, d).select(id, html.as("html")),
+        .anchorTexts(docsDf(s, d).select(id, anchorHtmlOf(id).as("html")),
           "html", "doc_id")
         .orderBy(col("target"))
+    }),
+    "web_noindex" -> ((s, d) => {
+      // robots-directive gate: meta robots in either attribute order,
+      // token-boundary noindex match ("index,nofollow" must survive);
+      // zero-shuffle filter
+      val id = col("doc_id")
+      val html = concat(lit("<html><head>"),
+        when(id % 6 === 0,
+          lit("<meta name=\"robots\" content=\"noindex,follow\">"))
+          .when(id % 9 === 0,
+            lit("<meta content=\"noarchive, noindex\" name=\"robots\">"))
+          .when(id % 7 === 0,
+            lit("<meta name=\"robots\" content=\"index,nofollow\">"))
+          .otherwise(lit("")),
+        lit("</head><body>x</body></html>"))
+      graft.pipeline.UrlOps
+        .dropNoindex(docsDf(s, d).select(id, html.as("html")), "html")
+        .select(id).orderBy(id)
+    }),
+    "web_nofollow_anchors" -> ((s, d) => {
+      // anchor rollup with rel="nofollow" links dropped (no ranking
+      // endorsement): same synthesized pages as web_anchor_texts — the
+      // %3 topic link carries rel="nofollow" and must vanish
+      val id = col("doc_id")
+      graft.pipeline.UrlOps
+        .anchorTexts(docsDf(s, d).select(id, anchorHtmlOf(id).as("html")),
+          "html", "doc_id", dropNofollow = true)
+        .orderBy(col("target"))
+    }),
+    "web_canonical_fold" -> ((s, d) => {
+      // canonical-link folding: every 4th page declares a (messy-spelled)
+      // canonical target; effective identity = canonicalized declared
+      // target, else own URL — the group sizes per effective URL gate the
+      // fold; one hash shuffle on eff_url
+      val id = col("doc_id")
+      val html = concat(lit("<html><head>"),
+        when(id % 4 === 0, concat(
+          lit("<link rel=\"canonical\" href=\"HTTPS://Site"),
+          (id % 30).cast("string"), lit(".Example.com:443/p/"),
+          (id % 40).cast("string"), lit("/\">"))).otherwise(lit("")),
+        lit("</head><body>x</body></html>"))
+      val own = concat(lit("https://site"), (id % 30).cast("string"),
+        lit(".example.com/p/self/"), id.cast("string"))
+      graft.pipeline.UrlOps
+        .foldCanonical(docsDf(s, d)
+          .select(id, html.as("html"), own.as("url")), "html", "url")
+        .groupBy(col("eff_url"))
+        .agg(count(lit(1)).cast("bigint").as("n_pages"))
+        .orderBy(col("eff_url"))
     }),
     "web_pagerank" -> ((s, d) => {
       // link-graph PageRank (5 iterations, d=0.85): synthetic multigraph
@@ -3309,6 +3365,39 @@ object SparkEntry {
         |  count(DISTINCT doc_id)::BIGINT AS n_sources,
         |  array_to_string(list_sort(list(DISTINCT anchor)), '|') AS anchors
         |FROM p GROUP BY target ORDER BY target""".stripMargin,
+    // keep = pages whose synthesized robots directive lacks a noindex
+    // token (drop rules: %6 name-first noindex, else %9 content-first
+    // "noarchive, noindex"; %7's "index,nofollow" survives)
+    "web_noindex" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id % 6 <> 0 AND doc_id % 9 <> 0
+        |ORDER BY doc_id""".stripMargin,
+    // nofollow-aware anchors: only the followed %-all link survives (the
+    // %3 topic link carries rel="nofollow", the %5 link is malformed)
+    "web_nofollow_anchors" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'https://site' || ((doc_id + 1) % 7)::VARCHAR
+        |      || '.example.com/p/' || (doc_id % 40)::VARCHAR AS target,
+        |    'page ' || (doc_id % 40)::VARCHAR || ' overview' AS anchor
+        |  FROM documents)
+        |SELECT target, count(*)::BIGINT AS n_links,
+        |  count(DISTINCT doc_id)::BIGINT AS n_sources,
+        |  array_to_string(list_sort(list(DISTINCT anchor)), '|') AS anchors
+        |FROM p GROUP BY target ORDER BY target""".stripMargin,
+    "web_canonical_fold" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN
+        |      'https://site' || (doc_id % 30)::VARCHAR
+        |        || '.example.com/p/' || (doc_id % 40)::VARCHAR
+        |    ELSE
+        |      'https://site' || (doc_id % 30)::VARCHAR
+        |        || '.example.com/p/self/' || doc_id::VARCHAR
+        |    END AS eff_url
+        |  FROM documents)
+        |SELECT eff_url, count(*)::BIGINT AS n_pages
+        |FROM e GROUP BY eff_url ORDER BY eff_url""".stripMargin,
     // the 5 PageRank iterations unroll into chained CTEs — same edge
     // multiset, outdegrees, dangling redistribution and damping as the
     // engine, derived independently from doc_id arithmetic

@@ -123,27 +123,75 @@ object UrlOps {
     * independent extractions would). One projection + one explode, no
     * shuffle; all codegen'd `functions._`.
     */
-  def anchorPairs(pages: DataFrame, htmlCol: String): DataFrame =
-    pages
+  def anchorPairs(pages: DataFrame, htmlCol: String,
+                  dropNofollow: Boolean = false): DataFrame = {
+    val linked = pages
       .withColumn("__link",
         explode(regexp_extract_all(col(htmlCol), lit(LinkRe), lit(0))))
+    val kept =
+      if (dropNofollow) // rel="nofollow" links carry no ranking endorsement
+        linked.where(!col("__link").contains("rel=\"nofollow\""))
+      else linked
+    kept
       .withColumn("href", regexp_extract(col("__link"), "<a href=\"([^\"]+)\"", 1))
       .withColumn("anchor", regexp_extract(col("__link"), ">([^<]*)</a>", 1))
       .drop("__link")
+  }
 
   /** Anchor-text rollup per link target: canonicalize each href and
     * aggregate the anchors pointing at it — links, distinct sources, and
     * the sorted distinct anchor texts. ONE hash shuffle on the canonical
     * target.
     */
-  def anchorTexts(pages: DataFrame, htmlCol: String, idCol: String): DataFrame =
-    anchorPairs(pages, htmlCol)
+  def anchorTexts(pages: DataFrame, htmlCol: String, idCol: String,
+                  dropNofollow: Boolean = false): DataFrame =
+    anchorPairs(pages, htmlCol, dropNofollow)
       .withColumn("target", canonicalUrl(col("href")))
       .groupBy(col("target"))
       .agg(
         count(lit(1)).as("n_links"),
         count_distinct(col(idCol)).as("n_sources"),
         array_join(array_sort(collect_set(col("anchor"))), "|").as("anchors"))
+
+  /** Content of a page's `<meta name="robots" content="…">` directive
+    * (empty string when absent). One codegen'd regexp over double-quoted
+    * attributes in either order.
+    */
+  def metaRobots(html: Column): Column = {
+    val a = regexp_extract(html,
+      "<meta name=\"robots\" content=\"([^\"]*)\"", 1)
+    val b = regexp_extract(html,
+      "<meta content=\"([^\"]*)\" name=\"robots\"", 1)
+    when(a =!= "", a).otherwise(b)
+  }
+
+  /** Drop pages whose robots directive declares `noindex` — the crawl
+    * pipeline's index-eligibility gate (a search engine must not index
+    * such pages; the reference leaves this to the feeding crawler, e.g.
+    * Nutch's indexing filters). Token-boundary match inside the
+    * comma-separated directive list; zero-shuffle filter.
+    */
+  def dropNoindex(pages: DataFrame, htmlCol: String): DataFrame =
+    pages.where(!metaRobots(col(htmlCol))
+      .rlike("(^|,)\\s*noindex\\s*(,|$)"))
+
+  /** Declared canonical target of a page (`<link rel="canonical"
+    * href="…">`), empty when absent. */
+  def canonicalLink(html: Column): Column =
+    regexp_extract(html, "<link rel=\"canonical\" href=\"([^\"]+)\"", 1)
+
+  /** Fold pages onto their declared canonical URL: the effective identity
+    * of a page is its canonical-link target when present, else its own
+    * URL — applied BEFORE capture dedup so duplicate-content spellings
+    * collapse to the canonical page (the crawl pipeline's canonical-tag
+    * stage). Adds `eff_url` (canonicalized); zero-shuffle projection.
+    */
+  def foldCanonical(pages: DataFrame, htmlCol: String,
+                    urlCol: String): DataFrame = {
+    val declared = canonicalLink(col(htmlCol))
+    pages.withColumn("eff_url",
+      canonicalUrl(when(declared =!= "", declared).otherwise(col(urlCol))))
+  }
 
   /** Recrawl snapshot diff — the incremental-crawl stage that feeds index
     * updates: full-outer join of two crawl snapshots on the canonical URL,

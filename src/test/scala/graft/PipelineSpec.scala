@@ -768,6 +768,44 @@ class PipelineSpec extends SparkTestBase {
     assert(got(1L)._1 > got(3L)._1) // the in-link magnet is the authority
   }
 
+  test("robots noindex: token-boundary match, either attribute order") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "<meta name=\"robots\" content=\"noindex,follow\">"),
+      (2L, "<meta content=\"noarchive, noindex\" name=\"robots\">"),
+      (3L, "<meta name=\"robots\" content=\"index,nofollow\">"), // survives
+      (4L, "<meta name=\"robots\" content=\"index\">"),
+      (5L, "no meta at all")).toDF("id", "html")
+    val kept = graft.pipeline.UrlOps.dropNoindex(pages, "html")
+      .select($"id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 5L))
+  }
+
+  test("anchorPairs dropNofollow: nofollow links carry no endorsement") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "<a href=\"https://a.com/1\">one</a>" +
+        "<a href=\"https://b.com/2\" rel=\"nofollow\">two</a>"))
+      .toDF("id", "html")
+    val all = graft.pipeline.UrlOps.anchorPairs(pages, "html")
+      .select($"anchor").as[String].collect().toSet
+    val followed = graft.pipeline.UrlOps
+      .anchorPairs(pages, "html", dropNofollow = true)
+      .select($"anchor").as[String].collect().toSet
+    assert(all == Set("one", "two") && followed == Set("one"))
+  }
+
+  test("foldCanonical: declared target wins, spelling canonicalized") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "<link rel=\"canonical\" href=\"HTTPS://A.com:443/p/\">",
+        "https://a.com/p?print=1"),
+      (2L, "no declaration", "https://b.com/q/")).toDF("id", "html", "url")
+    val got = graft.pipeline.UrlOps.foldCanonical(pages, "html", "url")
+      .select($"id", $"eff_url").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "https://a.com/p", 2L -> "https://b.com/q"))
+  }
+
   test("recrawlDiff: canonical join classifies new/gone/changed/unchanged") {
     import spark.implicits._
     val prev = Seq(("HTTPS://A.com:443/p/1/", "f1"),
