@@ -141,6 +141,29 @@ object Plans {
         fmt(graft.pipeline.Dedup.substringDedup(
           spark.read.parquet(s"$sfDir/documents.parquet"),
           "doc_id", "text", w = 5))),
+      ("Anchor extraction (zero-shuffle link explode)",
+        "One whole-link regexp_extract_all + explode + per-link re-extract: a " +
+          "single Project/Generate chain with NO Exchange — link extraction " +
+          "runs at scan speed regardless of corpus size.",
+        fmt(graft.pipeline.UrlOps.anchorPairs(
+          spark.read.parquet(s"$sfDir/documents.parquet")
+            .select($"doc_id", concat(lit("<a href=\"https://x.com/"),
+              $"doc_id", lit("\">t</a>")).as("html")), "html"))),
+      ("PageRank superstep (one join + one agg per iteration)",
+        "A single iteration's update: edges⋈ranks hash join on src, hash " +
+          "aggregation on dst, dangling mass as a 1-row broadcast nested loop " +
+          "— two shuffles per superstep, both on O(N)-row sides; the edge " +
+          "table is pre-hashed once and reused.",
+        {
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+            .select($"doc_id")
+          val edges = docs.select($"doc_id".as("src"),
+            (($"doc_id" + 1) % 100).as("dst"))
+          // checkpointEvery=2 keeps the superstep plan visible (the
+          // default materializes per iteration into a LogicalRDD)
+          fmt(graft.pipeline.WebGraph.pageRank(docs, "doc_id",
+            edges, "src", "dst", iters = 1, checkpointEvery = 2))
+        }),
       ("Codegen'd vector dot product (vec_dot)",
         "The `*(n)` prefix marks whole-stage codegen: the native expression stays " +
           "inside the generated stage (interpreted higher-order functions would not).",
