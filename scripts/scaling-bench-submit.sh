@@ -8,7 +8,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 sbt -batch package
-JAR=$(ls target/scala-2.13/*.jar | head -1)
+JAR=$(ls target/scala-2.13/*.jar | grep -v -- -tests | head -1)
 N=${1:-150000}
 exec /opt/spark/bin/spark-submit \
   --master "local[32]" \
