@@ -63,6 +63,7 @@ object SparkEntry {
   def clearIndexCache(sfDir: String): Unit = {
     searchers.remove(sfDir)
     fieldSearchers.remove(sfDir)
+    webAnchorSearchers.remove(sfDir)
     classicSearchers.remove(sfDir)
     stemSearchers.remove(sfDir)
     featureSearchers.remove(sfDir)
@@ -373,6 +374,41 @@ object SparkEntry {
       val base = searcherFor(spark, sfDir)
       new IndexSearcher(spark, base.segments, precision = Precision.DoubleOracle,
         k1 = K1, b = B, similarity = graft.search.Similarity.Axiomatic())
+    })
+
+  private val webAnchorSearchers = TrieMap[String, IndexSearcher]()
+
+  /** Two-field web index: body text + an `anchor` field holding the
+    * anchor-text tokens of the doc's INLINKS from the [[webEdges]] graph
+    * (token = "data" for even sources, "query" for odd — body vocabulary,
+    * so BM25F genuinely blends the fields). The anchor corpus feeding a
+    * combined-field ranker is the classic web-search loop (body + anchor
+    * signal).
+    */
+  private def webAnchorSearcherFor(spark: SparkSession, sfDir: String): IndexSearcher =
+    webAnchorSearchers.getOrElseUpdate(sfDir, {
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createDirectories(indexDirFor(sfDir)).toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select($"doc_id", $"text")
+      val (_, edges) = webEdges(docs.select($"doc_id"))
+      val anchors = edges
+        .select($"dst", when($"src" % 2 === 0, lit("data"))
+          .otherwise(lit("query")).as("tok"))
+        .groupBy($"dst")
+        .agg(array_join(array_sort(collect_list($"tok")), " ").as("anchor"))
+      val pages = docs
+        .join(anchors, docs("doc_id") === anchors("dst"), "left")
+        .select(format_string("doc%012d", $"doc_id").as("url"), $"text",
+          coalesce($"anchor", lit("")).as("anchor"))
+        .as[(String, String, String)]
+        .map { case (u, t, a) => (u, Seq("body" -> t, "anchor" -> a)) }
+      val cfg = IndexConfig(bucketShift = 8, numPostingPartitions = 8,
+        numDocPartitions = 4)
+      IndexBuilder.buildSegmentFields(pages, s"$dir/segweb", cfg)
+      new IndexSearcher(spark, Seq(Manifest.read(s"$dir/segweb").get),
+        precision = Precision.DoubleOracle, k1 = K1, b = B)
     })
 
   private val sweetSearchers = TrieMap[String, IndexSearcher]()
@@ -1583,6 +1619,17 @@ object SparkEntry {
         .groupBy(col("eff_url"))
         .agg(count(lit(1)).cast("bigint").as("n_pages"))
         .orderBy(col("eff_url"))
+    }),
+    "web_anchor_search" -> ((s, d) => {
+      // anchor-boosted web search: BM25F over body (weight 1) + inlink
+      // anchor text (weight 2) from the link graph — the anchor corpus
+      // feeding the ranker, the classic web-search signal loop
+      val se = webAnchorSearcherFor(s, d)
+      import s.implicits._
+      val q = CombinedFieldQuery("data", Seq("anchor" -> 2.0, "body" -> 1.0))
+      se.fetchDocs(topKVerified(se, q, 10))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc).limit(10)
     }),
     "web_pagerank" -> ((s, d) => {
       // link-graph PageRank (5 iterations, d=0.85): synthetic multigraph
@@ -3398,6 +3445,62 @@ object SparkEntry {
         |  FROM documents)
         |SELECT eff_url, count(*)::BIGINT AS n_pages
         |FROM e GROUP BY eff_url ORDER BY eff_url""".stripMargin,
+    // BM25F over body + inlink anchors: the anchor field is re-derived in
+    // SQL from the same edge arithmetic (token 'data' for even sources,
+    // 'query' for odd); pseudo-stats per CombinedFieldQuery — docCount =
+    // max over fields, sttf = 2*sttf_anchor + sttf_body, df = max
+    // per-field df, freq = 2*tf_a + tf_b, norm = byte4 re-quantization of
+    // the weighted MATCHED-field quantized lengths
+    "web_anchor_search" -> {
+      val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
+      s"""WITH e AS (
+         |  SELECT doc_id AS src,
+         |         (doc_id + 1) % (SELECT count(*) FROM documents) AS dst
+         |  FROM documents WHERE doc_id % 10 <> 0
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 2 + 1) % (SELECT count(*) FROM documents)
+         |  FROM documents WHERE doc_id % 10 <> 0
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id + 7) % (SELECT count(*) FROM documents)
+         |  FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 3 = 0),
+         |atoks AS (SELECT dst AS doc_id,
+         |            CASE WHEN src % 2 = 0 THEN 'data' ELSE 'query' END AS term
+         |          FROM e),
+         |alen AS (SELECT d.doc_id, coalesce(c.n, 0) AS dl
+         |         FROM documents d LEFT JOIN (
+         |           SELECT doc_id, count(*) AS n FROM atoks GROUP BY doc_id) c
+         |         USING (doc_id)),
+         |blen AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+         |aq AS (SELECT doc_id, (SELECT max(v) FROM (VALUES $vals) b4(v) WHERE v <= dl) AS qdl FROM alen WHERE dl > 0),
+         |bq AS (SELECT doc_id, (SELECT max(v) FROM (VALUES $vals) b4(v) WHERE v <= dl) AS qdl FROM blen),
+         |pseudo AS (SELECT
+         |  greatest((SELECT count(*) FILTER (dl > 0) FROM alen),
+         |           (SELECT count(*) FILTER (dl > 0) FROM blen))::DOUBLE AS n,
+         |  (2 * (SELECT sum(dl) FROM alen) + (SELECT sum(dl) FROM blen))::DOUBLE AS sttf),
+         |atf AS (SELECT doc_id, count(*)::DOUBLE AS freq FROM atoks
+         |        WHERE term = 'data' GROUP BY doc_id),
+         |btf AS (SELECT doc_id, count(*)::DOUBLE AS freq
+         |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+         |        WHERE term = 'data' GROUP BY doc_id),
+         |dfp AS (SELECT greatest((SELECT count(*) FROM atf), (SELECT count(*) FROM btf)) AS df),
+         |idf AS (SELECT ln(1 + ((SELECT n FROM pseudo) - df + 0.5) / (df + 0.5)) AS idf FROM dfp),
+         |perdoc AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |  2 * coalesce(a.freq, 0) + coalesce(b.freq, 0) AS f,
+         |  (CASE WHEN a.doc_id IS NOT NULL THEN 2 * aq.qdl ELSE 0 END) +
+         |  (CASE WHEN b.doc_id IS NOT NULL THEN bq.qdl ELSE 0 END) AS lensum
+         |  FROM atf a FULL OUTER JOIN btf b ON a.doc_id = b.doc_id
+         |  LEFT JOIN aq ON aq.doc_id = coalesce(a.doc_id, b.doc_id)
+         |  LEFT JOIN bq ON bq.doc_id = coalesce(a.doc_id, b.doc_id)),
+         |normq AS (SELECT doc_id, f,
+         |  (SELECT max(v) FROM (VALUES $vals) b4(v) WHERE v <= round(lensum)) AS qn
+         |  FROM perdoc),
+         |scored AS (SELECT doc_id,
+         |  (SELECT idf FROM idf) - (SELECT idf FROM idf) / (1 + f *
+         |    (1.0 / (1.2 * (0.25 + 0.75 * qn / ((SELECT sttf FROM pseudo) / (SELECT n FROM pseudo)))))) AS score
+         |  FROM normq)
+         |SELECT doc_id, round(score, 6) AS score FROM scored
+         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
     // the 5 PageRank iterations unroll into chained CTEs — same edge
     // multiset, outdegrees, dangling redistribution and damping as the
     // engine, derived independently from doc_id arithmetic
