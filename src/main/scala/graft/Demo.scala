@@ -103,6 +103,35 @@ object Demo {
         val finalSegs = LiveSet.manifests(dir)
         println(s"[demo] ingest done: ${finalSegs.size} segments, " +
           s"${finalSegs.map(_.docCount).sum} docs total")
+      case "surround" :: dir :: rest if rest.nonEmpty =>
+        // surround proximity syntax (ref queryparser/surround): AND/OR/NOT
+        // + nW/nN distance ops onto the intervals algebra. Needs a
+        // positional index for the distance operators.
+        val searcher = IndexSearcher.open(spark, dir)
+        val qs = rest.mkString(" ")
+        val q = searcher.parseSurround(qs)
+        println(s"[demo] surround: $qs -> $q")
+        val t0 = System.nanoTime()
+        val hits = searcher.searchDocs(q, 10).collect()
+        val ms = (System.nanoTime() - t0) / 1e6
+        println(f"[demo] ${hits.length} hits in $ms%.0f ms (count=${searcher.count(q)})")
+        hits.foreach { r =>
+          println(f"  doc=${r.getAs[Long]("docId")}%6d score=${r.getAs[Double]("score")}%.4f ${r.getAs[String]("url")}")
+        }
+      case "cphrase" :: dir :: rest if rest.nonEmpty =>
+        // complex phrase (ref queryparser/complexPhrase): wildcard/fuzzy
+        // atoms inside the quoted phrase; whole CLI tail = one phrase
+        val searcher = IndexSearcher.open(spark, dir)
+        val qs = rest.mkString(" ")
+        val q = searcher.parseComplexPhrase(qs)
+        println(s"[demo] complex phrase: \"$qs\" -> $q")
+        val t0 = System.nanoTime()
+        val hits = searcher.searchDocs(q, 10).collect()
+        val ms = (System.nanoTime() - t0) / 1e6
+        println(f"[demo] ${hits.length} hits in $ms%.0f ms")
+        hits.foreach { r =>
+          println(f"  doc=${r.getAs[Long]("docId")}%6d score=${r.getAs[Double]("score")}%.4f ${r.getAs[String]("url")}")
+        }
       case "search" :: dir :: rest if rest.nonEmpty =>
         // optional similarity knob (ref IndexSearcher#setSimilarity):
         //   Demo search <dir> --sim=classic|bool|lm|lmjm|dfr|ib|dfi|f1exp..f3log <query...>
@@ -249,7 +278,8 @@ object Demo {
         System.err.println(
           "usage: Demo index <dir> <nDocs> [--positions] [--fields] " +
             "| search <dir> [--sim=classic|bool|lm|lmjm|dfr|ib|dfi|f1exp..f3log] <query...> " +
-            "| phrase <dir> <terms...> | ingest <dir> <batches> <perBatch> " +
+            "| phrase <dir> <terms...> | surround <dir> <query...> "+
+            "| cphrase <dir> <phrase terms...> | ingest <dir> <batches> <perBatch> " +
             "| forcemerge <dir> [maxSegments] | snapshot <dir> " +
             "| rollback <dir> <gen> | backup <dir> <dest> | stats <dir> " +
             "| check <dir> | explain <dir> <query...>")
