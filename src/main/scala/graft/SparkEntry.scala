@@ -1384,6 +1384,22 @@ object SparkEntry {
         .groupBy($"term").agg(count(lit(1)).as("weight"))
       searcherFor(s, d).suggestWeighted("st", weights, 10)
     }),
+    "ft_suggest_context" -> ((s, d) => {
+      // context-filtered completion (ref suggest/document/
+      // ContextSuggestField + ContextQuery): completions carry context
+      // labels (here: parity of the term's collection frequency — a
+      // deterministic stand-in for per-tenant/per-category contexts);
+      // only the accepted context competes, best accepted weight wins
+      import s.implicits._
+      val weights = docsDf(s, d)
+        .select(explode(split($"text", " ")).as("term"))
+        .where($"term".startsWith("s"))
+        .groupBy($"term").agg(count(lit(1)).as("weight"))
+        .select($"term", $"weight",
+          when($"weight" % 2 === 0, lit("even")).otherwise(lit("odd"))
+            .as("context"))
+      searcherFor(s, d).suggestWithContexts("s", weights, Set("even"), 10)
+    }),
     "ft_suggest_freetext" -> ((s, d) =>
       // free-text next-word suggestion (ref suggest/analyzing/
       // FreeTextSuggester.java): bigram-LM continuations of 'data'
@@ -3129,6 +3145,15 @@ object SparkEntry {
         |       WHERE term LIKE 'st%' GROUP BY term)
         |SELECT df.term, coalesce(w.weight, 0)::BIGINT AS weight, df.doc_freq
         |FROM df LEFT JOIN w USING (term)
+        |ORDER BY weight DESC, doc_freq DESC, term ASC LIMIT 10""".stripMargin,
+    "ft_suggest_context" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |w AS (SELECT term, count(*) AS weight FROM tok WHERE term LIKE 's%' GROUP BY term),
+        |acc AS (SELECT term, max(weight) AS weight FROM w WHERE weight % 2 = 0 GROUP BY term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok
+        |       WHERE term LIKE 's%' GROUP BY term)
+        |SELECT df.term, acc.weight::BIGINT AS weight, df.doc_freq
+        |FROM df JOIN acc USING (term)
         |ORDER BY weight DESC, doc_freq DESC, term ASC LIMIT 10""".stripMargin,
     "ft_suggest_freetext" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

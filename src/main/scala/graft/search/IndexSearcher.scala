@@ -1267,6 +1267,30 @@ final class IndexSearcher(
       .limit(n)
   }
 
+  /** Context-filtered weighted completion (ref
+    * `suggest/document/ContextSuggestField.java` + `ContextQuery.java`):
+    * the weights table carries a `context` column and only entries in the
+    * accepted context set compete; within the filtered set ranking is
+    * (weight desc, docFreq desc, term asc) as [[suggestWeighted]]. An
+    * entry listed under several contexts keeps its best accepted weight
+    * (the reference scores each context arc independently; max wins).
+    * Same shape: pruned prefix dictionary scan + one broadcast join.
+    */
+  def suggestWithContexts(
+      prefix: String, weights: DataFrame, contexts: Set[String], n: Int = 10
+  ): DataFrame = {
+    require(contexts.nonEmpty, "empty context set")
+    val dict = termsDictWithLen.where($"term".startsWith(prefix))
+      .groupBy($"term").agg(sum($"docFreq").as("doc_freq"))
+    val accepted = weights
+      .where($"context".isin(contexts.toSeq: _*))
+      .groupBy($"term").agg(max($"weight").as("weight"))
+    dict.join(broadcast(accepted), Seq("term"))
+      .select($"term", $"weight".cast("bigint").as("weight"), $"doc_freq")
+      .orderBy($"weight".desc, $"doc_freq".desc, $"term".asc)
+      .limit(n)
+  }
+
   /** All matching docIds (no scoring) — the FILTER/semi-join path feeding
     * facets, grouping, and joins.
     */

@@ -806,6 +806,53 @@ class PipelineSpec extends SparkTestBase {
     assert(got == Map(1L -> "https://a.com/p", 2L -> "https://b.com/q"))
   }
 
+  test("recrawl diff drives the NRT update: changed re-indexed, gone " +
+    "tombstoned, unchanged untouched") {
+    import spark.implicits._
+    import graft.index.{Deletes, IndexBuilder, LiveSet}
+    // snapshot 1 indexed as the live set
+    val pages1 = Seq(
+      ("https://a.com/p/0", "alpha data one"),
+      ("https://a.com/p/1", "beta query two"),
+      ("https://a.com/p/2", "gamma table three"),
+      ("https://a.com/p/3", "delta stream four"))
+    val dir = tmpDir("recrawl-idx")
+    val cfg = IndexConfig(bucketShift = 9, numPostingPartitions = 2,
+      numDocPartitions = 1)
+    IndexBuilder.buildSegment(spark.createDataset(pages1), s"$dir/seg0", cfg)
+    LiveSet.add(dir, Seq("seg0"))
+    // snapshot 2: p1 changed (messy recrawl spelling), p2 gone, p4 new
+    val pages2 = Seq(
+      ("https://a.com/p/0", "alpha data one"),
+      ("HTTPS://A.com:443/p/1/", "zeta query two"),
+      ("https://a.com/p/3", "delta stream four"),
+      ("https://a.com/p/4", "epsilon vector five"))
+    val prev = pages1.toDF("url", "text").withColumn("fp", md5($"text"))
+    val next = pages2.toDF("url", "text").withColumn("fp", md5($"text"))
+    val diff = graft.pipeline.UrlOps.recrawlDiff(
+      prev.select($"url", $"fp"), next.select($"url", $"fp"), "url", "fp")
+    // gone + changed tombstone the old docs (stored urls are canonical)
+    val stale = diff.where($"status".isin("gone", "changed"))
+      .select($"curl").as[String].collect().toSeq
+    LiveSet.manifests(dir).foreach(m =>
+      Deletes.deleteByUrls(spark, m.dir, stale))
+    // new + changed re-index as a fresh NRT segment under canonical urls
+    val fresh = next
+      .withColumn("curl", graft.pipeline.UrlOps.canonicalUrl($"url"))
+      .join(diff.where($"status".isin("new", "changed")).select($"curl"),
+        "curl")
+      .select($"curl", $"text").as[(String, String)]
+    IndexBuilder.buildSegment(fresh, s"$dir/seg1", cfg)
+    LiveSet.add(dir, Seq("seg1"))
+    val se = IndexSearcher.open(spark, dir)
+    assert(se.count(Query.parse("beta")) == 0) // changed page's old body
+    assert(se.count(Query.parse("zeta")) == 1) // changed page's new body
+    assert(se.count(Query.parse("gamma")) == 0) // gone page
+    assert(se.count(Query.parse("epsilon")) == 1) // new page
+    assert(se.count(Query.parse("alpha")) == 1) // unchanged, exactly once
+    assert(se.count(Query.parse("delta")) == 1)
+  }
+
   test("recrawlDiff: canonical join classifies new/gone/changed/unchanged") {
     import spark.implicits._
     val prev = Seq(("HTTPS://A.com:443/p/1/", "f1"),
