@@ -66,8 +66,10 @@ object Bench {
       "ft_highlight_offsets", "mm_decode",
       "ft_wildcard_lead", "ft_suggest_weighted", "ft_parent_join_avg",
       "ft_payload_topk", "ft_span_first",
-      "ft_sweetspot_topk", "ft_complex_phrase",
+      "ft_sweetspot_topk", "ft_complex_phrase", "ft_surround",
+      "ft_suggest_context",
       "web_anchor_texts", "web_pagerank", "web_hits", "web_recrawl_diff",
+      "web_noindex", "web_canonical_fold", "web_anchor_search",
       "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_embed",
       "dedup_clusters", "dedup_lines", "dedup_substring", "pipe_split", "pipe_token_budget", "pipe_pack",
       "pipe_decontaminate", "pipe_mix", "pipe_url_dedup", "stream_dedup",
