@@ -115,8 +115,10 @@ object Sampling {
       val sh = shift - useBits
       val b = shiftright(col("__h"), sh).bitwiseAND(lit((1L << useBits) - 1))
       // bucket totals + row counts: tiny aggregate (≤ 2^bucketBits rows)
+      // NULL token counts contribute 0 to the stream (window sums skip
+      // NULLs) — coalesce so an all-NULL bucket doesn't NULL the total
       val totals = cand.groupBy(b.as("__b"))
-        .agg(sum(col(tokensCol)).as("t"), count(lit(1)).as("c"))
+        .agg(coalesce(sum(col(tokensCol)), lit(0L)).as("t"), count(lit(1)).as("c"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .sortBy(_._1)
       var cum = offset
@@ -144,6 +146,11 @@ object Sampling {
             // Spark's unpartitioned-window warning: the group IS bounded.
             val w = Window.partitionBy(pmod(col("__h"), lit(1L)))
               .orderBy(col("__h"), col(idCol))
+              // explicit ROWS frame: Spark's default for an ordered window
+              // is RANGE (peers — ties in (__h, id) — share the frame),
+              // which diverges from the oracle's pinned ROWS cumsum the
+              // moment ids duplicate
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             bnd.withColumn("__cum", sum(col(tokensCol)).over(w) + bOffset)
               .where(col("__cum") <= budget)
               .drop("__cum")
@@ -188,21 +195,31 @@ object Sampling {
       .withColumn("__h", hash32(col(idCol)))
       .withColumn("__b", shiftright(col("__h"), 32 - bucketBits))
     // per-bucket token totals: ≤ 2^bucketBits rows — driver prefix-sum
+    // coalesce: an all-NULL-ntok bucket totals 0, not NULL (window sums
+    // skip NULLs, so NULL rows occupy no stream space)
     val totals = bucketed.groupBy(col("__b"))
-      .agg(sum(col(tokensCol)).as("t"))
+      .agg(coalesce(sum(col(tokensCol)), lit(0L)).as("t"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)
     var cum = 0L
     val offsets = totals.map { case (b, t) => val o = (b, cum); cum += t; o }
     val offsetsDf = broadcast(offsets.toSeq.toDF("__b", "__off"))
+    // explicit ROWS frame (Spark's ordered-window default is RANGE: ties in
+    // (__h, id) would share one frame, diverging from a per-row cumsum on
+    // any duplicate id)
     val w = Window.partitionBy(col("__b")).orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bucketed.join(offsetsDf, "__b")
       .withColumn("__end", sum(col(tokensCol)).over(w) + col("__off"))
       .withColumn("start_off", col("__end") - col(tokensCol))
       .select(col(idCol), col(tokensCol), col("start_off"),
-        // integer division (not floor-of-double): exact at any offset
+        // integer division (not floor-of-double): exact at any offset.
+        // bin_last derives from start_off + ntok (NOT __end): with a NULL
+        // token count, start_off/bin_first/bin_last must all be NULL —
+        // __end stays non-NULL (sum skips NULLs), so dividing it would
+        // manufacture a value where the per-row algebra has none
         expr(s"start_off div $seqLen").as("bin_first"),
-        expr(s"(__end - 1) div $seqLen").as("bin_last"))
+        expr(s"(start_off + $tokensCol - 1) div $seqLen").as("bin_last"))
   }
 
   /** Deterministic data-mixture resampling: keep a hashed-id sample of each

@@ -174,6 +174,53 @@ class CcSamplingSpec extends SparkTestBase {
     assert(cum == total)
   }
 
+  test("packSequences/takeTokenBudget: ROWS frame on tied ids; NULL token algebra") {
+    import spark.implicits._
+    // Duplicate ids tie on the full (hash, id) order key. Under the pinned
+    // ROWS frame each tied row still gets its own cumsum step; Spark's
+    // RANGE default would hand BOTH peers the pair total as __end,
+    // collapsing their start offsets and breaking the stream tiling.
+    val rows = (0L until 50L).map(i => (i % 25L, 4L + (i % 25L) % 7))
+    val df = rows.toDF("id", "ntok")
+    val got = Sampling.packSequences(df, "id", "ntok", seqLen = 16L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._2)
+    assert(got.map(_._2).distinct.length == rows.size,
+      "duplicate start offsets — RANGE-frame peer collapse")
+    // starts tile the token stream: each start = previous start + ntok,
+    // first at 0, final end = corpus total; bins derive exactly
+    assert(got.head._2 == 0L)
+    got.sliding(2).foreach {
+      case Array((t, s, _, _), (_, s2, _, _)) => assert(s2 == s + t)
+      case _ =>
+    }
+    val (lt, ls, _, _) = got.last
+    assert(ls + lt == rows.map(_._2).sum)
+    got.foreach { case (t, s, bf, bl) =>
+      assert(bf == s / 16L && bl == (s + t - 1) / 16L)
+    }
+    // budget landing mid-pair: ROWS keeps exactly the prefix whose sum fits
+    val budget = got.map(_._1).scanLeft(0L)(_ + _).drop(1)
+      .takeWhile(_ <= 60L).lastOption.getOrElse(0L)
+    val keptTok = Sampling.takeTokenBudget(df, "id", "ntok", 60L)
+      .agg(sum($"ntok")).head().getLong(0)
+    assert(keptTok == budget, s"kept $keptTok tokens, ROWS prefix is $budget")
+
+    // NULL token count: start_off/bin_first/bin_last must all be NULL for
+    // that row (the oracle's per-row algebra), while the stream around it
+    // is unaffected (window sum skips NULLs in both engines)
+    val nulls = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+      .toDF("id", "ntok")
+    val ng = Sampling.packSequences(nulls, "id", "ntok", seqLen = 4L)
+      .collect().map(r => r.getLong(0) ->
+        (r.isNullAt(2), r.isNullAt(3), r.isNullAt(4))).toMap
+    assert(ng(2L) == ((true, true, true)), "NULL ntok must yield NULL offsets/bins")
+    assert(ng(1L) == ((false, false, false)) && ng(3L) == ((false, false, false)))
+    val nstarts = Sampling.packSequences(nulls, "id", "ntok", seqLen = 4L)
+      .where($"id" =!= 2L).collect().map(r => r.getLong(2)).toSet
+    assert(nstarts == Set(0L, 5L) || nstarts == Set(0L, 7L))
+  }
+
   test("resampleMixture: scarcest source caps; proportions approach targets") {
     import spark.implicits._
     // src a: 4000 rows, b: 1000, c: 500 — targets 1:1:1 → c passes whole,
