@@ -170,6 +170,42 @@ object OracleSql {
        |             generate_subscripts(string_split(text, ' '), 1) AS i
        |      FROM documents))""".stripMargin
 
+  /** Token source for the CJK-bigram oracle: rebuild the deterministic
+    * mixed-script corpus from doc_id, split on spaces, then emit each
+    * non-ASCII word's overlapping character bigrams (a 1-char word would
+    * emit its unigram) — the independent DuckDB replica of the
+    * `CJKBigramFilter` stream over [[graft.SparkEntry]]'s cjkTextOf corpus.
+    * The bigram arm cross-joins a CONSTANT series (DuckDB's
+    * generate_series cannot laterally reference `w`) and filters to
+    * `i <= len(w) - 1`; corpus words are <= 8 chars.
+    */
+  val cjkTok: String =
+    s"""SELECT doc_id, term FROM (
+       |    SELECT doc_id, w AS term FROM (
+       |      SELECT doc_id, unnest(string_split(
+       |        'web ' ||
+       |        CASE WHEN doc_id % 3 = 0 THEN '数据库'
+       |             WHEN doc_id % 3 = 1 THEN '数据' ELSE '查询' END ||
+       |        ' ' ||
+       |        CASE WHEN doc_id % 4 = 0 THEN 'データ' ELSE '検索' END ||
+       |        CASE WHEN doc_id % 5 = 0 THEN ' 한국어' ELSE '' END ||
+       |        CASE WHEN doc_id % 7 = 0 THEN ' index' ELSE '' END, ' ')) AS w
+       |      FROM documents)
+       |    WHERE regexp_matches(w, '^[a-z0-9]+$$') OR len(w) = 1
+       |    UNION ALL
+       |    SELECT doc_id, substr(w, i, 2) AS term FROM (
+       |      SELECT doc_id, unnest(string_split(
+       |        'web ' ||
+       |        CASE WHEN doc_id % 3 = 0 THEN '数据库'
+       |             WHEN doc_id % 3 = 1 THEN '数据' ELSE '查询' END ||
+       |        ' ' ||
+       |        CASE WHEN doc_id % 4 = 0 THEN 'データ' ELSE '検索' END ||
+       |        CASE WHEN doc_id % 5 = 0 THEN ' 한국어' ELSE '' END ||
+       |        CASE WHEN doc_id % 7 = 0 THEN ' index' ELSE '' END, ' ')) AS w
+       |      FROM documents)
+       |    CROSS JOIN generate_series(1, 8) g(i)
+       |    WHERE NOT regexp_matches(w, '^[a-z0-9]+$$') AND i <= len(w) - 1)""".stripMargin
+
   /** SRP bucket id of DOUBLE[] expression `vExpr` for one hash table: the
     * sign bits of `nPlanes` deterministic hyperplane dot products, packed.
     * Replicates [[graft.pipeline.Similarity.srpBucket]] with the plane

@@ -44,6 +44,15 @@ object Plans {
         fmt(spark.read.parquet(s"$segDir/postings")
           .where($"term".isin("data", "query"))
           .select($"term", $"bucket", $"firstDocId", $"numDocs"))),
+      ("Complete multi-term rewrite (postings range semi-scan, no enumeration)",
+        "Past the expansion cap, a prefix/range/wildcard atom ships its " +
+          "dictionary predicate INTO the postings scan (GreaterThanOrEqual/" +
+          "LessThan on the sorted `term` in PushedFilters) — every matching " +
+          "term's blocks return with no driver-side term list and no " +
+          "In(term, ...) filter, the reference's CONSTANT_SCORE bitset " +
+          "rewrite shape (`MultiTermQueryConstantScoreWrapper`).",
+        fmt(se.matching(graft.search.MultiTermDictQuery(
+          graft.search.MultiTerm.Prefix("st"))).toDF())),
       ("Stored-fields point lookup (top-k fetch)",
         "A <= k+slack hit list point-looks-up `docId IN (...)` on the docId-sorted " +
           "docs table instead of scanning + joining the whole corpus per query.",

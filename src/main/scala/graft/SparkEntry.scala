@@ -66,6 +66,7 @@ object SparkEntry {
     webAnchorSearchers.remove(sfDir)
     classicSearchers.remove(sfDir)
     stemSearchers.remove(sfDir)
+    cjkSearchers.remove(sfDir)
     featureSearchers.remove(sfDir)
     lmSearchers.remove(sfDir)
     jmSearchers.remove(sfDir)
@@ -494,6 +495,45 @@ object SparkEntry {
       graft.index.FeatureIndexer.addFeatures(spark, s"$dir/segfeat", features,
         batchId = Some("pagerank-v1"))
       new IndexSearcher(spark, Seq(Manifest.read(s"$dir/segfeat").get),
+        precision = Precision.DoubleOracle, k1 = K1, b = B)
+    })
+
+  private val cjkSearchers = TrieMap[String, IndexSearcher]()
+
+  /** Deterministic mixed-script page text for the CJK entry: Latin + Han +
+    * Katakana + Hangul words, all pure functions of doc_id so the DuckDB
+    * oracle rebuilds the exact byte stream.
+    */
+  private def cjkTextOf(id: org.apache.spark.sql.Column) =
+    concat(
+      lit("web "),
+      when(id % 3 === 0, lit("数据库"))
+        .when(id % 3 === 1, lit("数据")).otherwise(lit("查询")),
+      lit(" "),
+      when(id % 4 === 0, lit("データ")).otherwise(lit("検索")),
+      when(id % 5 === 0, lit(" 한국어")).otherwise(lit("")),
+      when(id % 7 === 0, lit(" index")).otherwise(lit("")))
+
+  /** Index over the mixed-script derivation with CJK bigram analysis
+    * (ref `analysis/cjk/CJKBigramFilter.java`): Han/Katakana/Hangul runs
+    * index as overlapping character bigrams; query analysis uses the same
+    * chain, so `数据库` searches as the bigram conjunction 数据+据库.
+    */
+  private def cjkSearcherFor(spark: SparkSession, sfDir: String): IndexSearcher =
+    cjkSearchers.getOrElseUpdate(sfDir, {
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createDirectories(indexDirFor(sfDir))
+        .toString
+      val pages = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(format_string("doc%012d", $"doc_id").as("url"),
+          cjkTextOf($"doc_id").as("text"))
+        .as[(String, String)]
+      val cfg = IndexConfig(bucketShift = 8, numPostingPartitions = 8,
+        numDocPartitions = 4, cjkBigrams = true)
+      IndexBuilder.buildSegment(pages, s"$dir/segcjk", cfg)
+      new IndexSearcher(spark, Seq(Manifest.read(s"$dir/segcjk").get),
+        analyzer = new graft.analysis.StandardAnalyzer(cjkBigrams = true),
         precision = Precision.DoubleOracle, k1 = K1, b = B)
     })
 
@@ -1574,6 +1614,29 @@ object SparkEntry {
       graft.pipeline.Sampling.capPerKey(pages, "domain", "doc_id", 120L)
         .select($"doc_id", $"domain").orderBy($"doc_id")
     }),
+    "web_domain_psl" -> ((s, d) => {
+      // PSL registrable domains over a corpus that actually exercises
+      // multi-label public suffixes: co.uk / com.au hosts must group by
+      // registrant (site7.co.uk), private-registry suffixes (github.io)
+      // by their subdomain, and the *.ck wildcard family with its !www.ck
+      // exception per the published rule algebra. Rule table broadcasts;
+      // the host dimension joins by hash.
+      import s.implicits._
+      val id = col("doc_id")
+      val host = concat(
+        when(id % 4 === 0, lit("www.")).otherwise(lit("")),
+        lit("site"), (id % 9).cast("string"), lit("."),
+        when(id % 5 === 0, lit("co.uk"))
+          .when(id % 5 === 1, lit("com.au"))
+          .when(id % 5 === 2, lit("example.com"))
+          .when(id % 5 === 3, lit("github.io"))
+          .otherwise(lit("wild.ck")))
+      val pages = s.read.parquet(s"$d/documents.parquet")
+        .select($"doc_id", host.as("host"))
+      graft.pipeline.PublicSuffix.withRegistrableDomain(pages, "host")
+        .groupBy($"domain").agg(count(lit(1)).as("pages"))
+        .orderBy($"domain")
+    }),
     "web_anchor_texts" -> ((s, d) => {
       // anchor-text corpus: per-doc HTML with two well-formed links (messy
       // hrefs — case, default port, trailing slash, tracking param) and one
@@ -1953,6 +2016,21 @@ object SparkEntry {
       val se = stemSearcherFor(s, d)
       import s.implicits._
       val q = se.parse("queries OR tables")
+      se.fetchDocs(topKVerified(se, q, 10))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc)
+        .limit(10)
+    }),
+    "ft_cjk_topk" -> ((s, d) => {
+      // CJK bigram analysis chain end-to-end (ref CJKBigramFilter): the
+      // mixed-script corpus indexes Han/Katakana/Hangul runs as character
+      // bigrams; the query string analyzes through the SAME chain, so
+      // "数据库 web" scores as the bigram disjunction 数据+据库+web with
+      // full BM25 (double-oracle precision)
+      val se = cjkSearcherFor(s, d)
+      import s.implicits._
+      val qTerms = se.analyzer.tokens("数据库 web").map(_.term)
+      val q = Query.or(qTerms: _*)
       se.fetchDocs(topKVerified(se, q, 10))
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc)
@@ -3377,6 +3455,21 @@ object SparkEntry {
         |        FROM p))
         |SELECT curl, max(doc_id) AS kept_id, count(*) AS n_captures
         |FROM c GROUP BY curl ORDER BY curl""".stripMargin,
+    // PSL registrable-domain semantics, independently restated: co.uk /
+    // com.au / github.io keep the registrant label (rule-length 2 suffixes),
+    // bare-gTLD hosts collapse to registrant.com, and *.ck wildcards make
+    // wild.ck itself a public suffix
+    "web_domain_psl" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'site' || (doc_id % 9)::VARCHAR || '.co.uk'
+        |         WHEN doc_id % 5 = 1 THEN 'site' || (doc_id % 9)::VARCHAR || '.com.au'
+        |         WHEN doc_id % 5 = 2 THEN 'example.com'
+        |         WHEN doc_id % 5 = 3 THEN 'site' || (doc_id % 9)::VARCHAR || '.github.io'
+        |         ELSE 'site' || (doc_id % 9)::VARCHAR || '.wild.ck' END AS domain
+        |  FROM documents)
+        |SELECT domain, count(*)::BIGINT AS pages
+        |FROM h GROUP BY domain ORDER BY domain""".stripMargin,
     "web_domain_stats" ->
       """WITH u AS (
         |  SELECT doc_id, lang, n_chars,
@@ -4033,6 +4126,7 @@ object SparkEntry {
         |       strip_accents(translate(term, 'aeiou', 'áéíóü')) AS folded
         |FROM t ORDER BY term""".stripMargin,
     "ft_stem_topk" -> bm25TopK(Seq("query", "table"), "TRUE", 10, OracleSql.stemTok),
+    "ft_cjk_topk" -> bm25TopK(Seq("数据", "据库", "web"), "TRUE", 10, OracleSql.cjkTok),
     "ft_nb_classify" ->
       """WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 <> 0),
         |test AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),

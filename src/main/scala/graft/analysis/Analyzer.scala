@@ -33,7 +33,16 @@ final case class Token(term: String, position: Int, startOffset: Int, endOffset:
 final class StandardAnalyzer(
     val stopwords: Set[String] = Set.empty,
     val maxTokenLength: Int = 255,
-    val filter: TermFilter = TermFilter.Identity
+    val filter: TermFilter = TermFilter.Identity,
+    /** CJK bigram mode — the reference's `analysis/cjk/CJKBigramFilter.java`
+      * over the UAX#29 stream: maximal runs of Han/Hiragana/Katakana/Hangul
+      * codepoints emit overlapping character bigrams at consecutive
+      * positions (a lone CJK char emits its unigram, the filter's
+      * outputUnigrams=false default for isolated chars). Off (default),
+      * ideographs emit one token per codepoint and Katakana/Hangul flow
+      * through the word-run path — the StandardTokenizer-only behavior.
+      */
+    val cjkBigrams: Boolean = false
 ) extends Serializable {
 
   // the filter runs AFTER stop filtering, matching the reference chain
@@ -52,7 +61,15 @@ final class StandardAnalyzer(
     while (i < n) {
       val cp = text.codePointAt(i)
       val cc = Character.charCount(cp)
-      if (isIdeographic(cp)) {
+      if (cjkBigrams && isCjkScript(cp)) {
+        // maximal CJK run (scripts may mix inside one run, like the
+        // reference filter's shared buffer) -> overlapping bigrams
+        var j = i
+        while (j < n && isCjkScript(text.codePointAt(j)))
+          j += Character.charCount(text.codePointAt(j))
+        position = emitCjkRun(text, i, j, out, position)
+        i = j
+      } else if (isIdeographic(cp)) {
         position += 1
         val term = lowerCp(cp)
         if (!stopwords.contains(term))
@@ -99,6 +116,59 @@ final class StandardAnalyzer(
     out.result()
   }
 
+  /** Emits a CJK run as overlapping bigrams at consecutive positions (a
+    * 1-codepoint run emits its unigram) — the `CJKBigramFilter` stream
+    * shape; returns the updated position counter.
+    */
+  private def emitCjkRun(
+      text: String,
+      start: Int,
+      end: Int,
+      out: scala.collection.mutable.Builder[Token, Vector[Token]],
+      position0: Int
+  ): Int = {
+    var position = position0
+    // codepoint boundaries of the run
+    var a = start
+    var b = start + Character.charCount(text.codePointAt(start))
+    if (b >= end) { // lone CJK codepoint -> unigram
+      position += 1
+      val term = lower(text.substring(a, b))
+      if (!stopwords.contains(term))
+        out += Token(if (noFilter) term else filter(term), position, a, b)
+      position
+    } else {
+      while (b < end) {
+        val c = b + Character.charCount(text.codePointAt(b))
+        position += 1
+        val term = lower(text.substring(a, c))
+        if (!stopwords.contains(term))
+          out += Token(if (noFilter) term else filter(term), position, a, c)
+        a = b
+        b = c
+      }
+      position
+    }
+  }
+
+  /** [[emitCjkRun]] without Token allocation (the index hot path). */
+  private def foreachCjkRun(text: String, start: Int, end: Int)(f: String => Unit): Unit = {
+    var a = start
+    var b = start + Character.charCount(text.codePointAt(start))
+    if (b >= end) {
+      val term = lower(text.substring(a, b))
+      if (!stopwords.contains(term)) f(if (noFilter) term else filter(term))
+    } else {
+      while (b < end) {
+        val c = b + Character.charCount(text.codePointAt(b))
+        val term = lower(text.substring(a, c))
+        if (!stopwords.contains(term)) f(if (noFilter) term else filter(term))
+        a = b
+        b = c
+      }
+    }
+  }
+
   /** Emits the run chopped at [[maxTokenLength]] codepoints; returns the
     * updated position counter.
     */
@@ -137,7 +207,13 @@ final class StandardAnalyzer(
     while (i < n) {
       val cp = text.codePointAt(i)
       val cc = Character.charCount(cp)
-      if (isIdeographic(cp)) {
+      if (cjkBigrams && isCjkScript(cp)) {
+        var j = i
+        while (j < n && isCjkScript(text.codePointAt(j)))
+          j += Character.charCount(text.codePointAt(j))
+        foreachCjkRun(text, i, j)(f)
+        i = j
+      } else if (isIdeographic(cp)) {
         val term = lowerCp(cp)
         if (!stopwords.contains(term)) f(if (noFilter) term else filter(term))
         i += cc
@@ -242,6 +318,19 @@ object StandardAnalyzer {
     b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS_EXTENSION_B ||
     b == Character.UnicodeBlock.CJK_COMPATIBILITY_IDEOGRAPHS ||
     b == Character.UnicodeBlock.HIRAGANA
+  }
+
+  /** The four bigram-eligible CJK script classes of the reference's
+    * `CJKBigramFilter` (HAN | HIRAGANA | KATAKANA | HANGUL, its default
+    * flag set): [[isIdeographic]] plus Katakana and Hangul syllables/jamo.
+    */
+  private[analysis] def isCjkScript(cp: Int): Boolean = {
+    val b = Character.UnicodeBlock.of(cp)
+    isIdeographic(cp) ||
+    b == Character.UnicodeBlock.KATAKANA ||
+    b == Character.UnicodeBlock.HANGUL_SYLLABLES ||
+    b == Character.UnicodeBlock.HANGUL_JAMO ||
+    b == Character.UnicodeBlock.HANGUL_COMPATIBILITY_JAMO
   }
 
   private[analysis] def lowerCp(cp: Int): String =

@@ -28,9 +28,10 @@ object TermFilter {
     case "minimal" => EnglishMinimalStemmer
     case "porter" => PorterStemmer
     case "fold" => AsciiFolding
+    case "icufold" => IcuFolding
     case other =>
       throw new IllegalArgumentException(
-        s"unknown term filter '$other' (expected none|minimal|porter|fold)")
+        s"unknown term filter '$other' (expected none|minimal|porter|fold|icufold)")
   }
 }
 
@@ -294,5 +295,34 @@ object AsciiFolding extends TermFilter {
       i += 1
     }
     t // pure ASCII: no allocation
+  }
+}
+
+/** ICU-style fold — the behavior core of the reference's
+  * `analysis/icu/.../ICUFoldingFilter.java` (ICU UTR#30 foldings) on JDK
+  * primitives: NFKC compatibility normalization (fullwidth ASCII `ＡＢＣ` →
+  * `abc`, halfwidth Katakana `ｶﾀ` → `カタ`, ligature/compatibility forms
+  * decomposed), then accent-mark removal (NFD, combining marks dropped),
+  * then codepoint lowercase — so width variants, accents, and case all
+  * collapse to one indexed form. The ICU library's full UTR#30 table covers
+  * more scripts' specials (documented subset); the web-relevant width +
+  * accent + case classes are exact.
+  */
+object IcuFolding extends TermFilter {
+  override def apply(t: String): String = {
+    var i = 0
+    while (i < t.length && t.charAt(i) < 0x80) i += 1
+    if (i == t.length) return t // pure ASCII (already lowercased upstream)
+    val kc = java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFKC)
+    val d = java.text.Normalizer.normalize(kc, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(d.length)
+    var k = 0
+    while (k < d.length) {
+      val cp = d.codePointAt(k)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(Character.toLowerCase(cp))
+      k += Character.charCount(cp)
+    }
+    sb.toString
   }
 }

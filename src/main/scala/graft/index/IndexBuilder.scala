@@ -64,10 +64,16 @@ final case class IndexConfig(
     // payload. Requires storePositions; mutually exclusive with
     // storeOffsets (source offsets shift when the `|N` suffix is
     // stripped).
-    storePayloads: Boolean = false
+    storePayloads: Boolean = false,
+    // CJK bigram analysis (ref analysis/cjk/CJKBigramFilter.java): maximal
+    // Han/Hiragana/Katakana/Hangul runs index as overlapping character
+    // bigrams — the reference's own 80% answer for unsegmented scripts
+    // without a per-language morphological tokenizer.
+    cjkBigrams: Boolean = false
 ) {
   def analyzer: StandardAnalyzer =
-    new StandardAnalyzer(stopwords, maxTokenLength, graft.analysis.TermFilter.byName(termFilter))
+    new StandardAnalyzer(stopwords, maxTokenLength,
+      graft.analysis.TermFilter.byName(termFilter), cjkBigrams)
 
   def synonymRules: Seq[graft.analysis.SynonymRule] =
     synonyms.map { case (v, o) => graft.analysis.SynonymRule(v, o) }
@@ -115,6 +121,7 @@ object IndexBuilder {
     val stop = cfg.stopwords
     val maxLen = cfg.maxTokenLength
     val filterName = cfg.termFilter
+    val cjk = cfg.cjkBigrams
     // InternalRow RDD of the sorted plan: no per-row object allocation in
     // the count job, and one shared shuffle stage across both jobs.
     // Index sorting (ref `index/IndexWriterConfig.java` setIndexSort):
@@ -148,7 +155,8 @@ object IndexBuilder {
       "storePayloads is mutually exclusive with storeOffsets")
     val synRules = cfg.synonyms
     val docTokens = sortedRows.mapPartitionsWithIndex { (pid, it) =>
-      val analyzer = new StandardAnalyzer(stop, maxLen, graft.analysis.TermFilter.byName(filterName))
+      val analyzer = new StandardAnalyzer(stop, maxLen,
+        graft.analysis.TermFilter.byName(filterName), cjk)
       val injector = new graft.analysis.SynonymInjector(
         synRules.map { case (v, o) => graft.analysis.SynonymRule(v, o) })
       var id = offsets(pid)
@@ -310,6 +318,7 @@ object IndexBuilder {
     val stop = cfg.stopwords
     val maxLen = cfg.maxTokenLength
     val filterName = cfg.termFilter
+    val cjk = cfg.cjkBigrams
     val sortedRows = pages
       .toDF("_1", "_2")
       .repartitionByRange(parts, $"_1")
@@ -324,7 +333,8 @@ object IndexBuilder {
     val withPositions = cfg.storePositions
     val posGap = cfg.positionIncrementGap
     val docTokens = sortedRows.mapPartitionsWithIndex { (pid, it) =>
-      val analyzer = new StandardAnalyzer(stop, maxLen, graft.analysis.TermFilter.byName(filterName))
+      val analyzer = new StandardAnalyzer(stop, maxLen,
+        graft.analysis.TermFilter.byName(filterName), cjk)
       var id = offsets(pid)
       it.map { row =>
         val url = row.getString(0)

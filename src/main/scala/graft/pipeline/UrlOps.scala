@@ -65,11 +65,13 @@ object UrlOps {
     regexp_replace(lower(regexp_extract(url, HostRe, 1)), ":[0-9]+$", "")
 
   /** Registrable domain of a host — the last two dot-labels
-    * (`www.site3.example.com` → `example.com`). A deliberate simplification
-    * of the public-suffix list: multi-label suffixes like `co.uk` would
-    * need the PSL table broadcast-joined on the host's label suffixes (same
-    * execution shape, a data dependency this sandbox can't ship). Pure
-    * regexp — codegen'd, no shuffle.
+    * (`www.site3.example.com` → `example.com`). The zero-shuffle pure-column
+    * approximation: WRONG for multi-label public suffixes (`site.co.uk`
+    * collapses to `co.uk`, merging unrelated registrants) — use
+    * [[PublicSuffix.withRegistrableDomain]] (the PSL broadcast-join,
+    * [[domainStats]]'s default) wherever grouping correctness matters; this
+    * stays for single-pass column contexts that tolerate the
+    * approximation.
     */
   def registrableDomain(host: Column): Column = {
     val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
@@ -85,12 +87,15 @@ object UrlOps {
     * `approx_count_distinct` — same plan shape, documented tradeoff).
     */
   def domainStats(pages: DataFrame, urlCol: String, textLenCol: String,
-                  langCol: String): DataFrame = {
+                  langCol: String, psl: Boolean = true): DataFrame = {
     val curl = canonicalUrl(col(urlCol))
-    pages
+    val hosted = pages
       .withColumn("curl", curl)
       .withColumn("host", hostOf(col("curl")))
-      .withColumn("domain", registrableDomain(col("host")))
+    val domained =
+      if (psl) PublicSuffix.withRegistrableDomain(hosted, "host")
+      else hosted.withColumn("domain", registrableDomain(col("host")))
+    domained
       .groupBy(col("domain"))
       .agg(
         count(lit(1)).as("pages"),
@@ -129,9 +134,16 @@ object UrlOps {
       .withColumn("__link",
         explode(regexp_extract_all(col(htmlCol), lit(LinkRe), lit(0))))
     val kept =
-      if (dropNofollow) // rel="nofollow" links carry no ranking endorsement
-        linked.where(!col("__link").contains("rel=\"nofollow\""))
-      else linked
+      if (dropNofollow) {
+        // rel="nofollow" links carry no ranking endorsement. The rel value
+        // is read from the TAG portion only (before '>') and matched on
+        // token boundaries: multi-token values (rel="ugc nofollow",
+        // rel="nofollow noopener") must drop too, and an anchor TEXT that
+        // merely contains the literal string must not — same boundary
+        // discipline as dropNoindex's directive match.
+        val rel = regexp_extract(col("__link"), "^<a [^>]*rel=\"([^\"]*)\"", 1)
+        linked.where(!rel.rlike("(^|\\s)nofollow(\\s|$)"))
+      } else linked
     kept
       .withColumn("href", regexp_extract(col("__link"), "<a href=\"([^\"]+)\"", 1))
       .withColumn("anchor", regexp_extract(col("__link"), ">([^<]*)</a>", 1))

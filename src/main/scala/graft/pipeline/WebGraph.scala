@@ -73,6 +73,14 @@ object WebGraph {
             (coalesce(col("c"), lit(0.0)) + col("dmass") / n)).as("pr"))
       if (i % checkpointEvery == 0) ranks = ranks.localCheckpoint()
     }
+    // when the final frame is checkpointed (the default cadence), lineage
+    // is broken and the iteration caches release without recomputation
+    // risk; leaving them persisted leaks three cached frames per invocation
+    // (bench warm-up + timed run, long-lived sessions). A non-dividing
+    // cadence returns a lazy plan (the plan-audit path) and must keep them.
+    if (iters % checkpointEvery == 0) {
+      ids.unpersist(false); e.unpersist(false); outdeg.unpersist(false)
+    }
     ranks
   }
 
@@ -102,8 +110,10 @@ object WebGraph {
           ids("id") === col("aid"), "left")
         .select(ids("id"), coalesce(col("a"), lit(0.0)).as("a"))
       val aNorm = aRaw.agg(sqrt(sum(col("a") * col("a"))).as("an"))
+      // an edgeless graph has norm 0: scores stay 0, not 0/0 = NaN
       val auth = aRaw.crossJoin(aNorm)
-        .select(col("id").as("auth_id"), (col("a") / col("an")).as("auth"))
+        .select(col("id").as("auth_id"),
+          when(col("an") === 0.0, 0.0).otherwise(col("a") / col("an")).as("auth"))
       // hub from outgoing authorities (the just-updated ones, per Kleinberg)
       val hRaw = ids
         .join(e.join(auth, col("dst") === col("auth_id"))
@@ -112,13 +122,16 @@ object WebGraph {
         .select(ids("id"), coalesce(col("h"), lit(0.0)).as("h"))
       val hNorm = hRaw.agg(sqrt(sum(col("h") * col("h"))).as("hn"))
       val hub = hRaw.crossJoin(hNorm)
-        .select(col("id").as("hub_id"), (col("h") / col("hn")).as("hub"))
+        .select(col("id").as("hub_id"),
+          when(col("hn") === 0.0, 0.0).otherwise(col("h") / col("hn")).as("hub"))
       scores = ids
         .join(auth, ids("id") === col("auth_id"))
         .join(hub, ids("id") === col("hub_id"))
         .select(ids("id"), col("auth"), col("hub"))
       if (i % checkpointEvery == 0) scores = scores.localCheckpoint()
     }
+    // see pageRank: a checkpointed final frame releases the caches safely
+    if (iters % checkpointEvery == 0) { ids.unpersist(false); e.unpersist(false) }
     scores
   }
 }

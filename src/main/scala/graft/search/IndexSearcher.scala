@@ -307,17 +307,28 @@ final class IndexSearcher(
   private def dictRewriter(maxExpansions: Int): MultiTerm => Query = {
     def scoringOr(terms: Seq[String]): Query =
       BoolQuery(terms.map(t => TermQuery(t) -> (Occur.Should: Occur)))
-    def constOr(terms: Seq[String]): Query =
-      ConstScoreQuery(scoringOr(terms), 1.0)
+    // Constant-score atoms expand with max+1 probing: a result within the
+    // cap keeps the enumerated OR (hapax fast path, filter-cache-friendly
+    // keys); overflow means enumeration would silently truncate — switch to
+    // the COMPLETE dictionary rewrite, which ships the predicate into the
+    // postings scan with no term list at all (the reference's CONSTANT_SCORE
+    // bitset rewrite never enumerates either, `search/MultiTermQuery.java`).
+    def constOr(spec: MultiTerm, terms: Seq[String]): Query =
+      if (terms.length > maxExpansions) ConstScoreQuery(MultiTermDictQuery(spec), 1.0)
+      else ConstScoreQuery(scoringOr(terms), 1.0)
     val f: MultiTerm => Query = {
-      case MultiTerm.Prefix(p)      => constOr(expandPrefix(p, maxExpansions))
-      case MultiTerm.Wildcard(pat)  => constOr(expandWildcard(pat, maxExpansions))
+      case s @ MultiTerm.Prefix(p) =>
+        constOr(s, expandPrefix(p, maxExpansions + 1))
+      case s @ MultiTerm.Wildcard(pat) =>
+        constOr(s, expandWildcard(pat, maxExpansions + 1))
       case MultiTerm.Fuzzy(t, edits) =>
+        // scoring rewrite: caps by docFreq (TopTermsRewrite), never silently
+        // alphabetical — see expandFuzzy
         scoringOr(expandFuzzy(t, maxEdits = edits, max = maxExpansions))
-      case MultiTerm.Range(lo, hi, incLo, incHi) =>
+      case s @ MultiTerm.Range(lo, hi, incLo, incHi) =>
         val loPred = if (incLo) $"term" >= lo else $"term" > lo
         val hiPred = if (incHi) $"term" <= hi else $"term" < hi
-        constOr(expandTerms(loPred && hiPred, maxExpansions))
+        constOr(s, expandTerms(loPred && hiPred, maxExpansions + 1))
     }
     f
   }
@@ -374,6 +385,11 @@ final class IndexSearcher(
         case FuzzyRe(b, e) if b.nonEmpty => (b, if (e.isEmpty) 2 else e.toInt)
         case _                           => (tok, -1)
       }
+      // an atom combining wildcards with a fuzzy suffix ('quar*~1') has no
+      // defined semantics (the reference's parser rejects it too) — fail
+      // loudly instead of silently discarding the ~N
+      require(edits < 0 || !body.exists(c => c == '*' || c == '?'),
+        s"complex phrase atom '$tok' mixes wildcard and fuzzy syntax")
       if (body.exists(c => c == '*' || c == '?')) {
         val ts = expandWildcard(body.toLowerCase(java.util.Locale.ROOT),
           maxExpansions)
@@ -530,14 +546,7 @@ final class IndexSearcher(
     * also degrades to a full-subtree visit there.
     */
   def expandWildcard(pattern: String, max: Int = 1024): Seq[String] = {
-    val re = "^" + pattern.flatMap {
-      case '*' => ".*"
-      case '?' => "."
-      case c if c.isLetterOrDigit => c.toString
-      case c => "\\" + c
-    } + "$"
-    val litPrefix = pattern.takeWhile(c => c != '*' && c != '?')
-    val litSuffix = pattern.reverse.takeWhile(c => c != '*' && c != '?').reverse
+    val (re, litPrefix, litSuffix) = IndexSearcher.wildcardParts(pattern)
     val base = $"term".rlike(re)
     if (litPrefix.nonEmpty) {
       val pred = prefixUpper(litPrefix) match {
@@ -548,6 +557,89 @@ final class IndexSearcher(
     } else if (litSuffix.nonEmpty && hasReversedTerms)
       expandReversed(litSuffix, base, max)
     else expandTerms(base, max)
+  }
+
+  /** Dictionary predicate of a multi-term spec over a `term` column —
+    * range-bounded wherever the spec admits a sorted-dictionary bound, so
+    * the range conjuncts reach Parquet PushedFilters on term-sorted tables
+    * (the .tip-seek analogue); only the residual verifier (`rlike`, edit
+    * distance) evaluates inside the bounded slice.
+    */
+  private def specPredicate(spec: MultiTerm): org.apache.spark.sql.Column = spec match {
+    case MultiTerm.Prefix(p) =>
+      prefixUpper(p) match {
+        case Some(hi) => $"term" >= p && $"term" < hi
+        case None     => $"term".startsWith(p)
+      }
+    case MultiTerm.Range(lo, hi, il, ih) =>
+      (if (il) $"term" >= lo else $"term" > lo) &&
+        (if (ih) $"term" <= hi else $"term" < hi)
+    case MultiTerm.Wildcard(pat) =>
+      val (re, litPrefix, _) = IndexSearcher.wildcardParts(pat)
+      val base = $"term".rlike(re)
+      if (litPrefix.isEmpty) base
+      else prefixUpper(litPrefix) match {
+        case Some(hi) => $"term" >= litPrefix && $"term" < hi && base
+        case None     => $"term".startsWith(litPrefix) && base
+      }
+    case MultiTerm.Fuzzy(t, e) =>
+      val edits = math.min(math.max(e, 0), 2)
+      graft.functions.EditDistance.damerauLe(lit(t), $"term", edits) >= 0
+  }
+
+  /** Posting blocks for a COMPLETE multi-term dictionary query: the
+    * dictionary predicate ships into the postings scan itself (term-sorted
+    * Parquet → the range conjuncts land in PushedFilters), so every
+    * matching term's blocks return without any driver-side enumeration —
+    * the distributed analogue of the reference's per-segment bitset
+    * CONSTANT_SCORE rewrite (`search/MultiTermQueryConstantScoreWrapper.java`).
+    * A leading-wildcard pattern instead bounds a term slice on the reversed
+    * dictionary and SEMI-JOINS it against postings (Spark picks
+    * broadcast/SMJ by slice size) — still no driver enumeration. Shipped
+    * terms are namespaced under the node's sentinel key so the scorer build
+    * collects exactly its own blocks.
+    */
+  private def dictBlocks(dq: MultiTermDictQuery): Dataset[QBlock] = {
+    val label = dq.key + "\u0001"
+    def postingsCompat(dir: String): org.apache.spark.sql.DataFrame = {
+      val raw = spark.read.parquet(s"$dir/postings")
+      if (raw.columns.contains("posPacked")) raw
+      else raw.withColumn("posPacked", lit(null).cast("binary"))
+    }
+    def relabel(df: org.apache.spark.sql.DataFrame, i: Int): org.apache.spark.sql.DataFrame =
+      df.select(
+        concat(lit(label), $"term").as("term"), lit(i).as("seg"), $"bucket",
+        $"firstDocId", $"lastDocId", $"numDocs", $"docsPacked", $"freqsPacked",
+        $"normsPacked", $"impacts", $"posPacked")
+    val leadingWildcard = dq.spec match {
+      case MultiTerm.Wildcard(pat) =>
+        val (re, litPrefix, litSuffix) = IndexSearcher.wildcardParts(pat)
+        if (litPrefix.isEmpty && litSuffix.nonEmpty && hasReversedTerms)
+          Some((re, litSuffix))
+        else None
+      case _ => None
+    }
+    leadingWildcard match {
+      case Some((re, litSuffix)) =>
+        val rp = litSuffix.reverse
+        val rangePred = prefixUpper(rp) match {
+          case Some(hi) => $"rterm" >= rp && $"rterm" < hi
+          case None     => $"rterm".startsWith(rp)
+        }
+        val slice = segments
+          .map(s => spark.read.parquet(s"${s.dir}/rterms"))
+          .reduce(_ unionByName _)
+          .where(rangePred && $"term".rlike(re))
+          .select($"term").distinct()
+        segments.zipWithIndex
+          .map { case (s, i) => relabel(postingsCompat(s.dir).join(slice, "term"), i) }
+          .reduce(_ unionByName _).as[QBlock]
+      case None =>
+        val pred = specPredicate(dq.spec)
+        segments.zipWithIndex
+          .map { case (s, i) => relabel(postingsCompat(s.dir).where(pred), i) }
+          .reduce(_ unionByName _).as[QBlock]
+    }
   }
 
   /** Scorers for every key a query needs: per-term BM25 scorers plus blended
@@ -576,6 +668,7 @@ final class IndexSearcher(
           fq.function, fq.weight * boost, precision == Precision.FloatExact))
       case dm: DisMaxQuery => dm.disjuncts.iterator.flatMap(walk(_, boost)).toMap
       case cs: ConstScoreQuery => walk(cs.query, boost)
+      case _: MultiTermDictQuery => Map.empty // const-scored, no SimScorer
       case pq: PhraseQuery =>
         Map(Executor.skey(pq.key, boost) -> phraseSim(pq, ts, boost))
       case mq: MultiPhraseQuery =>
@@ -923,7 +1016,8 @@ final class IndexSearcher(
     * terms, and not at all when every query term is a hapax.
     */
   private def queryBlocks(qTerms: Seq[String], rows: Seq[SegTermRow],
-      positional: Boolean = false): Dataset[QBlock] = {
+      positional: Boolean = false,
+      dictQs: Seq[MultiTermDictQuery] = Nil): Dataset[QBlock] = {
     import graft.codec.{BlockCodec, Impacts}
     // positional queries must read the real blocks: the synthesized
     // singleton block carries no .pos payload, so a phrase over a hapax
@@ -952,12 +1046,15 @@ final class IndexSearcher(
         }.toSeq
         Some(spark.createDataset(qbs))
       }
-    (scanned, synthetic) match {
+    val named = (scanned, synthetic) match {
       case (Some(a), Some(b)) => a.unionByName(b)
       case (Some(a), None)    => a
       case (None, Some(b))    => b
       case (None, None)       => spark.emptyDataset[QBlock]
     }
+    // complete multi-term nodes ship their sentinel-namespaced blocks
+    // alongside — no driver enumeration (see dictBlocks)
+    dictQs.distinct.foldLeft(named)((acc, dq) => acc.unionByName(dictBlocks(dq)))
   }
 
   // ------------------------------------------------------------ search
@@ -972,7 +1069,8 @@ final class IndexSearcher(
     val basesL = bases
     val q = query
     val tombs = tombstones
-    val candidates = queryBlocks(qTerms, rows, IndexSearcher.hasPhrase(query))
+    val candidates = queryBlocks(qTerms, rows, IndexSearcher.hasPhrase(query),
+        IndexSearcher.dictSpecs(query))
       .groupByKey(bk => (bk.seg, bk.bucket))
       .flatMapGroups { (key: (Int, Long), it: Iterator[QBlock]) =>
         val seg = key._1
@@ -1005,7 +1103,8 @@ final class IndexSearcher(
     val basesL = bases
     val q = query
     val tombs = tombstones
-    queryBlocks(qTerms, rows, IndexSearcher.hasPhrase(query))
+    queryBlocks(qTerms, rows, IndexSearcher.hasPhrase(query),
+        IndexSearcher.dictSpecs(query))
       .groupByKey(bk => (bk.seg, bk.bucket))
       .flatMapGroups { (key: (Int, Long), it: Iterator[QBlock]) =>
         val seg = key._1
@@ -1073,12 +1172,16 @@ final class IndexSearcher(
     val dist =
       if (transpositions) graft.functions.EditDistance.damerauLe(lit(term), $"term", maxEdits)
       else levenshtein(lit(term), $"term", maxEdits)
+    // past the cap, keep the HIGHEST-docFreq candidates, not the
+    // alphabetically first — the reference's top-terms rewrite
+    // (`search/TopTermsRewrite.java` priority queue keyed by docFreq, used
+    // by FuzzyQuery's blended rewrite). Ties break on term for determinism.
     termsDictWithLen
       .where($"len".between(term.length - maxEdits, term.length + maxEdits) &&
         dist >= 0)
-      .select($"term").distinct()
-      .orderBy($"term").limit(max)
-      .as[String].collect().toSeq
+      .groupBy($"term").agg(sum($"docFreq").as("__df"))
+      .orderBy($"__df".desc, $"term".asc).limit(max)
+      .select($"term").as[String].collect().toSeq.sorted
   }
 
   /** MoreLikeThis query from a source document's text (ref
@@ -1301,7 +1404,8 @@ final class IndexSearcher(
     val basesL = bases
     val q = query
     val tombs = tombstones
-    queryBlocks(qTerms, segTermRows(qTerms), IndexSearcher.hasPhrase(query))
+    queryBlocks(qTerms, segTermRows(qTerms), IndexSearcher.hasPhrase(query),
+        IndexSearcher.dictSpecs(query))
       .groupByKey(bk => (bk.seg, bk.bucket))
       .flatMapGroups { (key: (Int, Long), it: Iterator[QBlock]) =>
         val seg = key._1
@@ -2193,6 +2297,13 @@ final class IndexSearcher(
         if (!inner.matched) inner
         else Explanation(cs.score * boost,
           s"ConstantScore(${cs.score * boost})", details = Seq(inner))
+      case dq: MultiTermDictQuery =>
+        // the matching term set is unbounded by design — membership is one
+        // pruned postings-range job for this single doc (explain is a
+        // per-doc diagnostic path)
+        if (matching(dq).filter(_ == docId).isEmpty)
+          Explanation.noMatch(s"no dictionary term of ${dq.key} occurs in doc $docId")
+        else Explanation(boost, s"multiTermDict(${dq.key})")
       case bq: BoolQuery =>
         val mustE = bq.must.map(walk(_, boost))
         val filtE = bq.filter.map(walk(_, boost))
@@ -2257,6 +2368,7 @@ final class IndexSearcher(
     case dm: DisMaxQuery =>
       dm.disjuncts.map(cacheKey).sorted.mkString(s"dm${dm.tieBreaker}(", ",", ")")
     case cs: ConstScoreQuery => s"const(${cs.score},${cacheKey(cs.query)})"
+    case dq: MultiTermDictQuery => dq.key
     case bq: BoolQuery =>
       bq.clauses.map { case (c, o) => s"$o:${cacheKey(c)}" }
         .sorted.mkString(s"b${bq.minimumShouldMatch}(", ",", ")")
@@ -2389,6 +2501,36 @@ object IndexSearcher {
     case dm: DisMaxQuery     => dm.disjuncts.exists(hasPhrase)
     case bq: BoolQuery       => bq.clauses.exists(c => hasPhrase(c._1))
     case _                   => false
+  }
+
+  /** Every [[MultiTermDictQuery]] node in the tree (complete multi-term
+    * rewrites whose blocks ship under sentinel namespaces — see
+    * `dictBlocks`).
+    */
+  /** Wildcard pattern (`*` any run, `?` one char) compiled to an anchored
+    * regex plus its literal prefix/suffix (the automaton common
+    * prefix/suffix of ref `search/WildcardQuery.java:38` toAutomaton):
+    * `(regex, literalPrefix, literalSuffix)`.
+    */
+  private[search] def wildcardParts(pattern: String): (String, String, String) = {
+    val re = "^" + pattern.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if c.isLetterOrDigit => c.toString
+      case c => "\\" + c
+    } + "$"
+    val litPrefix = pattern.takeWhile(c => c != '*' && c != '?')
+    val litSuffix = pattern.reverse.takeWhile(c => c != '*' && c != '?').reverse
+    (re, litPrefix, litSuffix)
+  }
+
+  private[search] def dictSpecs(q: Query): Seq[MultiTermDictQuery] = q match {
+    case dq: MultiTermDictQuery => Seq(dq)
+    case BoostQuery(q2, _)      => dictSpecs(q2)
+    case cs: ConstScoreQuery    => dictSpecs(cs.query)
+    case dm: DisMaxQuery        => dm.disjuncts.flatMap(dictSpecs)
+    case bq: BoolQuery          => bq.clauses.flatMap(c => dictSpecs(c._1))
+    case _                      => Seq.empty
   }
 
   /** Count exact-phrase matches: positions p of slot 0 with `p + k` present
@@ -2566,6 +2708,22 @@ object Executor {
       // ConstantScoreQuery weight semantics); inner scores are discarded
       build(cs.query, blocks, scorers, boost)
         .map(new ConstWrapScorer(_, cs.score * boost))
+    case dq: MultiTermDictQuery =>
+      // complete constant-score multi-term rewrite: union every posting
+      // list shipped under this node's sentinel namespace (one TermScorer
+      // per matched dictionary term — per-term blocks stay disjoint and
+      // sorted); the disjunction's sum is discarded by the constant wrap
+      // (ref MultiTermQueryConstantScoreWrapper's per-segment bitset union)
+      val pre = dq.key + "\u0001"
+      val children = blocks.iterator.collect {
+        case (k, bs) if k.startsWith(pre) =>
+          new TermScorer(bs, new ConstScorer(1.0)): DocScorer
+      }.toArray
+      children.length match {
+        case 0 => None
+        case 1 => Some(new ConstWrapScorer(children(0), boost))
+        case _ => Some(new ConstWrapScorer(new DisjunctionSumScorer(children), boost))
+      }
     case bq: BoolQuery =>
       val must = bq.must.map(build(_, blocks, scorers, boost))
       val filters = bq.filter.map(build(_, blocks, scorers, boost))
@@ -2796,6 +2954,7 @@ object Executor {
     case iq: IntervalQuery   => iq.terms
     case dm: DisMaxQuery     => dm.disjuncts.iterator.flatMap(scorerKeys(_, boost)).toSet
     case cs: ConstScoreQuery => scorerKeys(cs.query, boost)
+    case _: MultiTermDictQuery => Set.empty // const-scored, no stats
     case bq: BoolQuery       => bq.clauses.iterator.flatMap(c => scorerKeys(c._1, boost)).toSet
   }
 

@@ -201,6 +201,34 @@ final case class BoolQuery(
   def filter: Seq[Query] = clauses.collect { case (q, Occur.Filter) => q }
 }
 
+/** Complete constant-score multi-term query — the reference's
+  * CONSTANT_SCORE rewrite of a `MultiTermQuery`
+  * (`search/MultiTermQuery.java` DOC_VALUES/CONSTANT_SCORE modes,
+  * `search/MultiTermQueryConstantScoreWrapper.java`): matches every doc
+  * containing ANY dictionary term matching `spec`, with NO expansion cap.
+  * The matching terms never pass through the driver — execution ships the
+  * dictionary predicate into the postings scan itself (a pushed-down range
+  * on the term-sorted Parquet) and unions the matching postings per
+  * segment, the distributed analogue of the reference's per-segment
+  * DocIdSet build. Scores are constant (1 × boost); wrap in
+  * [[ConstScoreQuery]] to pick the constant. The parser's rewriter only
+  * reaches for this node past the expansion cap (small expansions keep the
+  * enumerated constant-score OR, which preserves the hapax fast path).
+  */
+final case class MultiTermDictQuery(spec: MultiTerm) extends Query {
+  def terms: Set[String] = Set.empty
+  /** Sentinel namespace for this node's shipped posting blocks (block map
+    * keys are `key + '\\u0001' + realTerm`; the separator cannot
+    * occur in an analyzed term).
+    */
+  def key: String = spec match {
+    case MultiTerm.Prefix(p)             => s"mtd:p:$p"
+    case MultiTerm.Wildcard(w)           => s"mtd:w:$w"
+    case MultiTerm.Fuzzy(t, e)           => s"mtd:f:$e:$t"
+    case MultiTerm.Range(lo, hi, il, ih) => s"mtd:r:$il:$ih:$lo\u0000$hi"
+  }
+}
+
 /** Multi-term atom patterns of the classic query syntax (`pre*`, `w?ld*`,
   * `term~N`, `[lo TO hi]` / `{lo TO hi}`). The parser produces the pattern;
   * a dictionary-backed rewriter expands it into an executable query — the

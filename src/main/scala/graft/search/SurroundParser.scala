@@ -202,7 +202,13 @@ object SurroundParser {
           val ch = srcs.flatten
           val inner =
             if (ordered) Intervals.Ordered(ch) else Intervals.Unordered(ch)
-          Some(Intervals.MaxWidth(inner, dist + ch.size - 1))
+          // distance N == SpanNearQuery(slop = N - 1) in the reference
+          // (`queryparser/surround/query/DistanceQuery.java`): the allowed
+          // extent is slop plus the SUM of the children's minimal extents —
+          // a nested distance child occupies >= its own width, so using
+          // ch.size here would make 'a N (b W c)' unmatchable
+          val width = dist - 1 + ch.map(Intervals.minExtent).sum
+          Some(Intervals.MaxWidth(inner, width))
         }
     }
 }

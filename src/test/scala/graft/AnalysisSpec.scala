@@ -132,4 +132,38 @@ class AnalysisSpec extends AnyFunSuite with PropHelpers {
     val toks = an.tokens("ab Cd")
     assert(toks == Vector(Token("ab", 0, 0, 2), Token("cd", 1, 3, 5)))
   }
+
+  test("CJK bigrams: runs emit overlapping bigrams at consecutive positions") {
+    val cjk = new StandardAnalyzer(cjkBigrams = true)
+    // 3-char Han run -> two bigrams; Latin words pass through unchanged
+    assert(cjk.tokens("web 数据库 x") == Vector(
+      Token("web", 0, 0, 3),
+      Token("数据", 1, 4, 6), Token("据库", 2, 5, 7),
+      Token("x", 3, 8, 9)))
+    // lone CJK char -> unigram (CJKBigramFilter's isolated-char behavior)
+    assert(cjk.tokens("a 数 b").map(_.term) == Vector("a", "数", "b"))
+    // Katakana and Hangul runs bigram too (HAN|HIRAGANA|KATAKANA|HANGUL)
+    assert(cjk.tokens("データ").map(_.term) == Vector("デー", "ータ"))
+    assert(cjk.tokens("한국어").map(_.term) == Vector("한국", "국어"))
+    // mixed Han+Hiragana run bigrams across the script change (shared
+    // buffer, like the reference filter)
+    assert(cjk.tokens("数の字").map(_.term) == Vector("数の", "の字"))
+    // hot-path equivalence holds in bigram mode
+    val s = "web 数据库 データ 한국어 mixed 数"
+    val streamed = Vector.newBuilder[String]
+    cjk.foreachTerm(s)(streamed += _)
+    assert(streamed.result() == cjk.tokens(s).map(_.term))
+    // default mode unchanged: per-codepoint ideographs, Katakana as a word
+    assert(an.tokens("数据库").map(_.term) == Vector("数", "据", "库"))
+    assert(an.tokens("データ").map(_.term).size == 1)
+  }
+
+  test("ICU-style fold: width + accent + case collapse") {
+    import graft.analysis.IcuFolding
+    assert(IcuFolding("ＡＢＣ") == "abc")        // fullwidth Latin
+    assert(IcuFolding("ｶﾀｶﾅ") == "カタカナ")    // halfwidth Katakana
+    assert(IcuFolding("café") == "cafe")         // accent
+    assert(IcuFolding("Ｃａｆé５") == "cafe5")  // width + accent + digit
+    assert(IcuFolding("plain") == "plain")       // ASCII: untouched
+  }
 }

@@ -348,6 +348,9 @@ class PhraseQuerySpec extends SparkTestBase {
     }
     // no dictionary match for an atom -> unmatchable phrase
     assert(searcher.parseComplexPhrase("data zz*") == MatchNoneQuery)
+    // wildcard + fuzzy on one atom is rejected loudly, never silently
+    // re-interpreted as a plain wildcard
+    intercept[IllegalArgumentException](searcher.parseComplexPhrase("data quer*~1"))
     // matches behave like the expanded MultiPhrase (doc0, doc4 adjacency)
     val got = searcher.topK(searcher.parseComplexPhrase("data quer*"), 10)
       .collect().map(_.docId).toSet
@@ -376,5 +379,16 @@ class PhraseQuerySpec extends SparkTestBase {
     assert(docs(searcher.parseSurround("W(data, query) NOT table")) == Set(0L))
     // wildcard inside the distance op: quer* expands against the dictionary
     assert(docs(searcher.parseSurround("2W(data, quer*)")) == Set(0L, 1L, 4L))
+  }
+
+  test("nested distance operators: width honors child extents") {
+    def docs(q: Query) = searcher.matching(q).collect().toSet
+    // N(runs, W(data, query)): the nested pair occupies 2 positions, so a
+    // distance-1 envelope needs width 3 (slop 0 + extents 1 + 2) — doc0's
+    // "data query runs" matches; a per-child width (2) would match nothing
+    assert(docs(searcher.parseSurround("N(runs, W(data, query))")) == Set(0L))
+    assert(docs(searcher.parseSurround("runs N data W query")) == Set(0L))
+    // doc4 "data query data query table": W hits [2,3], table at 4 -> [2,4]
+    assert(docs(searcher.parseSurround("table N W(data, query)")) == Set(4L))
   }
 }

@@ -661,6 +661,46 @@ class PipelineSpec extends SparkTestBase {
     assert(hd == ("www.x.co.uk", "co.uk")) // PSL simplification, documented
   }
 
+  test("PublicSuffix: PSL registrable domains (multi-label, wildcard, exception)") {
+    import spark.implicits._
+    val hosts = Seq(
+      "www.site.co.uk",      // co.uk rule -> site.co.uk (never co.uk)
+      "a.b.com.au",          // com.au rule -> b.com.au
+      "deep.www.site.co.uk", // still site.co.uk
+      "foo.example.com",     // com rule -> example.com
+      "x.github.io",         // private-registry rule -> x.github.io
+      "pages.x.github.io",   // -> x.github.io
+      "a.wild.ck",           // *.ck wildcard: wild.ck is a public suffix
+      "www.ck",              // !www.ck exception: ck is the suffix -> www.ck
+      "b.www.ck",            // exception: registrable is www.ck
+      "co.uk",               // host IS a public suffix -> maps to itself
+      "localhost",           // no dot, no rule: default '*' -> itself
+      "x.unknowntld"         // unlisted TLD: default '*' -> x.unknowntld
+    ).toDF("host")
+    val got = graft.pipeline.PublicSuffix.registrableDomainTable(hosts)
+      .as[(String, String)].collect().toMap
+    assert(got("www.site.co.uk") == "site.co.uk")
+    assert(got("a.b.com.au") == "b.com.au")
+    assert(got("deep.www.site.co.uk") == "site.co.uk")
+    assert(got("foo.example.com") == "example.com")
+    assert(got("x.github.io") == "x.github.io")
+    assert(got("pages.x.github.io") == "x.github.io")
+    assert(got("a.wild.ck") == "a.wild.ck") // wildcard: *.ck, ps = wild.ck
+    assert(got("www.ck") == "www.ck")       // exception shortens to ck + 1
+    assert(got("b.www.ck") == "www.ck")
+    assert(got("co.uk") == "co.uk")
+    assert(got("localhost") == "localhost")
+    assert(got("x.unknowntld") == "x.unknowntld")
+    // domainStats' default path groups by PSL semantics now
+    val pages = Seq(
+      (1L, "https://www.shop.co.uk/a", "en", 10L),
+      (2L, "https://blog.shop.co.uk/b", "en", 20L),
+      (3L, "https://other.co.uk/c", "en", 30L)).toDF("id", "u", "lang", "n")
+    val doms = graft.pipeline.UrlOps.domainStats(pages, "u", "n", "lang")
+      .select($"domain", $"pages").as[(String, Long)].collect().toMap
+    assert(doms == Map("shop.co.uk" -> 2L, "other.co.uk" -> 1L))
+  }
+
   test("capPerKey: small groups pass whole, big groups rate-cap deterministically") {
     import spark.implicits._
     val df = (0L until 1000L).map(i => (i, if (i < 30) "small" else "big"))
@@ -793,6 +833,24 @@ class PipelineSpec extends SparkTestBase {
       .anchorPairs(pages, "html", dropNofollow = true)
       .select($"anchor").as[String].collect().toSet
     assert(all == Set("one", "two") && followed == Set("one"))
+  }
+
+  test("dropNofollow: multi-token rel drops; anchor-text literal survives") {
+    import spark.implicits._
+    val pages = Seq(
+      // multi-token rel values containing nofollow: both must drop
+      (1L, "<a href=\"https://a.com/1\" rel=\"ugc nofollow\">multi</a>" +
+        "<a href=\"https://a.com/2\" rel=\"nofollow noopener\">multi2</a>" +
+        // substring of another token: must NOT drop
+        "<a href=\"https://a.com/3\" rel=\"nonofollowish\">oddrel</a>" +
+        // the literal in the anchor TEXT, not the tag: must NOT drop
+        "<a href=\"https://a.com/4\">about rel=\"nofollow\" semantics</a>"))
+      .toDF("id", "html")
+    val followed = graft.pipeline.UrlOps
+      .anchorPairs(pages, "html", dropNofollow = true)
+      .select($"href").as[String].collect().toSet
+    assert(followed == Set("https://a.com/3", "https://a.com/4"),
+      s"got $followed")
   }
 
   test("foldCanonical: declared target wins, spelling canonicalized") {

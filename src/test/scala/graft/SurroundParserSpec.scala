@@ -26,10 +26,13 @@ class SurroundParserSpec extends AnyFunSuite {
     assert(parse("a 3W b OR c") == BoolQuery(Seq(
       IntervalQuery(MaxWidth(Ordered(Seq(ITerm("a"), ITerm("b"))), 4)) -> Occur.Should,
       tq("c") -> Occur.Should)))
-    // W binds tighter than N: a N b W c = N(a, W(b,c))
+    // W binds tighter than N: a N b W c = N(a, W(b,c)); the outer width is
+    // slop (dist-1=0) + Σ child minExtents (1 for a, 2 for the nested pair)
+    // — the reference's SpanNearQuery extent algebra; a width of 2 would
+    // make any match (>= 3 positions) impossible
     assert(parse("a N b W c") == IntervalQuery(
       MaxWidth(Unordered(Seq(ITerm("a"),
-        MaxWidth(Ordered(Seq(ITerm("b"), ITerm("c"))), 2))), 2)))
+        MaxWidth(Ordered(Seq(ITerm("b"), ITerm("c"))), 2))), 3)))
   }
 
   test("prefix forms, distance defaults, multi-arg") {
