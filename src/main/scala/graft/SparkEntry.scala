@@ -1562,6 +1562,23 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     }),
+    "dedup_substring_keep" -> ((s, d) => {
+      // keep-one-copy substring dedup (Lee et al.'s own policy): the first
+      // occurrence — min (doc_id, start) — of each duplicated window stays,
+      // so the disclaimer survives in exactly one document and corpus
+      // statistics are preserved; same shuffle count as drop-all
+      val id = col("doc_id")
+      val injected = concat(
+        when(id % 4 === 0, lit(
+          "this content is provided as is without any warranty whatsoever "))
+          .otherwise(lit("")),
+        col("text"))
+      graft.pipeline.Dedup
+        .substringDedup(docsDf(s, d).select(id, injected.as("text")),
+          "doc_id", "text", w = 5, keepFirst = true)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
     "pipe_url_dedup" -> ((s, d) => {
       // canonical-URL capture dedup: messy crawl spellings (scheme/host
       // case, default ports, trailing slashes, tracking params, query
@@ -3405,6 +3422,37 @@ object SparkEntry {
         |dup AS (SELECT k FROM w GROUP BY k HAVING count(*) >= 2),
         |cov AS (SELECT DISTINCT doc_id, s + d AS p
         |        FROM (SELECT w.doc_id, w.s FROM w JOIN dup USING (k)),
+        |             generate_series(0, 4) gs(d)),
+        |tok AS (SELECT doc_id, unnest(ts) AS tok,
+        |               generate_subscripts(ts, 1) AS i FROM ts)
+        |SELECT t2.doc_id,
+        |  count(*)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS dup_tokens,
+        |  md5(coalesce(string_agg(CASE WHEN c.p IS NULL THEN t2.tok END,
+        |                          ' ' ORDER BY t2.i), '')) AS clean_fp
+        |FROM tok t2 LEFT JOIN cov c ON c.doc_id = t2.doc_id AND c.p = t2.i
+        |GROUP BY t2.doc_id ORDER BY t2.doc_id""".stripMargin,
+    // keep-one-copy variant: each duplicated key's min (doc_id, start)
+    // occurrence stays uncovered
+    "dedup_substring_keep" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 4 = 0
+        |      THEN 'this content is provided as is without any warranty whatsoever '
+        |      ELSE '' END) || text AS text
+        |  FROM documents),
+        |ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM t),
+        |w0 AS (SELECT doc_id, ts,
+        |         unnest(generate_series(1, greatest(len(ts) - 4, 0))) AS s
+        |       FROM ts),
+        |w AS (SELECT doc_id, s,
+        |        substr(md5(array_to_string(ts[s:s+4], ' ')), 1, 16) AS k
+        |      FROM w0),
+        |dup AS (SELECT k, min(row(doc_id, s)) AS keep FROM w GROUP BY k
+        |        HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, s + d AS p
+        |        FROM (SELECT w.doc_id, w.s FROM w JOIN dup USING (k)
+        |              WHERE row(w.doc_id, w.s) <> dup.keep),
         |             generate_series(0, 4) gs(d)),
         |tok AS (SELECT doc_id, unnest(ts) AS tok,
         |               generate_subscripts(ts, 1) AS i FROM ts)

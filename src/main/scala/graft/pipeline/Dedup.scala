@@ -96,7 +96,8 @@ object Dedup {
     * corpus-unique text.
     */
   def substringDedup(df: DataFrame, idCol: String, textCol: String,
-                     w: Int = 5, minOcc: Long = 2): DataFrame = {
+                     w: Int = 5, minOcc: Long = 2,
+                     keepFirst: Boolean = false): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val toks = df.repartition(par)
       .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
@@ -113,11 +114,22 @@ object Dedup {
           .otherwise(array().cast("array<struct<s:int,k:string>>")).as("ws"))
       .select(col("id"), explode(col("ws")).as("win"))
       .select(col("id"), col("win.s").as("s"), col("win.k").as("k"))
+    // keepFirst (the paper's own policy — Lee et al. keep ONE occurrence,
+    // so corpus statistics survive dedup): the (min id, min start)
+    // occurrence of each duplicated key stays uncovered; the min rides the
+    // SAME aggregate as the occurrence count — no extra shuffle vs the
+    // conservative drop-all default.
     val dupKeys = wins.groupBy(col("k"))
-      .agg(count(lit(1)).as("occ"))
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("id"), col("s"))).as("keep"))
       .where(col("occ") >= minOcc)
-      .select(col("k"))
-    val covered = wins.join(dupKeys, "k")
+      .select(col("k"), col("keep"))
+    val dupOcc = wins.join(dupKeys, "k")
+    val marked =
+      if (keepFirst)
+        dupOcc.where(!(col("id") === col("keep.id") && col("s") === col("keep.s")))
+      else dupOcc
+    val covered = marked
       .select(col("id"), explode(sequence(col("s"), col("s") + (w - 1))).as("p"))
       .groupBy(col("id"))
       .agg(sort_array(collect_set(col("p"))).as("cov"))

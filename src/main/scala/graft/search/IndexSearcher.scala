@@ -465,11 +465,7 @@ final class IndexSearcher(
   /** Smallest string strictly greater than every string with prefix `p`
     * (None when every char is Char.MaxValue — then no finite upper bound).
     */
-  private def prefixUpper(p: String): Option[String] = {
-    var i = p.length - 1
-    while (i >= 0 && p.charAt(i) == Char.MaxValue) i -= 1
-    if (i < 0) None else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
-  }
+  private def prefixUpper(p: String): Option[String] = IndexSearcher.prefixUpper(p)
 
   /** Mandatory literal prefix of an anchored regex (the cheap core of the
     * reference's automaton "common prefix" — ref
@@ -2512,7 +2508,16 @@ object IndexSearcher {
     * prefix/suffix of ref `search/WildcardQuery.java:38` toAutomaton):
     * `(regex, literalPrefix, literalSuffix)`.
     */
-  private[search] def wildcardParts(pattern: String): (String, String, String) = {
+  /** Smallest string strictly greater than every string with prefix `p`
+    * (None when every char is Char.MaxValue — no finite upper bound).
+    */
+  private[graft] def prefixUpper(p: String): Option[String] = {
+    var i = p.length - 1
+    while (i >= 0 && p.charAt(i) == Char.MaxValue) i -= 1
+    if (i < 0) None else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+  }
+
+  private[graft] def wildcardParts(pattern: String): (String, String, String) = {
     val re = "^" + pattern.flatMap {
       case '*' => ".*"
       case '?' => "."

@@ -243,6 +243,22 @@ object MultiTerm {
   final case class Fuzzy(term: String, maxEdits: Int) extends MultiTerm
   final case class Range(lo: String, hi: String,
       includeLo: Boolean, includeHi: Boolean) extends MultiTerm
+
+  /** Pure term-level evaluation of a spec — the driver/executor-side
+    * semantics behind the dictionary predicates (percolation's broadcast
+    * evaluator uses this; the index paths push the equivalent predicate
+    * into Parquet scans instead).
+    */
+  def matches(spec: MultiTerm, term: String): Boolean = spec match {
+    case Prefix(p)       => term.startsWith(p)
+    case Range(lo, hi, il, ih) =>
+      (if (il) term >= lo else term > lo) && (if (ih) term <= hi else term < hi)
+    case Wildcard(pat)   =>
+      term.matches(IndexSearcher.wildcardParts(pat)._1.drop(1).dropRight(1))
+    case Fuzzy(t, e) =>
+      graft.functions.EditDistance
+        .damerauWithin(t, term, math.min(math.max(e, 0), 2)) >= 0
+  }
 }
 
 object Query {

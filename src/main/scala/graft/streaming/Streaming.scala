@@ -58,6 +58,8 @@ object Streaming {
       case _: graft.search.IntervalQuery =>
         throw new IllegalArgumentException(
           "interval queries are not foldable — percolate dispatches them to the broadcast path")
+      case dq: graft.search.MultiTermDictQuery =>
+        exists(toks, t => specCol(dq.spec, t))
       case bq: BoolQuery =>
         val must = bq.must.map(matchExpr(_, toks)) ++ bq.filter.map(matchExpr(_, toks))
         val should = bq.should.map(matchExpr(_, toks))
@@ -100,6 +102,24 @@ object Streaming {
     * queries; larger sets broadcast instead.
     */
   val FoldedPlanLimit = 64
+
+  /** Column-level evaluation of a multi-term spec against one token (the
+    * folded-plan analogue of [[graft.search.MultiTerm.matches]]).
+    */
+  private def specCol(spec: graft.search.MultiTerm,
+      t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.search.MultiTerm
+    spec match {
+      case MultiTerm.Prefix(p) => t.startsWith(p)
+      case MultiTerm.Range(lo, hi, il, ih) =>
+        (if (il) t >= lo else t > lo) && (if (ih) t <= hi else t < hi)
+      case MultiTerm.Wildcard(pat) =>
+        t.rlike(graft.search.IndexSearcher.wildcardParts(pat)._1)
+      case MultiTerm.Fuzzy(q, e) =>
+        graft.functions.EditDistance
+          .damerauLe(lit(q), t, math.min(math.max(e, 0), 2)) >= 0
+    }
+  }
 
   /** Any clause that cannot fold into a codegen'd Column predicate (sloppy
     * phrases, multiphrase)? The broadcast evaluator handles those.
@@ -167,6 +187,8 @@ object Streaming {
           else IndexSearcher.countExactOffsets(slotPos, mq.slots.map(_._1).toArray)
         f > 0
       }
+    case dq: graft.search.MultiTermDictQuery =>
+      toks.exists(graft.search.MultiTerm.matches(dq.spec, _))
     case bq: BoolQuery =>
       val shouldOk =
         if (bq.should.isEmpty) true
@@ -187,36 +209,71 @@ object Streaming {
     * queries are pruned too, not evaluated against every doc. `None` means
     * no cover exists (e.g. a pure negation) — always evaluated.
     */
-  private[streaming] def triggerTerms(q: Query): Option[Seq[String]] = {
-    def unionAll(qs: Seq[Query]): Option[Seq[String]] = {
-      val cs = qs.map(triggerTerms)
+  /** One trigger of a stored query's cover: an exact term probe or a
+    * sorted-order range [lo, hi) (`hi == null` = unbounded) — the
+    * dictionary-range analogue for multi-term stored queries, so 10k stored
+    * prefix queries prune by range probes instead of evaluating against
+    * every doc.
+    */
+  private[streaming] sealed trait Trig extends Serializable
+  private[streaming] final case class TExact(t: String) extends Trig
+  private[streaming] final case class TRange(lo: String, hi: String) extends Trig
+
+  private[streaming] def triggers(q: Query): Option[Seq[Trig]] = {
+    def unionAll(qs: Seq[Query]): Option[Seq[Trig]] = {
+      val cs = qs.map(triggers)
       if (cs.exists(_.isEmpty)) None else Some(cs.flatten.flatten.distinct)
     }
     q match {
-      case TermQuery(t)        => Some(Seq(t))
+      case TermQuery(t)        => Some(Seq(TExact(t)))
       // matches nothing -> empty cover: never a candidate
       case graft.search.MatchNoneQuery => Some(Seq.empty)
-      case BoostQuery(q2, _)   => triggerTerms(q2)
-      case cs: ConstScoreQuery => triggerTerms(cs.query)
-      case sq: SynonymQuery    => Some(sq.synonyms)
-      case cf: graft.search.CombinedFieldQuery => Some(Seq(cf.term))
-      case fq: graft.search.FeatureQuery => Some(Seq(fq.term))
+      case BoostQuery(q2, _)   => triggers(q2)
+      case cs: ConstScoreQuery => triggers(cs.query)
+      case sq: SynonymQuery    => Some(sq.synonyms.map(TExact))
+      case cf: graft.search.CombinedFieldQuery => Some(Seq(TExact(cf.term)))
+      case fq: graft.search.FeatureQuery => Some(Seq(TExact(fq.term)))
       // every phrase term is required — any single one is a cover
-      case pq: PhraseQuery     => Some(Seq(pq.phraseTerms.head))
+      case pq: PhraseQuery     => Some(Seq(TExact(pq.phraseTerms.head)))
       // every slot is required — the smallest slot's term set is a cover
-      case mq: MultiPhraseQuery => Some(mq.slots.map(_._2).minBy(_.size))
+      case mq: MultiPhraseQuery =>
+        Some(mq.slots.map(_._2).minBy(_.size).map(TExact))
       // required terms are conjunctive (any one covers); a pure-OR source
       // needs the union of its terms
       case iq: graft.search.IntervalQuery =>
-        if (iq.source.required.nonEmpty) Some(Seq(iq.source.required.head))
-        else Some(iq.source.terms.distinct)
+        if (iq.source.required.nonEmpty) Some(Seq(TExact(iq.source.required.head)))
+        else Some(iq.source.terms.distinct.map(TExact))
+      // the dictionary-range cover: a matching doc must hold SOME token in
+      // the spec's sorted range — prefix/range (and prefix-bounded
+      // wildcards) prune by one ceiling probe per range; fuzzy and
+      // prefix-free wildcards have no sorted bound (the reference's
+      // automaton has none either) and stay always-evaluated
+      case dq: graft.search.MultiTermDictQuery =>
+        import graft.search.{IndexSearcher, MultiTerm}
+        dq.spec match {
+          case MultiTerm.Prefix(p) if p.nonEmpty =>
+            Some(Seq(TRange(p, IndexSearcher.prefixUpper(p).orNull)))
+          case MultiTerm.Range(lo, hi, il, ih) =>
+            // normalize to [lo2, hi2): the NUL suffix is the exact string
+            // successor, so exclusive-lo and inclusive-hi shift without
+            // over- or under-matching any token
+            val lo2 = if (il) lo else lo + "\u0000"
+            val hi2 = if (ih) hi + "\u0000" else hi
+            Some(Seq(TRange(lo2, hi2)))
+          case MultiTerm.Wildcard(pat) =>
+            val litPrefix = IndexSearcher.wildcardParts(pat)._2
+            if (litPrefix.nonEmpty)
+              Some(Seq(TRange(litPrefix, IndexSearcher.prefixUpper(litPrefix).orNull)))
+            else None
+          case _ => None
+        }
       case dm: DisMaxQuery     => unionAll(dm.disjuncts)
       case bq: BoolQuery =>
         // any MUST/FILTER clause's cover works alone (the clause is
         // required); SHOULD clauses are also required here (>= 1 must
         // match, see evalQuery) so their union is an alternative cover —
         // pick the smallest available
-        val conj = (bq.must ++ bq.filter).flatMap(triggerTerms(_))
+        val conj = (bq.must ++ bq.filter).flatMap(triggers(_))
           .sortBy(_.size).headOption
         val shd = if (bq.should.isEmpty) None else unionAll(bq.should)
         (conj, shd) match {
@@ -225,6 +282,16 @@ object Streaming {
         }
     }
   }
+
+  /** Exact-only view of [[triggers]] (legacy shape; None when the cover
+    * needs ranges or doesn't exist).
+    */
+  private[streaming] def triggerTerms(q: Query): Option[Seq[String]] =
+    triggers(q).flatMap { ts =>
+      if (ts.forall(_.isInstanceOf[TExact]))
+        Some(ts.collect { case TExact(t) => t })
+      else None
+    }
 
   /** Large-query-set percolation: the compiled query set ships once per
     * executor as a broadcast (plan size O(1) regardless of count), with a
@@ -240,20 +307,29 @@ object Streaming {
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val indexed: Map[String, Array[Int]] = queries.zipWithIndex
-      .flatMap { case ((_, q), i) =>
-        triggerTerms(q).getOrElse(Seq.empty).map(_ -> i) }
+    val covers = queries.zipWithIndex.map { case ((_, q), i) => (i, triggers(q)) }
+    val indexed: Map[String, Array[Int]] = covers
+      .flatMap { case (i, c) =>
+        c.getOrElse(Seq.empty).collect { case TExact(t) => t -> i } }
       .groupBy(_._1).map { case (t, g) => t -> g.map(_._2).toArray }
-    val always: Array[Int] = queries.zipWithIndex
-      .collect { case ((_, q), i) if triggerTerms(q).isEmpty => i }.toArray
+    // dictionary-range triggers (multi-term stored queries): one sorted-set
+    // ceiling probe per range per doc instead of evaluating the query
+    // against every doc
+    val ranges: Array[(String, String, Int)] = covers
+      .flatMap { case (i, c) =>
+        c.getOrElse(Seq.empty).collect { case TRange(lo, hi) => (lo, hi, i) } }
+      .toArray
+    val always: Array[Int] = covers.collect { case (i, None) => i }.toArray
     val bcQueries = spark.sparkContext.broadcast(queries.toArray)
     val bcIndex = spark.sparkContext.broadcast(indexed)
+    val bcRanges = spark.sparkContext.broadcast(ranges)
     val bcAlways = spark.sparkContext.broadcast(always)
     docs.select(col(idCol).cast("long").as("doc"), split(col(textCol), " ").as("toks"))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val qs = bcQueries.value
         val idx = bcIndex.value
+        val rng = bcRanges.value
         val alw = bcAlways.value
         it.flatMap { case (id, toks) =>
           val set = toks.toSet
@@ -269,6 +345,16 @@ object Streaming {
           val cands = new java.util.TreeSet[Integer]()
           alw.foreach(cands.add(_))
           set.foreach(t => idx.get(t).foreach(_.foreach(cands.add(_))))
+          if (rng.nonEmpty) {
+            // sorted token view: each range trigger is one ceiling probe —
+            // a doc token in [lo, hi) makes the query a candidate
+            val sorted = new java.util.TreeSet[String]()
+            set.foreach(sorted.add(_))
+            rng.foreach { case (lo, hi, qi) =>
+              val c = sorted.ceiling(lo)
+              if (c != null && (hi == null || c < hi)) cands.add(qi): Unit
+            }
+          }
           val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
           val iter = cands.iterator()
           while (iter.hasNext) {

@@ -468,6 +468,47 @@ class PipelineSpec extends SparkTestBase {
       s"per-doc evaluations not pruned: ${counter.value} of ${nDocs * stored.size}")
   }
 
+  test("percolator prunes 10k multi-term stored queries by dictionary range") {
+    import graft.search.{BoolQuery, ConstScoreQuery, MultiTerm,
+      MultiTermDictQuery, Occur, TermQuery}
+    // 10k stored prefix/range/wildcard queries over a mostly-absent
+    // vocabulary: range triggers must keep evaluations near the true match
+    // count, nowhere near docs x queries
+    val stored: Seq[(String, Query)] = (0 until 10000).map { i =>
+      val q: Query = i % 4 match {
+        case 0 => ConstScoreQuery(MultiTermDictQuery(
+          MultiTerm.Prefix(if (i % 500 == 0) "dat" else f"zzq$i%05d")), 1.0)
+        case 1 => ConstScoreQuery(MultiTermDictQuery(
+          MultiTerm.Range(f"zza$i%05d", f"zza$i%05dx", true, false)), 1.0)
+        case 2 => ConstScoreQuery(MultiTermDictQuery(
+          MultiTerm.Wildcard(if (i % 500 == 1) "cour*" else f"zzw$i%05d*")), 1.0)
+        case 3 => BoolQuery(Seq(
+          MultiTermDictQuery(MultiTerm.Prefix(f"zzp$i%05d")) -> Occur.Must,
+          TermQuery("data") -> Occur.Must))
+      }
+      s"q$i" -> q
+    }
+    val counter = spark.sparkContext.longAccumulator("percolator-mtd-evals")
+    val got = Streaming.percolateBroadcast(docs, "doc_id", "text", stored, Some(counter))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val toksByDoc = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet)
+    val expected = (for {
+      (id, toks) <- toksByDoc
+      (qid, q) <- stored
+      if Streaming.evalQuery(q, toks)
+    } yield (qid, id)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "the dat/cour* seeds should match")
+    val nDocs = toksByDoc.length
+    // evaluations << docs x queries: the zz-prefixed 9,9xx queries never
+    // evaluate (their range triggers miss every doc's token set — including
+    // the conjunctive %4==3 family, whose required dict clause's range is
+    // its cover); only the seeded "dat"/"cour*" prefixes remain
+    assert(counter.value < nDocs.toLong * stored.size / 100,
+      s"range triggers not pruning: ${counter.value} of ${nDocs.toLong * stored.size}")
+  }
+
   test("best-passage snippet == brute-force window argmax") {
     val w = 7
     val terms = Set("data", "query")
