@@ -139,12 +139,37 @@ object SegmentMerger {
           hasPositions = manifests.forall(_.hasPositions),
           hasOffsets = manifests.forall(_.hasOffsets),
           hasPayloads = manifests.forall(_.hasPayloads),
-          // per-field stats sum across inputs (stale under purged deletes,
-          // same as the reference's merged stats until recomputed)
-          fieldStats = manifests.flatMap(_.fieldStats)
-            .groupBy(_.field).map { case (f, ss) =>
-              Schema.FieldStat(f, ss.map(_.docCount).sum, ss.map(_.sumTotalTermFreq).sum)
-            }.toSeq.sortBy(_.field)
+          fieldStats = {
+            // no purge: summing inputs is exact (disjoint docId spaces)
+            val summed = manifests.flatMap(_.fieldStats)
+              .groupBy(_.field).map { case (f, ss) =>
+                Schema.FieldStat(f, ss.map(_.docCount).sum, ss.map(_.sumTotalTermFreq).sum)
+              }.toSeq.sortBy(_.field)
+            if (summed.isEmpty || deadGlobal.isEmpty) summed
+            else {
+              // purge happened: recompute per-field stats from the merged
+              // postings (the reference's merges write exact stats of the
+              // SURVIVING docs — summing inputs would keep purged docs
+              // counted, so CombinedFieldQuery/BM25F idf would diverge
+              // from a fresh build of the same live set)
+              val sttf = mergedBlocks
+                .map(b => (FieldKey.fieldOf(b.term), b.freqSum))
+                .toDF("field", "fs")
+                .groupBy($"field").agg(sum($"fs").as("sttf"))
+              val dc = mergedBlocks
+                .flatMap { b =>
+                  BlockCodec
+                    .deltaDecode(BlockCodec.forDecode(b.docsPacked), b.firstDocId)
+                    .toSeq.map(id => (FieldKey.fieldOf(b.term), id))
+                }
+                .toDF("field", "docId").distinct()
+                .groupBy($"field").agg(count(lit(1)).as("dc"))
+              sttf.join(dc, "field")
+                .select($"field", $"dc".cast("long").as("docCount"),
+                  $"sttf".cast("long").as("sumTotalTermFreq"))
+                .as[FieldStat].collect().toSeq.sortBy(_.field)
+            }
+          }
         )
         Manifest.commit(outDir, manifest)
         manifest
