@@ -67,7 +67,8 @@ object Bench {
       "ft_wildcard_lead", "ft_suggest_weighted", "ft_parent_join_avg",
       "ft_payload_topk", "ft_span_first",
       "ft_sweetspot_topk", "ft_complex_phrase", "ft_surround",
-      "ft_suggest_context",
+      "ft_suggest_context", "ft_cjk_topk", "ft_mlt_like",
+      "web_domain_psl", "dedup_substring_keep",
       "web_anchor_texts", "web_pagerank", "web_hits", "web_recrawl_diff",
       "web_noindex", "web_canonical_fold", "web_anchor_search",
       "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_embed",

@@ -132,6 +132,32 @@ object Demo {
         hits.foreach { r =>
           println(f"  doc=${r.getAs[Long]("docId")}%6d score=${r.getAs[Double]("score")}%.4f ${r.getAs[String]("url")}")
         }
+      case "mlt" :: dir :: rest if rest.nonEmpty =>
+        // MoreLikeThis (ref queries/mlt): generate a boosted disjunction
+        // from the source text's tf/df-gated top terms, then search.
+        //   Demo mlt <dir> [--terms=N] [--mintf=N] [--mindf=N] <text...>
+        val (opts, words) = rest.partition(_.startsWith("--"))
+        def optOf(k: String, dflt: Int) = opts.collectFirst {
+          case o if o.startsWith(s"--$k=") => o.stripPrefix(s"--$k=").toInt
+        }.getOrElse(dflt)
+        val p = graft.search.MltParams(
+          minTermFreq = optOf("mintf", 1),
+          minDocFreq = optOf("mindf", 2).toLong,
+          maxQueryTerms = optOf("terms", 10),
+          boostTerms = true)
+        val searcher = IndexSearcher.open(spark, dir)
+        val text = words.mkString(" ")
+        val sel = graft.search.MoreLikeThis.interestingTerms(searcher, text, p)
+        println(s"[demo] mlt interesting terms (tf*idf, best first):")
+        sel.foreach { case (t, w) => println(f"  $t%-20s $w%.4f") }
+        val q = graft.search.MoreLikeThis.query(searcher, text, p)
+        val t0 = System.nanoTime()
+        val hits = searcher.searchDocs(q, 10).collect()
+        val ms = (System.nanoTime() - t0) / 1e6
+        println(f"[demo] ${hits.length} hits in $ms%.0f ms")
+        hits.foreach { r =>
+          println(f"  doc=${r.getAs[Long]("docId")}%6d score=${r.getAs[Double]("score")}%.4f ${r.getAs[String]("url")}")
+        }
       case "search" :: dir :: rest if rest.nonEmpty =>
         // optional similarity knob (ref IndexSearcher#setSimilarity):
         //   Demo search <dir> --sim=classic|bool|lm|lmjm|dfr|ib|dfi|f1exp..f3log <query...>
@@ -279,7 +305,8 @@ object Demo {
           "usage: Demo index <dir> <nDocs> [--positions] [--fields] " +
             "| search <dir> [--sim=classic|bool|lm|lmjm|dfr|ib|dfi|f1exp..f3log] <query...> " +
             "| phrase <dir> <terms...> | surround <dir> <query...> "+
-            "| cphrase <dir> <phrase terms...> | ingest <dir> <batches> <perBatch> " +
+            "| cphrase <dir> <phrase terms...> | mlt <dir> [--terms=N] [--mintf=N] [--mindf=N] <text...> " +
+            "| ingest <dir> <batches> <perBatch> " +
             "| forcemerge <dir> [maxSegments] | snapshot <dir> " +
             "| rollback <dir> <gen> | backup <dir> <dest> | stats <dir> " +
             "| check <dir> | explain <dir> <query...>")

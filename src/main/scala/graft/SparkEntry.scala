@@ -2125,6 +2125,23 @@ object SparkEntry {
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc).limit(10)
     }),
+    "ft_mlt_like" -> ((s, d) => {
+      // df-gated MoreLikeThis (ref queries/mlt/MoreLikeThis.java): doc 0's
+      // terms with tf>=minTermFreq and df>=minDocFreq ranked by
+      // tf*ClassicSimilarity idf, top-8 as boosted SHOULD clauses
+      // (boostTerms), seed doc excluded from the hits
+      val se = searcherFor(s, d)
+      import s.implicits._
+      val srcText = docsDf(s, d).where($"doc_id" === 0)
+        .select($"text").as[String].head()
+      val p = graft.search.MltParams(minTermFreq = 2, minDocFreq = 5,
+        maxQueryTerms = 8, boostTerms = true)
+      val q = graft.search.MoreLikeThis.query(se, srcText, p)
+      se.fetchDocs(topKVerified(se, q, 11))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .where($"doc_id" =!= 0)
+        .orderBy($"score".desc, $"doc_id".asc).limit(10)
+    }),
     "ft_facet_hierarchy" -> ((s, d) => {
       // arbitrary-depth taxonomy facet counts (ref lucene/facet taxonomy
       // rollup): every prefix of the 3-level source/lang/size path gets a
@@ -4030,6 +4047,36 @@ object SparkEntry {
          |  FROM tf JOIN idf USING (term) JOIN qlen ON qlen.doc_id = tf.doc_id),
          |scored AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
          |SELECT doc_id, round(score, 6) AS score FROM scored
+         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+    "ft_mlt_like" -> {
+      val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |qlen AS (SELECT doc_id, dl,
+         |  (SELECT max(v) FROM (VALUES $vals) b4(v) WHERE v <= dl) AS qdl FROM dlen),
+         |stats AS (SELECT count(*)::DOUBLE AS n,
+         |                 sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dlen),
+         |doc0 AS (SELECT term, count(*)::DOUBLE AS tf0 FROM tok WHERE doc_id = 0 GROUP BY term),
+         |alldf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term),
+         |mlt AS (SELECT d.term,
+         |          round(d.tf0 * (ln(((SELECT n FROM stats) + 1) / (a.df + 1)) + 1), 6) AS w
+         |        FROM doc0 d JOIN alldf a USING (term)
+         |        WHERE d.tf0 >= 2 AND a.df >= 5
+         |        ORDER BY w DESC, d.term ASC LIMIT 8),
+         |bst AS (SELECT term, w / (SELECT max(w) FROM mlt) AS b FROM mlt),
+         |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM tok
+         |       WHERE term IN (SELECT term FROM mlt) GROUP BY doc_id, term),
+         |idf AS (SELECT term, ln(1 + ((SELECT n FROM stats) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+         |        FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |  bst.b * (idf.idf - idf.idf / (1 + tf.freq *
+         |    (1.0 / (1.2 * (0.25 + 0.75 * qlen.qdl / (SELECT avgdl FROM stats)))))) AS s
+         |  FROM tf JOIN idf USING (term) JOIN bst USING (term)
+         |  JOIN qlen ON qlen.doc_id = tf.doc_id),
+         |scored AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM scored
+         |WHERE doc_id <> 0
          |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
     },
     "ft_facet_hierarchy" ->
