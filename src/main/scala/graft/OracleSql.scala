@@ -265,4 +265,28 @@ object OracleSql {
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
        |), docs AS (SELECT DISTINCT doc_id FROM documents)
        |SELECT doc_id FROM docs WHERE $pred ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------- spatial
+
+  /** The deterministic synthetic point CTE — the SQL half of
+    * [[graft.spatial.Geo.syntheticPoints]] (pure integer arithmetic, so the
+    * two derivations are bit-identical).
+    */
+  val geoPts: String =
+    """pts AS (
+      |  SELECT doc_id, ((doc_id*37) % 1700)/10.0 - 85.0 AS lat,
+      |         ((doc_id*73) % 3600)/10.0 - 180.0 AS lon FROM documents
+      |)""".stripMargin
+
+  /** Exact haversine over columns `lat`/`lon`, operation-for-operation the
+    * expression tree of [[graft.spatial.Geo.haversineMeters]] (multiplication
+    * instead of pow, identical association order); the remaining last-ulp
+    * libm differences are absorbed by the entries' float32 output cast.
+    */
+  def havSql(qLat: Double, qLon: Double): String = {
+    val sLat = s"sin((radians(lat)-radians($qLat))/2)"
+    val sLon = s"sin((radians(lon)-radians($qLon))/2)"
+    s"2*6371008.7714*asin(sqrt($sLat*$sLat + " +
+      s"cos(radians($qLat))*cos(radians(lat))*$sLon*$sLon))"
+  }
 }
