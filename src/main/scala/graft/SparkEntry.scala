@@ -57,11 +57,34 @@ object SparkEntry {
         precision = Precision.DoubleOracle, k1 = K1, b = B)
     })
 
+  private val tvSearchers = TrieMap[String, IndexSearcher]()
+
+  /** Same corpus/config as [[searcherFor]] plus stored term vectors
+    * (IndexConfig.storeTermVectors) — identical collection stats, so
+    * vector-path MLT scores equal the re-analysis path's.
+    */
+  def tvSearcherFor(spark: SparkSession, sfDir: String): IndexSearcher =
+    tvSearchers.getOrElseUpdate(sfDir, {
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createDirectories(indexDirFor(sfDir))
+        .toString
+      val pages = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(format_string("doc%012d", $"doc_id").as("url"), $"text")
+        .as[(String, String)]
+      val cfg = IndexConfig(bucketShift = 8, numPostingPartitions = 8,
+        numDocPartitions = 4, storePositions = true, storeTermVectors = true)
+      IndexBuilder.buildSegment(pages, s"$dir/segtv", cfg)
+      new IndexSearcher(spark, Seq(Manifest.read(s"$dir/segtv").get),
+        precision = Precision.DoubleOracle, k1 = K1, b = B)
+    })
+
   /** Drop the cached index for `sfDir` (benchmarks call this so a timed
     * build is a real build, never a manifest resume from a prior process).
     */
   def clearIndexCache(sfDir: String): Unit = {
     searchers.remove(sfDir)
+    tvSearchers.remove(sfDir)
     fieldSearchers.remove(sfDir)
     webAnchorSearchers.remove(sfDir)
     classicSearchers.remove(sfDir)
@@ -1958,6 +1981,39 @@ object SparkEntry {
       graft.pipeline.AnnIndex.topK(s, idx, qv, k = 10, nprobe = 16, excludeId = Some(0L))
         .select(col("id").as("vec_id"), col("sim"))
     }),
+    "ann_hnsw_topk" -> ((s, d) => { // no SQL oracle: graph-pruned approximation
+      // per-partition HNSW graphs, fan-out search, global top-k merge —
+      // the reference's per-segment sharding (Lucene99HnswVectorsFormat)
+      import s.implicits._
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val qv = emb.where($"vec_id" === 0).select($"embedding")
+        .as[Array[Float]].head()
+      graft.pipeline.Hnsw.topK(emb, "vec_id", "embedding", qv, 10,
+          excludeId = Some(0L))
+        .select(col("id").as("vec_id"), col("sim"))
+    }),
+    "ann_hnsw_exact" -> ((s, d) => {
+      // efSearch = MaxValue clamps to partition size = exhaustive traversal
+      // of the spanning-tree-connected layer 0: exact by construction, so
+      // the whole graph build + search machinery gets a full SQL oracle
+      import s.implicits._
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val qv = emb.where($"vec_id" === 0).select($"embedding")
+        .as[Array[Float]].head()
+      graft.pipeline.Hnsw.topK(emb, "vec_id", "embedding", qv, 10,
+          efSearch = Int.MaxValue, excludeId = Some(0L))
+        .select(col("id").as("vec_id"), col("sim"))
+    }),
+    "ann_hnsw_recall" -> ((s, d) => {
+      // production-parameter recall vs the exact brute force, floor
+      // asserted in-entry (companion gate for ann_hnsw_topk)
+      import s.implicits._
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val qv = emb.where($"vec_id" === 0).select($"embedding")
+        .as[Array[Float]].head()
+      graft.pipeline.Hnsw.recall(emb, "vec_id", "embedding", qv, 10,
+        excludeId = Some(0L), recallFloor = 0.8)
+    }),
 
     // ---- text analysis
     "text_tokens" -> ((s, d) =>
@@ -2142,6 +2198,39 @@ object SparkEntry {
         .where($"doc_id" =!= 0)
         .orderBy($"score".desc, $"doc_id".asc).limit(10)
     }),
+    "ft_termvectors" -> ((s, d) => {
+      // stored per-doc term vectors (ref index/TermVectors.java /
+      // Lucene90TermVectorsFormat): docId-isin point lookup of the
+      // persisted (terms, freqs) arrays; the oracle recomputes the same
+      // frequency map from the corpus text
+      val se = tvSearcherFor(s, d)
+      import s.implicits._
+      val ids = se.docsTable
+        .where(substring($"url", 4, 12).cast("bigint") < 10)
+        .select($"docId").as[Long].collect().toSeq
+      se.termVectors(ids)
+        .join(se.docsTable.select($"docId", $"url"), "docId")
+        .select(docIdOf($"url"), $"term", $"freq")
+        .orderBy($"doc_id", $"term")
+    }),
+    "ft_mlt_tv" -> ((s, d) => {
+      // MoreLikeThis fed by the STORED TERM VECTOR (the reference's
+      // primary retrieveTerms arm) — no stored-text fetch, no re-analysis;
+      // must equal ft_mlt_like's table, and shares its oracle SQL verbatim
+      val se = tvSearcherFor(s, d)
+      import s.implicits._
+      val srcId = se.docsTable
+        .where(substring($"url", 4, 12).cast("bigint") === 0)
+        .select($"docId").as[Long].head()
+      val p = graft.search.MltParams(minTermFreq = 2, minDocFreq = 5,
+        maxQueryTerms = 8, boostTerms = true)
+      val q = graft.search.MoreLikeThis.queryForDoc(se, srcId,
+        sys.error("ft_mlt_tv must take the term-vector path"), p)
+      se.fetchDocs(topKVerified(se, q, 11))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .where($"doc_id" =!= 0)
+        .orderBy($"score".desc, $"doc_id".asc).limit(10)
+    }),
     "ft_facet_hierarchy" -> ((s, d) => {
       // arbitrary-depth taxonomy facet counts (ref lucene/facet taxonomy
       // rollup): every prefix of the 3-level source/lang/size path gets a
@@ -2285,6 +2374,40 @@ object SparkEntry {
     */
   private val geoPoly: Seq[(Double, Double)] = Seq(
     (35.0, -10.0), (60.0, -5.0), (55.0, 20.0), (40.0, 25.0), (45.0, 5.0))
+
+  /** Shared by ft_mlt_like (re-analysis path) and ft_mlt_tv (stored
+    * term-vector path): the two MUST produce the identical table.
+    */
+  private lazy val mltLikeSql: String = {
+      val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |qlen AS (SELECT doc_id, dl,
+         |  (SELECT max(v) FROM (VALUES $vals) b4(v) WHERE v <= dl) AS qdl FROM dlen),
+         |stats AS (SELECT count(*)::DOUBLE AS n,
+         |                 sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dlen),
+         |doc0 AS (SELECT term, count(*)::DOUBLE AS tf0 FROM tok WHERE doc_id = 0 GROUP BY term),
+         |alldf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term),
+         |mlt AS (SELECT d.term,
+         |          round(d.tf0 * (ln(((SELECT n FROM stats) + 1) / (a.df + 1)) + 1), 6) AS w
+         |        FROM doc0 d JOIN alldf a USING (term)
+         |        WHERE d.tf0 >= 2 AND a.df >= 5
+         |        ORDER BY w DESC, d.term ASC LIMIT 8),
+         |bst AS (SELECT term, w / (SELECT max(w) FROM mlt) AS b FROM mlt),
+         |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM tok
+         |       WHERE term IN (SELECT term FROM mlt) GROUP BY doc_id, term),
+         |idf AS (SELECT term, ln(1 + ((SELECT n FROM stats) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+         |        FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |  bst.b * (idf.idf - idf.idf / (1 + tf.freq *
+         |    (1.0 / (1.2 * (0.25 + 0.75 * qlen.qdl / (SELECT avgdl FROM stats)))))) AS s
+         |  FROM tf JOIN idf USING (term) JOIN bst USING (term)
+         |  JOIN qlen ON qlen.doc_id = tf.doc_id),
+         |scored AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM scored
+         |WHERE doc_id <> 0
+         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
+  }
 
   // ------------------------------------------------------- oracles
 
@@ -4050,6 +4173,12 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON b.vec_id <> 0
         |WHERE a.vec_id = 0
         |ORDER BY sim DESC, b.vec_id ASC LIMIT 10""".stripMargin,
+    "ann_hnsw_exact" ->
+      """SELECT b.vec_id,
+        |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+        |FROM embeddings a JOIN embeddings b ON b.vec_id <> 0
+        |WHERE a.vec_id = 0
+        |ORDER BY sim DESC, b.vec_id ASC LIMIT 10""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
         |       len(list_distinct(string_split(text, ' '))) AS n_unique,
@@ -4113,36 +4242,12 @@ object SparkEntry {
          |SELECT doc_id, round(score, 6) AS score FROM scored
          |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
     },
-    "ft_mlt_like" -> {
-      val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-         |dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-         |qlen AS (SELECT doc_id, dl,
-         |  (SELECT max(v) FROM (VALUES $vals) b4(v) WHERE v <= dl) AS qdl FROM dlen),
-         |stats AS (SELECT count(*)::DOUBLE AS n,
-         |                 sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dlen),
-         |doc0 AS (SELECT term, count(*)::DOUBLE AS tf0 FROM tok WHERE doc_id = 0 GROUP BY term),
-         |alldf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term),
-         |mlt AS (SELECT d.term,
-         |          round(d.tf0 * (ln(((SELECT n FROM stats) + 1) / (a.df + 1)) + 1), 6) AS w
-         |        FROM doc0 d JOIN alldf a USING (term)
-         |        WHERE d.tf0 >= 2 AND a.df >= 5
-         |        ORDER BY w DESC, d.term ASC LIMIT 8),
-         |bst AS (SELECT term, w / (SELECT max(w) FROM mlt) AS b FROM mlt),
-         |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM tok
-         |       WHERE term IN (SELECT term FROM mlt) GROUP BY doc_id, term),
-         |idf AS (SELECT term, ln(1 + ((SELECT n FROM stats) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
-         |        FROM tf GROUP BY term),
-         |sc AS (SELECT tf.doc_id,
-         |  bst.b * (idf.idf - idf.idf / (1 + tf.freq *
-         |    (1.0 / (1.2 * (0.25 + 0.75 * qlen.qdl / (SELECT avgdl FROM stats)))))) AS s
-         |  FROM tf JOIN idf USING (term) JOIN bst USING (term)
-         |  JOIN qlen ON qlen.doc_id = tf.doc_id),
-         |scored AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
-         |SELECT doc_id, round(score, 6) AS score FROM scored
-         |WHERE doc_id <> 0
-         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
-    },
+    "ft_mlt_like" -> mltLikeSql,
+    "ft_mlt_tv" -> mltLikeSql,
+    "ft_termvectors" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT doc_id, term, count(*) AS freq FROM tok WHERE doc_id < 10
+        |GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin,
     "ft_facet_hierarchy" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
          |m AS (SELECT d.doc_id, d.source, d.lang,

@@ -69,7 +69,14 @@ final case class IndexConfig(
     // Han/Hiragana/Katakana/Hangul runs index as overlapping character
     // bigrams — the reference's own 80% answer for unsegmented scripts
     // without a per-language morphological tokenizer.
-    cjkBigrams: Boolean = false
+    cjkBigrams: Boolean = false,
+    // per-doc term vectors (ref index/TermVectors.java,
+    // codecs/lucene90/Lucene90TermVectorsFormat): persist each doc's
+    // (terms, freqs) arrays — already computed in the single tokenize
+    // pass — as a docId-sorted side table, so per-doc term-frequency
+    // access (MoreLikeThis, highlight weighting) is an isin point lookup
+    // instead of a stored-text re-analysis.
+    storeTermVectors: Boolean = false
 ) {
   def analyzer: StandardAnalyzer =
     new StandardAnalyzer(stopwords, maxTokenLength,
@@ -797,6 +804,13 @@ object IndexBuilder {
           val docsOut = docTokens
             .select($"docId", $"url", $"length", $"norm").as[DocEntry]
           docsOut.write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
+
+          // term vectors ride the same docId-sorted layout as the row
+          // store — one extra column projection of the cached tokenize
+          // pass, no extra shuffle
+          if (cfg.storeTermVectors)
+            docTokens.select($"docId", $"terms", $"freqs")
+              .write.mode(SaveMode.Overwrite).parquet(s"$dir/tvec")
 
           val blocks = buildPostings(docTokens, cfg)
             .persist(StorageLevel.MEMORY_AND_DISK)

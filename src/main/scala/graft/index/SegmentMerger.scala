@@ -74,6 +74,27 @@ object SegmentMerger {
           .sortWithinPartitions($"docId")
           .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
 
+        // term vectors: same remap + purge + docId-sorted rewrite as the
+        // row store, carried through iff EVERY input stores them (mixed
+        // inputs would leave holes a reader can't distinguish from "no
+        // vector" — the reference requires a consistent field config too)
+        if (manifests.forall(m =>
+            java.nio.file.Files.exists(java.nio.file.Paths.get(m.dir, "tvec")))) {
+          val tvAll = manifests.zip(bases).map { case (m, base) =>
+            spark.read.parquet(s"${m.dir}/tvec")
+              .withColumn("docId", $"docId" + lit(base))
+          }.reduce(_ unionByName _)
+          val tvLive =
+            if (deadGlobal.isEmpty) tvAll
+            else tvAll.join(
+              spark.createDataset(deadGlobal.toSeq).toDF("docId"),
+              Seq("docId"), "left_anti")
+          tvLive
+            .repartitionByRange(cfg.numDocPartitions, $"docId")
+            .sortWithinPartitions($"docId")
+            .write.mode(SaveMode.Overwrite).parquet(s"$outDir/tvec")
+        }
+
         // postings: remap columns, re-bucket (exact because bases are
         // bucket-aligned), then compact fragmented tails per (term, bucket)
         val shift = cfg.bucketShift

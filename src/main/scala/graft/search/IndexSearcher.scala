@@ -2430,6 +2430,39 @@ final class IndexSearcher(
     else parts.reduce(_ unionByName _)
   }
 
+  /** True when every segment persisted per-doc term vectors
+    * (IndexConfig.storeTermVectors).
+    */
+  def hasTermVectors: Boolean = segments.forall(s =>
+    java.nio.file.Files.exists(java.nio.file.Paths.get(s.dir, "tvec")))
+
+  /** Per-doc term vectors for a small (top-k-sized) set of global docIds —
+    * exploded (docId, term, freq) rows (ref `index/TermVectors.java` /
+    * `codecs/lucene90/Lucene90TermVectorsFormat`). Same .fdt-seek shape as
+    * [[docsForIds]]: each segment's docId-sorted tvec table is scanned with
+    * an `isin` pushdown, so Parquet min/max prunes to the hit row groups.
+    * Callers supply live ids (the usual hit-list flow); requires
+    * [[hasTermVectors]].
+    */
+  def termVectors(ids: Seq[Long]): DataFrame = {
+    require(hasTermVectors, "index was not built with storeTermVectors")
+    val parts = segments.zipWithIndex.flatMap { case (s, i) =>
+      val lo = bases(i); val hi = lo + s.maxDocId
+      val local = ids.collect { case d if d >= lo && d <= hi => d - lo }
+      if (local.isEmpty) None
+      else Some(spark.read.parquet(s"${s.dir}/tvec")
+        .where($"docId".isin(local: _*))
+        .withColumn("docId", $"docId" + lit(lo)))
+    }
+    val rows =
+      if (parts.isEmpty)
+        spark.read.parquet(s"${segments.head.dir}/tvec").where(lit(false))
+      else parts.reduce(_ unionByName _)
+    rows
+      .select($"docId", explode(arrays_zip($"terms", $"freqs")).as("tv"))
+      .select($"docId", $"tv.terms".as("term"), $"tv.freqs".as("freq"))
+  }
+
   /** (docId, score, url, …stored fields) for an already-collected hit list —
     * broadcast the tiny hit set against the point-looked-up stored fields.
     */

@@ -25,10 +25,11 @@ final case class MltParams(
   * BooleanQuery to whatever IndexSearcher runs it). With boostTerms each
   * clause is weighted score/bestScore (`MoreLikeThis.java:593-617`).
   *
-  * The term-frequency source is re-analysis of the stored text rather than
-  * term vectors — the repo-wide accepted divergence (stored text IS the row
-  * store here; the reference falls back to exactly this re-analysis when a
-  * field has no term vectors, `MoreLikeThis.java retrieveTerms`). One more
+  * Term-frequency sources, both of the reference's `retrieveTerms` arms:
+  * stored term vectors when the index persisted them
+  * ([[interestingTermsFromVector]] over IndexConfig.storeTermVectors —
+  * no stored-text fetch, no re-analysis), else re-analysis of the stored
+  * text (the reference's fallback for vector-less fields). One
   * deliberate divergence: the reference's PriorityQueue visits candidates in
   * hash-map iteration order, so equal-score terms at the maxQueryTerms cut
   * are selected nondeterministically; here ties break deterministically
@@ -49,6 +50,24 @@ object MoreLikeThis {
       p: MltParams = MltParams()): Seq[(String, Double)] = {
     val terms = searcher.analyzer.tokens(text).map(_.term)
     val tf = terms.groupBy(identity).view.mapValues(_.size).toMap
+    selectFromTf(searcher, tf, p)
+  }
+
+  /** Term-vector path (ref `MoreLikeThis.java retrieveTerms(int docNum)`
+    * when the field stores term vectors): tf comes straight from the
+    * persisted vector — no stored-text fetch, no re-analysis. Identical
+    * selection to [[interestingTerms]] by construction (the vector IS the
+    * analyzer output of the build pass; TermVectorsSpec asserts).
+    */
+  def interestingTermsFromVector(searcher: IndexSearcher, docId: Long,
+      p: MltParams = MltParams()): Seq[(String, Double)] = {
+    val tf = searcher.termVectors(Seq(docId)).collect()
+      .map(r => r.getString(1) -> r.getInt(2)).toMap
+    selectFromTf(searcher, tf, p)
+  }
+
+  private def selectFromTf(searcher: IndexSearcher, tf: Map[String, Int],
+      p: MltParams): Seq[(String, Double)] = {
     val cand = tf.filter { case (t, f) =>
       f >= p.minTermFreq &&
         (p.minWordLen <= 0 || t.length >= p.minWordLen) &&
@@ -85,8 +104,21 @@ object MoreLikeThis {
     * returns an empty BooleanQuery, which matches nothing).
     */
   def query(searcher: IndexSearcher, text: String,
-      p: MltParams = MltParams()): Query = {
-    val sel = interestingTerms(searcher, text, p)
+      p: MltParams = MltParams()): Query =
+    toQuery(interestingTerms(searcher, text, p), p)
+
+  /** The generated query for an indexed document, preferring the stored
+    * term vector when the index carries one (exactly the reference's
+    * retrieveTerms dispatch: vectors if present, else stored-text
+    * re-analysis).
+    */
+  def queryForDoc(searcher: IndexSearcher, docId: Long, fallbackText: => String,
+      p: MltParams = MltParams()): Query =
+    if (searcher.hasTermVectors)
+      toQuery(interestingTermsFromVector(searcher, docId, p), p)
+    else toQuery(interestingTerms(searcher, fallbackText, p), p)
+
+  private def toQuery(sel: Seq[(String, Double)], p: MltParams): Query = {
     if (sel.isEmpty) MatchNoneQuery
     else if (!p.boostTerms) Query.or(sel.map(_._1): _*)
     else {
