@@ -2004,6 +2004,19 @@ object SparkEntry {
           efSearch = Int.MaxValue, excludeId = Some(0L))
         .select(col("id").as("vec_id"), col("sim"))
     }),
+    "ann_hnsw_join" -> ((s, d) => {
+      // batch kNN join in the oracle-gated exact mode: one graph build per
+      // partition answers the whole broadcast query batch (the
+      // training-pipeline retrieval shape); efSearch = MaxValue makes the
+      // layer-0 traversal exhaustive, so DuckDB's windowed cross join is
+      // the exact truth
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val qs = emb.where(col("vec_id") < 5)
+      graft.pipeline.Hnsw.knnJoin(emb, "vec_id", "embedding",
+          qs, "vec_id", "embedding", k = 10,
+          efSearch = Int.MaxValue, excludeSelf = true)
+        .select(col("qid"), col("id").as("vec_id"), col("sim"))
+    }),
     "ann_hnsw_recall" -> ((s, d) => {
       // production-parameter recall vs the exact brute force, floor
       // asserted in-entry (companion gate for ann_hnsw_topk)
@@ -4173,6 +4186,14 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON b.vec_id <> 0
         |WHERE a.vec_id = 0
         |ORDER BY sim DESC, b.vec_id ASC LIMIT 10""".stripMargin,
+    "ann_hnsw_join" ->
+      """SELECT q.vec_id AS qid, b.vec_id,
+        |       round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+        |FROM embeddings q JOIN embeddings b ON b.vec_id <> q.vec_id
+        |WHERE q.vec_id < 5
+        |QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |  ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) DESC,
+        |           b.vec_id ASC) <= 10""".stripMargin,
     "ann_hnsw_exact" ->
       """SELECT b.vec_id,
         |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim

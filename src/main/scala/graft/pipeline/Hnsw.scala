@@ -209,6 +209,58 @@ object Hnsw {
       .limit(k)
   }
 
+  /** Batch kNN join — the training-pipeline shape (retrieve neighbors for
+    * MANY query vectors: dedup candidates, retrieval pairs): the query
+    * batch broadcasts, each partition builds its graph ONCE and answers
+    * every query from it, and a per-query window top-k merges globally.
+    * Graph-build cost amortizes over the whole batch (vs [[topK]], which
+    * pays it per call); the reference's analog is one `HnswGraphSearcher`
+    * reused across queries on a fixed per-segment graph.
+    *
+    * Returns (qid, id, sim) rows, k per qid. `efSearch = Int.MaxValue`
+    * clamps to partition size = exact (same connectivity argument as
+    * [[topK]]) — the oracle-gated mode.
+    */
+  def knnJoin(
+      df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, m: Int = 16, efC: Int = 100, efSearch: Int = 100,
+      seed: Long = 42L, excludeSelf: Boolean = false
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qs = queries
+      .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+      .map { case (qid, v) => (qid, normalize(v)) }
+    require(qs.length <= 100000, s"query batch ${qs.length} too large to broadcast")
+    val qb = spark.sparkContext.broadcast(qs)
+    val rows = df
+      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val kk = if (excludeSelf) k + 1 else k
+    val local = rows.mapPartitions { it =>
+      val items = it.toArray.sortBy(_._1)
+      if (items.isEmpty) Iterator.empty
+      else {
+        val g = new Graph(m, efC, seed)
+        items.foreach { case (id, v) => g.insert(id, normalize(v)) }
+        qb.value.iterator.flatMap { case (qid, qv) =>
+          g.search(qv, kk, efSearch).iterator
+            .filterNot { case (id, _) => excludeSelf && id == qid }
+            .map { case (id, sim) => (qid, id, sim) }
+        }
+      }
+    }.toDF("qid", "id", "sim")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"sim".desc, $"id".asc)
+    local
+      .select($"qid", $"id", round($"sim", 4).as("sim"))
+      .withColumn("__r", row_number().over(w))
+      .where($"__r" <= k).drop("__r")
+  }
+
   /** One-row (found, total, recall) of [[topK]] against the exact
     * brute-force top-k, with an in-entry floor assertion.
     */

@@ -84,6 +84,41 @@ class HnswSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("knnJoin exact mode equals per-query brute force for every query") {
+    val df = corpus(400, 10).cache()
+    import spark.implicits._
+    val qs = df.where($"vec_id" < 4)
+    val got = Hnsw.knnJoin(df, "vec_id", "embedding", qs, "vec_id", "embedding",
+        k = 8, efSearch = Int.MaxValue, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (-t._3, t._2)).toSeq).toMap
+    (0L until 4L).foreach { qid =>
+      val q = df.where($"vec_id" === qid).select($"embedding").as[Array[Float]].head()
+      val want = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, 8, excludeId = Some(qid))
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSeq
+      assert(got(qid) == want, s"qid=$qid")
+    }
+    df.unpersist()
+  }
+
+  test("knnJoin at production parameters keeps recall >= 0.8 per query") {
+    val df = corpus(800, 12).cache()
+    import spark.implicits._
+    val qs = df.where($"vec_id" < 5)
+    val approx = Hnsw.knnJoin(df, "vec_id", "embedding", qs, "vec_id", "embedding",
+        k = 10, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0L until 5L).foreach { qid =>
+      val q = df.where($"vec_id" === qid).select($"embedding").as[Array[Float]].head()
+      val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, 10, excludeId = Some(qid))
+        .collect().map(_.getLong(0)).toSet
+      val rec = (approx(qid) & exact).size.toDouble / exact.size
+      assert(rec >= 0.8, s"qid=$qid recall=$rec")
+    }
+    df.unpersist()
+  }
+
   test("level assignment is deterministic and geometric-ish") {
     val levels = (0L until 2000L).map(id => Hnsw.levelOfForTest(id, 42L, 1.0 / math.log(16.0)))
     assert(levels == (0L until 2000L).map(id => Hnsw.levelOfForTest(id, 42L, 1.0 / math.log(16.0))))
