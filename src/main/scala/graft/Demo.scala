@@ -280,6 +280,15 @@ object Demo {
         // snapshot-pinned hot copy to a self-contained index
         val segs = graft.index.LiveSet.backup(dir, dest)
         println(s"[demo] backed up ${segs.size} segment(s) to $dest: ${segs.mkString(",")}")
+      case "replicate" :: dir :: dest :: Nil =>
+        // incremental pull replication (ref lucene/replicator): copy only
+        // files the replica lacks, publish atomically, GC dropped segments
+        val r = graft.index.Replicator.sync(dir, dest)
+        println(s"[demo] replicated generation ${r.sourceGeneration} -> $dest: " +
+          s"${r.segments.size} segment(s), ${r.filesCopied} file(s) copied " +
+          s"(${r.bytesCopied} bytes), ${r.filesSkipped} already present" +
+          (if (r.orphansRemoved.nonEmpty)
+             s", removed ${r.orphansRemoved.mkString(",")}" else ""))
       case "rollback" :: dir :: gen :: Nil =>
         // restore a pinned commit point as a NEW generation
         val g = graft.index.LiveSet.rollback(dir, gen.toLong)
@@ -308,7 +317,7 @@ object Demo {
             "| cphrase <dir> <phrase terms...> | mlt <dir> [--terms=N] [--mintf=N] [--mindf=N] <text...> " +
             "| ingest <dir> <batches> <perBatch> " +
             "| forcemerge <dir> [maxSegments] | snapshot <dir> " +
-            "| rollback <dir> <gen> | backup <dir> <dest> | stats <dir> " +
+            "| rollback <dir> <gen> | backup <dir> <dest> | replicate <dir> <dest> | stats <dir> " +
             "| check <dir> | explain <dir> <query...>")
         sys.exit(2)
     }

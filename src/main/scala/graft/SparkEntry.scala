@@ -657,6 +657,23 @@ object SparkEntry {
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc).limit(10)
     }),
+    "ft_fuzzy_like" -> ((s, d) => {
+      // FuzzyLikeThisQuery (ref lucene/sandbox sandbox/queries/
+      // FuzzyLikeThisQuery.java): each like-text token "fuzzifies" against
+      // the live dictionary (maxEdits=1) and the variant set scores as ONE
+      // pseudo-term — the SynonymQuery blend (summed tf, group df = max
+      // member df) — summed across token groups
+      val se = searcherFor(s, d)
+      import s.implicits._
+      val groups = Seq("quer", "strem")
+        .map(t => se.expandFuzzy(t, maxEdits = 1))
+        .filter(_.nonEmpty)
+      val q = BoolQuery(groups.map(g =>
+        (SynonymQuery(g): Query) -> (Occur.Should: Occur)))
+      se.fetchDocs(topKVerified(se, q, 10))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc).limit(10)
+    }),
     "ft_field_topk" -> ((s, d) => {
       // field-scoped BM25: per-field docCount/avgdl/norms (title = first 8
       // tokens, body = rest); cross-field disjunction sums per-field scores
@@ -1517,6 +1534,52 @@ object SparkEntry {
         .select($"source", $"rank", $"doc_id", $"score")
         .orderBy($"source", $"rank")
     }),
+    "ft_diversified_topk" -> ((s, d) => {
+      // diversified top-k (ref lucene/misc DiversifiedTopDocsCollector.java:
+      // global top-k with at most maxHitsPerKey hits per key): declaratively,
+      // a hit survives iff it is among its key's maxHitsPerKey best by the
+      // collector's (score desc, docId asc) order, then the global top-k of
+      // the survivors — one keyed window + one TakeOrderedAndProject, no
+      // per-key driver state
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val se = searcherFor(s, d)
+      val scored = se.scoreMatches(se.parse("data OR query OR stream"))
+        .join(se.docsTable.select($"docId", $"url"), "docId")
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .join(docsDf(s, d).select($"doc_id", $"source"), "doc_id")
+      val w = Window.partitionBy($"source").orderBy($"score".desc, $"doc_id".asc)
+      scored.withColumn("krank", row_number().over(w))
+        .where($"krank" <= 2)
+        .select($"doc_id", $"source", $"score")
+        .orderBy($"score".desc, $"doc_id".asc)
+        .limit(10)
+    }),
+    "ft_dv_stats" -> ((s, d) => {
+      // doc-values stats over query matches (ref lucene/misc
+      // misc/search/DocValuesStats.java LongDocValuesStats: count/missing/
+      // min/max/mean/variance accumulated per matching doc). Mean/variance
+      // are derived from EXACT integer sums (count, Σv, Σv²) with the same
+      // final double expression on both sides, so the 6-dp rounding never
+      // sits on an accumulation-order boundary; variance is population
+      // (sumOfSquares/count - mean²), the reference's formula.
+      import s.implicits._
+      val m = ftMatch(s, d, Query.parse("data"))
+        .join(docsDf(s, d).select($"doc_id", $"n_chars"), "doc_id")
+      val a = m.agg(
+        count(lit(1)).as("cnt"),
+        sum(when($"n_chars".isNull, 1L).otherwise(0L)).as("missing"),
+        min($"n_chars").cast("long").as("min_v"),
+        max($"n_chars").cast("long").as("max_v"),
+        sum($"n_chars").cast("long").as("s1"),
+        sum($"n_chars" * $"n_chars").cast("long").as("s2"))
+      a.select(
+        $"cnt", $"missing", $"min_v", $"max_v",
+        round($"s1".cast("double") / $"cnt", 6).as("mean_v"),
+        round($"s2".cast("double") / $"cnt" -
+          ($"s1".cast("double") / $"cnt") * ($"s1".cast("double") / $"cnt"), 6)
+          .as("variance_v"))
+    }),
 
     // ---- dedup family
     "dedup_exact" -> ((s, d) =>
@@ -2182,6 +2245,39 @@ object SparkEntry {
       m.join(se.docsTable.select($"docId", $"length"), "docId")
         .groupBy(bucket.as("len_range")).agg(count(lit(1)).as("n_docs"))
         .orderBy($"len_range")
+    }),
+    "ft_facet_dynrange" -> ((s, d) => {
+      // dynamic (equi-weight) range facets (ref facet
+      // facet/range/DynamicRangeUtil.java: split matching docs' values into
+      // B ranges of ~equal doc weight). ntile(4) over the TOTAL order
+      // (n_chars, doc_id) — but with NO global window: a per-VALUE count
+      // aggregate (domain-sized, not corpus-sized) feeds a driver prefix
+      // sum; each row's global rank = its value's offset + a row_number
+      // inside the KEYED value window; the tile is then closed-form ntile —
+      // the same bucket-totals + prefix-sum shape as sequence packing
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val m = ftMatch(s, d, Query.parse("data"))
+        .join(docsDf(s, d).select($"doc_id", $"n_chars"), "doc_id")
+      val counts = m.groupBy($"n_chars").agg(count(lit(1)).as("c"))
+        .orderBy($"n_chars").collect()
+      val n = counts.map(_.getLong(1)).sum
+      val offsets = counts.map(_.getLong(1)).scanLeft(0L)(_ + _).init
+      val offMap = counts.map(_.getLong(0)).zip(offsets).toMap
+      val bTiles = 4L
+      val size = n / bTiles
+      val rem = n % bTiles
+      val w = Window.partitionBy($"n_chars").orderBy($"doc_id".asc)
+      val rank = element_at(typedLit(offMap), $"n_chars") +
+        row_number().over(w).cast("long")
+      val tile = when(lit(rem) > 0 && rank <= lit((size + 1) * rem),
+          (rank - 1) / lit(size + 1) + 1)
+        .otherwise(lit(rem) + (rank - 1 - lit((size + 1) * rem)) / lit(size) + 1)
+      m.withColumn("tile", tile.cast("int"))
+        .groupBy($"tile")
+        .agg(min($"n_chars").as("lo"), max($"n_chars").as("hi"),
+          count(lit(1)).as("n_docs"))
+        .orderBy($"tile")
     }),
     "ft_mlt_topk" -> ((s, d) => {
       // MoreLikeThis: top tf-idf terms of doc 0's text drive a disjunction
@@ -2985,6 +3081,37 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
         |SELECT DISTINCT doc_id FROM tok WHERE damerau_levenshtein(term, 'quer') <= 2
         |ORDER BY doc_id""".stripMargin,
+    "ft_fuzzy_like" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |qlen AS (SELECT doc_id, dl,
+        |  (SELECT max(v) FROM (VALUES __B4__) b4(v) WHERE v <= dl) AS qdl FROM dlen),
+        |stats AS (SELECT count(*)::DOUBLE AS n,
+        |                 sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dlen),
+        |vocab AS (SELECT DISTINCT term FROM tok),
+        |g AS (
+        |  SELECT 0 AS gid, term FROM vocab WHERE damerau_levenshtein(term, 'quer') <= 1
+        |  UNION ALL
+        |  SELECT 1 AS gid, term FROM vocab WHERE damerau_levenshtein(term, 'strem') <= 1
+        |),
+        |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM tok
+        |       WHERE term IN (SELECT term FROM g) GROUP BY doc_id, term),
+        |gtf AS (SELECT g.gid, tf.doc_id, sum(tf.freq) AS freq
+        |        FROM tf JOIN g USING (term) GROUP BY g.gid, tf.doc_id),
+        |gdf AS (SELECT gid, max(df) AS df FROM (
+        |          SELECT g.gid, tf.term, count(*) AS df FROM tf JOIN g USING (term)
+        |          GROUP BY g.gid, tf.term) GROUP BY gid),
+        |gidf AS (SELECT gid,
+        |           ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5)) AS idf
+        |         FROM gdf),
+        |sc AS (SELECT gtf.doc_id,
+        |  gidf.idf - gidf.idf / (1 + gtf.freq *
+        |    (1.0 / (1.2 * (0.25 + 0.75 * qlen.qdl / (SELECT avgdl FROM stats))))) AS s
+        |  FROM gtf JOIN gidf USING (gid) JOIN qlen ON qlen.doc_id = gtf.doc_id),
+        |scored AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
+        |SELECT doc_id, round(score, 6) AS score FROM scored
+        |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
+        .replace("__B4__", OracleSql.byte4Values.map(v => s"($v)").mkString(",")),
     "ft_rescore" ->
       (bm25Ctes(Seq("data", "query", "stream", "table")) +
         """, s1 AS (
@@ -3535,6 +3662,27 @@ object SparkEntry {
           |         row_number() OVER (PARTITION BY d.source ORDER BY r.score DESC, r.doc_id ASC) AS rank
           |  FROM ranked r JOIN documents d USING (doc_id)
           |) WHERE rank <= 2 ORDER BY source, rank""".stripMargin),
+    "ft_diversified_topk" ->
+      (bm25Scored(Seq("data", "query", "stream"), "TRUE") +
+        """
+          |SELECT doc_id, source, score FROM (
+          |  SELECT r.doc_id, d.source, r.score,
+          |         row_number() OVER (PARTITION BY d.source ORDER BY r.score DESC, r.doc_id ASC) AS krank
+          |  FROM ranked r JOIN documents d USING (doc_id)
+          |) WHERE krank <= 2 ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin),
+    "ft_dv_stats" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |m AS (SELECT DISTINCT doc_id FROM documents WHERE ${hasTerm("data")}),
+         |j AS (SELECT d.n_chars FROM m JOIN documents d USING (doc_id)),
+         |a AS (SELECT count(*)::BIGINT AS cnt,
+         |             sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT AS missing,
+         |             min(n_chars)::BIGINT AS min_v, max(n_chars)::BIGINT AS max_v,
+         |             sum(n_chars)::BIGINT AS s1, sum(n_chars*n_chars)::BIGINT AS s2
+         |      FROM j)
+         |SELECT cnt, missing, min_v, max_v,
+         |       round(s1::DOUBLE / cnt, 6) AS mean_v,
+         |       round(s2::DOUBLE / cnt - (s1::DOUBLE / cnt) * (s1::DOUBLE / cnt), 6) AS variance_v
+         |FROM a""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(substr(text, 1, 120)) AS fingerprint, min(doc_id) AS canonical_id, count(*) AS group_size
         |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fingerprint""".stripMargin,
@@ -4237,6 +4385,15 @@ object SparkEntry {
          |       count(*) AS n_docs
          |FROM m JOIN dlen USING (doc_id)
          |GROUP BY 1 ORDER BY len_range""".stripMargin,
+    "ft_facet_dynrange" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |m AS (SELECT DISTINCT doc_id FROM documents WHERE ${hasTerm("data")}),
+         |j AS (SELECT d.doc_id, d.n_chars FROM m JOIN documents d USING (doc_id)),
+         |tiled AS (SELECT n_chars,
+         |            ntile(4) OVER (ORDER BY n_chars ASC, doc_id ASC) AS tile
+         |          FROM j)
+         |SELECT tile, min(n_chars) AS lo, max(n_chars) AS hi, count(*) AS n_docs
+         |FROM tiled GROUP BY tile ORDER BY tile""".stripMargin,
     "ft_mlt_topk" -> {
       val vals = OracleSql.byte4Values.map(v => s"($v)").mkString(",")
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
