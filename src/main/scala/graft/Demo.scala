@@ -280,6 +280,24 @@ object Demo {
         // snapshot-pinned hot copy to a self-contained index
         val segs = graft.index.LiveSet.backup(dir, dest)
         println(s"[demo] backed up ${segs.size} segment(s) to $dest: ${segs.mkString(",")}")
+      case "split" :: dir :: nStr :: Nil =>
+        // split the largest live segment into N parts and swap them in
+        // atomically (ref misc/index/MultiPassIndexSplitter) — blocks move
+        // as opaque bytes (bucket-aligned cuts), ranking is unchanged
+        import graft.index.LiveSet
+        val n = nStr.toInt
+        val live = LiveSet.manifests(dir)
+        require(live.nonEmpty, s"no live segments at $dir")
+        val victim = live.maxBy(_.blockCount)
+        val name = new java.io.File(victim.dir).getName
+        val cfg = IndexConfig(bucketShift = victim.bucketShift)
+        val parts = (0 until n).map(i => s"$dir/${name}_p$i")
+        val ms = graft.index.IndexSplitter.split(spark, victim.dir, parts, cfg)
+        LiveSet.swap(dir, Seq(name), parts.map(p => new java.io.File(p).getName))
+        LiveSet.gcOrphans(dir)
+        println(s"[demo] split $name into ${ms.size} part(s): " +
+          ms.map(m => s"${new java.io.File(m.dir).getName}=${m.docCount}d/${m.blockCount}b")
+            .mkString(", "))
       case "replicate" :: dir :: dest :: Nil =>
         // incremental pull replication (ref lucene/replicator): copy only
         // files the replica lacks, publish atomically, GC dropped segments
@@ -316,7 +334,7 @@ object Demo {
             "| phrase <dir> <terms...> | surround <dir> <query...> "+
             "| cphrase <dir> <phrase terms...> | mlt <dir> [--terms=N] [--mintf=N] [--mindf=N] <text...> " +
             "| ingest <dir> <batches> <perBatch> " +
-            "| forcemerge <dir> [maxSegments] | snapshot <dir> " +
+            "| forcemerge <dir> [maxSegments] | split <dir> <nParts> | snapshot <dir> " +
             "| rollback <dir> <gen> | backup <dir> <dest> | replicate <dir> <dest> | stats <dir> " +
             "| check <dir> | explain <dir> <query...>")
         sys.exit(2)
