@@ -71,6 +71,8 @@ object Bench {
       "web_domain_psl", "dedup_substring_keep",
       "web_anchor_texts", "web_pagerank", "web_hits", "web_recrawl_diff",
       "web_noindex", "web_canonical_fold", "web_anchor_search",
+      "web_redirect_fold", "web_robots",
+      "ft_diversified_topk", "ft_dv_stats", "ft_fuzzy_like", "ft_facet_dynrange",
       "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_embed",
       "dedup_clusters", "dedup_lines", "dedup_substring", "pipe_split", "pipe_token_budget", "pipe_pack",
       "pipe_decontaminate", "pipe_mix", "pipe_url_dedup", "stream_dedup",

@@ -147,6 +147,19 @@ object SparkEntry {
     (n, edges)
   }
 
+  /** robots.txt rule group for `web_robots` (pattern, allow): exercises
+    * longest-match precedence (`/admin/public/` over `/admin/`, `/p/12`
+    * over `/p/1`), the `*`+`$` wildcard form, and the everything-matches
+    * `/` fallback.
+    */
+  private val RobotRules: Seq[(String, Boolean)] = Seq(
+    "/admin/" -> false,
+    "/admin/public/" -> true,
+    "/*.json$" -> false,
+    "/p/1" -> false,
+    "/p/12" -> true,
+    "/" -> true)
+
   /** Synthetic page HTML for the anchor entries: two well-formed links
     * (messy hrefs — case, default port, trailing slash, tracking param;
     * the %3 topic link carries rel="nofollow") and one unterminated link,
@@ -1863,6 +1876,40 @@ object SparkEntry {
             md5(concat(col("text"), lit("new"))).as("fp")))
       graft.pipeline.UrlOps.recrawlDiff(prev, next, "url", "fp")
         .orderBy(col("curl"))
+    }),
+    "web_redirect_fold" -> ((s, d) => {
+      // 3xx redirect-chain folding: a deterministic redirect map over
+      // doc_ids (two-hop chains on the %5∈{1,2} band, a genuine 2-cycle on
+      // every %50∈{48,49} pair) resolved by pointer doubling — log2(16) = 4
+      // balanced self-joins, cycle rows saturate at maxHops and report
+      // resolved = false; the oracle walks the same map with a bounded
+      // recursive CTE
+      val id = col("doc_id")
+      val docs = docsDf(s, d)
+      val n = docs.count()
+      val edges = docs.where((id % 5 === 1 || id % 5 === 2) && id + 1 < n)
+        .select(id.as("src"), (id + 1).as("dst"))
+        .union(docs.where(id % 50 === 48 && id + 1 < n)
+          .select(id.as("src"), (id + 1).as("dst")))
+        .union(docs.where(id % 50 === 49)
+          .select(id.as("src"), (id - 1).as("dst")))
+      graft.pipeline.UrlOps.resolveRedirects(edges, "src", "dst", maxHops = 16)
+        .orderBy(col("src"))
+    }),
+    "web_robots" -> ((s, d) => {
+      // robots.txt longest-match decisions (RFC 9309 §2.2.2: longest
+      // pattern wins, tie -> Allow, no match -> allowed) over a
+      // deterministic path family; the rule group broadcasts, one hash agg
+      val id = col("doc_id")
+      val path = when(id % 6 === 0, concat(lit("/p/"), (id % 40).cast("string")))
+        .when(id % 6 === 1, concat(lit("/admin/"), (id % 7).cast("string")))
+        .when(id % 6 === 2, concat(lit("/admin/public/"), (id % 5).cast("string")))
+        .when(id % 6 === 3, concat(lit("/files/f"), (id % 9).cast("string"), lit(".json")))
+        .when(id % 6 === 4, concat(lit("/p/1"), (id % 3).cast("string")))
+        .otherwise(lit("/"))
+      val paths = docsDf(s, d).select(id.as("doc_id"), path.as("path"))
+      graft.pipeline.UrlOps.robotsDecisions(paths, "doc_id", "path", RobotRules)
+        .orderBy(col("doc_id"))
     }),
     "pipe_token_budget" -> ((s, d) => {
       // token-budget selection in deterministic hash order: a global
@@ -4122,6 +4169,57 @@ object SparkEntry {
         |       ELSE 'changed' END AS status
         |FROM prev p FULL OUTER JOIN nxt n ON p.curl = n.curl
         |ORDER BY curl""".stripMargin,
+    "web_redirect_fold" ->
+      """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+        |r AS (
+        |  SELECT doc_id AS src, doc_id + 1 AS dst FROM documents, nn
+        |  WHERE doc_id % 5 IN (1, 2) AND doc_id + 1 < nn.n
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 1 FROM documents, nn
+        |  WHERE doc_id % 50 = 48 AND doc_id + 1 < nn.n
+        |  UNION ALL
+        |  SELECT doc_id, doc_id - 1 FROM documents WHERE doc_id % 50 = 49
+        |),
+        |walk(src, cur, hops) AS (
+        |  SELECT src, dst, 1 FROM r
+        |  UNION ALL
+        |  SELECT w.src, r2.dst, w.hops + 1 FROM walk w JOIN r r2 ON r2.src = w.cur
+        |  WHERE w.hops < 16
+        |),
+        |f AS (SELECT src, max_by(cur, hops) AS target, max(hops)::BIGINT AS hops
+        |      FROM walk GROUP BY src),
+        |srcs AS (SELECT DISTINCT src AS target FROM r)
+        |SELECT f.src, f.target, f.hops, (srcs.target IS NULL) AS resolved
+        |FROM f LEFT JOIN srcs USING (target)
+        |ORDER BY src""".stripMargin,
+    "web_robots" -> {
+      val ruleArms = RobotRules.map { case (p, a) =>
+        s"SELECT '$p' AS pattern, '${graft.pipeline.UrlOps.robotsPatternRegex(p)}' AS re, " +
+          s"${p.length} AS plen, ${if (a) 1 else 0} AS allow_i"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH rules AS (
+         |  $ruleArms
+         |),
+         |p AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 6 = 0 THEN '/p/' || (doc_id % 40)::VARCHAR
+         |         WHEN doc_id % 6 = 1 THEN '/admin/' || (doc_id % 7)::VARCHAR
+         |         WHEN doc_id % 6 = 2 THEN '/admin/public/' || (doc_id % 5)::VARCHAR
+         |         WHEN doc_id % 6 = 3 THEN '/files/f' || (doc_id % 9)::VARCHAR || '.json'
+         |         WHEN doc_id % 6 = 4 THEN '/p/1' || (doc_id % 3)::VARCHAR
+         |         ELSE '/' END AS path
+         |  FROM documents
+         |),
+         |sel AS (
+         |  SELECT p.doc_id, r.allow_i,
+         |         row_number() OVER (PARTITION BY p.doc_id
+         |                            ORDER BY r.plen DESC, r.allow_i DESC) AS rn
+         |  FROM p JOIN rules r ON regexp_matches(p.path, r.re)
+         |)
+         |SELECT p.doc_id, p.path, coalesce(s.allow_i = 1, TRUE) AS allowed
+         |FROM p LEFT JOIN (SELECT doc_id, allow_i FROM sel WHERE rn = 1) s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
     "pipe_token_budget" ->
 """WITH t AS (
         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS ntok,

@@ -242,4 +242,94 @@ object UrlOps {
       .agg(
         max_by(col(idCol), struct(col(tsCol), col(idCol))).as("kept_id"),
         count(lit(1)).as("n_captures"))
+
+  /** Resolve redirect chains to their final targets — the 3xx-folding stage
+    * of a crawl frontier (a crawl sees `A -> B -> C` and must credit/crawl
+    * only `C`; cycles and over-long chains are abandoned as unresolved).
+    *
+    * Pointer doubling, not linear chasing: each round composes the map with
+    * itself (`f := f∘f`), so a `maxHops` bound needs `log2(maxHops)` joins —
+    * at web scale a 16-hop budget costs 4 balanced self-joins instead of 16,
+    * and a redirect cycle can never loop the driver (hops saturate at
+    * `maxHops` and the row reports `resolved = false` because its target is
+    * still a redirect source). `localCheckpoint` after each round keeps the
+    * plan linear in rounds (the same superstep discipline as
+    * [[graft.pipeline.WebGraph.pageRank]]).
+    *
+    * Returns (src, target, hops, resolved): `target` is the node reached
+    * after exactly `min(chainLength, maxHops)` steps; `resolved` is false
+    * iff that node still redirects (cycle or truncated chain). `maxHops`
+    * must be a power of two so the doubled span lands exactly on the budget.
+    */
+  def resolveRedirects(redirects: DataFrame, srcCol: String, dstCol: String,
+                       maxHops: Int = 16): DataFrame = {
+    require(maxHops >= 1 && (maxHops & (maxHops - 1)) == 0,
+      s"maxHops must be a power of two, got $maxHops")
+    var d = redirects
+      .select(col(srcCol).as("src"), col(dstCol).as("cur"), lit(1L).as("hops"))
+    var span = 1
+    while (span < maxHops) {
+      val right = d.select(col("src").as("j_src"), col("cur").as("j_cur"),
+        col("hops").as("j_hops"))
+      d = d.join(right, d("cur") === right("j_src"), "left")
+        .select(col("src"),
+          coalesce(col("j_cur"), col("cur")).as("cur"),
+          (col("hops") + coalesce(col("j_hops"), lit(0L))).as("hops"))
+        .localCheckpoint()
+      span *= 2
+    }
+    val srcs = redirects.select(col(srcCol).as("cur")).distinct()
+      .withColumn("__isSrc", lit(true))
+    d.join(srcs, Seq("cur"), "left")
+      .select(col("src"), col("cur").as("target"), col("hops"),
+        not(coalesce(col("__isSrc"), lit(false))).as("resolved"))
+  }
+
+  /** robots.txt allow/disallow decisions for a set of paths under ONE
+    * user-agent's rule group — Google's REP semantics (RFC 9309 §2.2.2):
+    * the rule with the longest pattern wins; on a length tie the least
+    * restrictive (Allow) wins; no matching rule means allowed. Patterns are
+    * path prefixes with `*` wildcards and an optional `$` end anchor.
+    *
+    * The rule group is crawl-config-sized, so it broadcasts: one
+    * broadcast-join + one hash agg per decision batch, linear in paths.
+    * Pattern chars are restricted to the RE2-safe set this translator
+    * handles (`.` escaped, `*` -> `.*`, trailing `$` kept as the anchor).
+    */
+  def robotsDecisions(paths: DataFrame, idCol: String, pathCol: String,
+                      rules: Seq[(String, Boolean)]): DataFrame = {
+    val spark = paths.sparkSession
+    import spark.implicits._
+    val ruleRows = rules.map { case (p, allow) =>
+      (p, robotsPatternRegex(p), p.length, if (allow) 1 else 0)
+    }
+    val rulesDf = ruleRows.toDF("pattern", "re", "plen", "allow_i")
+    val matched = paths
+      .select(col(idCol).as("__id"), col(pathCol).as("__path"))
+      .join(broadcast(rulesDf), regexp_like(col("__path"), col("re")))
+      .groupBy($"__id", $"__path")
+      .agg(max(struct($"plen", $"allow_i")).as("best"))
+      .select($"__id", $"__path", ($"best.allow_i" === 1).as("__allowed"))
+    paths.select(col(idCol).as("__id"), col(pathCol).as("__path"))
+      .join(matched, Seq("__id", "__path"), "left")
+      .select(col("__id").as(idCol), col("__path").as(pathCol),
+        coalesce(col("__allowed"), lit(true)).as("allowed"))
+  }
+
+  /** RE2 regex for a robots.txt path pattern: anchored prefix match, `*` is
+    * any run, trailing `$` anchors the end. Restricted to the charset the
+    * translator escapes correctly.
+    */
+  def robotsPatternRegex(pattern: String): String = {
+    val (body, anchored) =
+      if (pattern.endsWith("$")) (pattern.dropRight(1), true) else (pattern, false)
+    require(body.forall(c => c.isLetterOrDigit || "/*._-".contains(c)),
+      s"unsupported robots pattern char in '$pattern'")
+    val re = body.flatMap {
+      case '*' => ".*"
+      case '.' => "\\."
+      case c => c.toString
+    }
+    "^" + re + (if (anchored) "$" else "")
+  }
 }

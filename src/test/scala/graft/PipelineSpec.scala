@@ -968,4 +968,48 @@ class PipelineSpec extends SparkTestBase {
       "https://a.com/p/3" -> "gone",
       "https://a.com/p/4" -> "new"))
   }
+
+  test("resolveRedirects: pointer doubling == driver brute force; cycles unresolved") {
+    import spark.implicits._
+    // chains of several lengths, a 2-cycle, a 3-cycle, and a chain feeding
+    // into a cycle — the map is a function (one dst per src)
+    val edges = Seq(
+      1L -> 2L, 2L -> 3L, 3L -> 4L,              // 3-chain ending at 4
+      10L -> 11L,                                // 1-hop
+      20L -> 21L, 21L -> 20L,                    // 2-cycle
+      30L -> 31L, 31L -> 32L, 32L -> 30L,        // 3-cycle
+      40L -> 20L                                 // chain into the 2-cycle
+    )
+    val got = graft.pipeline.UrlOps
+      .resolveRedirects(edges.toDF("src", "dst"), "src", "dst", maxHops = 16)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // driver brute force: follow exactly min(chainLen, 16) steps
+    val m = edges.toMap
+    edges.map(_._1).foreach { s =>
+      var cur = s; var hops = 0L
+      while (hops < 16 && m.contains(cur)) { cur = m(cur); hops += 1 }
+      assert(got(s) == ((cur, hops, !m.contains(cur))), s"src $s")
+    }
+    assert(got(1L) == ((4L, 3L, true)))
+    assert(!got(20L)._3 && got(20L)._2 == 16L, "2-cycle saturates at maxHops")
+    assert(!got(40L)._3, "chain into a cycle stays unresolved")
+  }
+
+  test("robotsDecisions: longest match wins, tie -> allow, no match -> allow") {
+    import spark.implicits._
+    val rules = Seq(
+      "/admin/" -> false, "/admin/public/" -> true,
+      "/*.json$" -> false, "/p/1" -> false, "/p/12" -> true,
+      "/tie" -> false, "/ti*" -> true) // equal length 4: allow wins
+    val paths = Seq(
+      (0L, "/p/5"), (1L, "/admin/x"), (2L, "/admin/public/x"),
+      (3L, "/data/f.json"), (4L, "/p/10"), (5L, "/p/12"),
+      (6L, "/tie"), (7L, "nohit")).toDF("id", "path")
+    val got = graft.pipeline.UrlOps
+      .robotsDecisions(paths, "id", "path", rules)
+      .as[(Long, String, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == Map(0L -> true, 1L -> false, 2L -> true, 3L -> false,
+      4L -> false, 5L -> true, 6L -> true, 7L -> true))
+  }
 }
