@@ -2280,6 +2280,15 @@ object SparkEntry {
       Streaming.windowedEventCounts(s, s"$d/events.parquet", "1 hour", "0 seconds", ckpt)
         .orderBy(col("window_start"), col("event_type"))
     }),
+    "stream_join" -> ((s, d) => {
+      // stream-stream interval join (attribution: purchases within 1 hour
+      // after a view by the same user); watermarks bound the join state to
+      // one window per side, inner-append emits matches immediately
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+      Streaming.intervalJoinPairs(s, s"$d/events.parquet",
+          "view", "purchase", "1 hour", ckpt)
+        .orderBy(col("left_id"), col("right_id"))
+    }),
 
     "ft_facet_range" -> ((s, d) => {
       // range facets (ref facet LongRangeFacetCounts): doc-length buckets
@@ -4570,6 +4579,15 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "stream_join" ->
+      """WITH v AS (SELECT event_id AS left_id, user_id, ts FROM events
+        |           WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS right_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT v.left_id, p.right_id, v.user_id
+        |FROM v JOIN p ON v.user_id = p.user_id
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY left_id, right_id""".stripMargin,
     "rel_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(30,6))::DOUBLE, 4) AS revenue,

@@ -574,4 +574,42 @@ object Streaming {
     q.awaitTermination()
     spark.table(sink)
   }
+
+  /** Stream-stream interval join — the Structured Streaming join operator
+    * (attribution shape: every `rightType` event by the same user within
+    * `windowLen` AFTER a `leftType` event). Both sides carry event-time
+    * watermarks and the join condition carries the time-range bound, so the
+    * state store evicts rows as the watermark passes — at 100 TB the state
+    * held per side is one window's worth of events, never the stream.
+    * Inner join in append mode: matches emit as soon as both sides arrive
+    * (no end-of-window wait). Returns (left_id, right_id, user_id) pairs.
+    */
+  def intervalJoinPairs(
+      spark: SparkSession, parquetDir0: String,
+      leftType: String, rightType: String, windowLen: String,
+      checkpointDir: String
+  ): DataFrame = {
+    val parquetDir = asStreamDir(parquetDir0)
+    val schema = spark.read.parquet(parquetDir).schema
+    def side(t: String, a: String) =
+      spark.readStream.schema(schema).parquet(parquetDir)
+        .where(col("event_type") === t)
+        .select(col("event_id").as(s"${a}_id"), col("user_id").as(s"${a}_user"),
+          col("ts").cast("timestamp").as(s"${a}_ts"))
+        .withWatermark(s"${a}_ts", windowLen)
+    val joined = side(leftType, "l").join(side(rightType, "r"),
+      expr(s"l_user = r_user AND r_ts >= l_ts AND r_ts <= l_ts + interval $windowLen"))
+      .select(col("l_id").as("left_id"), col("r_id").as("right_id"),
+        col("l_user").as("user_id"))
+    val sink = s"ivjoin_${System.nanoTime()}"
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
 }

@@ -969,6 +969,26 @@ class PipelineSpec extends SparkTestBase {
       "https://a.com/p/4" -> "new"))
   }
 
+  test("intervalJoinPairs: stream-stream interval join == batch truth") {
+    import spark.implicits._
+    val dir = tmpDir("ivjoin")
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    Seq(
+      (1L, ts(0), 1L, "view", 0.0, "{}"),
+      (2L, ts(30), 1L, "purchase", 1.0, "{}"), // within the hour
+      (3L, ts(90), 1L, "purchase", 1.0, "{}"), // outside the hour
+      (4L, ts(10), 2L, "view", 0.0, "{}"),
+      (5L, ts(20), 2L, "purchase", 1.0, "{}"),
+      (6L, ts(5), 3L, "purchase", 1.0, "{}")   // purchase with no prior view
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Streaming.intervalJoinPairs(spark, s"$dir/events.parquet",
+        "view", "purchase", "1 hour", tmpDir("ivjoin-ckpt"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (4L, 5L, 2L)))
+  }
+
   test("resolveRedirects: pointer doubling == driver brute force; cycles unresolved") {
     import spark.implicits._
     // chains of several lengths, a 2-cycle, a 3-cycle, and a chain feeding
