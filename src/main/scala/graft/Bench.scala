@@ -77,6 +77,7 @@ object Bench {
       "dedup_clusters", "dedup_lines", "dedup_substring", "pipe_split", "pipe_token_budget", "pipe_pack",
       "pipe_decontaminate", "pipe_mix", "pipe_url_dedup", "stream_dedup",
       "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_sq_rescore", "ann_hnsw_topk",
+      "ann_bq_rescore", "stream_join",
       "geo_knn", "geo_polygon", "geo_ft_distance", "ft_termvectors",
       "text_quality", "text_termstats", "text_pii_scrub", "text_unigram_xent",
       "mm_meta", "rel_agg", "rel_window_top2", "rel_json"

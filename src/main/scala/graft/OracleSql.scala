@@ -226,6 +226,38 @@ object OracleSql {
       s"  SELECT id, $t AS tbl, ${srpBucketSql("v", dim, nPlanes, seed + t * 7919L)} AS bucket FROM v"
     }.mkString("\n  UNION ALL\n")
 
+  /** Shared CTE prefix for the binary-quantization oracles: per-component
+    * exact midrange centers, sign bits, and each vector's Hamming distance
+    * to vec 0 — all replicated from the raw floats (the oracle never packs
+    * bits, so the engine's popcount(xor) path is verified independently).
+    */
+  val bqHamCtes: String =
+    """WITH comp AS (
+      |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |), cent AS (SELECT i, (min(x) + max(x)) / 2 AS m FROM comp GROUP BY i),
+      |bits AS (SELECT vec_id, i, (x >= m) AS b FROM comp JOIN cent USING (i)),
+      |q AS (SELECT i, b FROM bits WHERE vec_id = 0),
+      |ham AS (
+      |  SELECT bits.vec_id,
+      |         sum(CASE WHEN bits.b <> q.b THEN 1 ELSE 0 END)::INT AS hamming
+      |  FROM bits JOIN q USING (i) WHERE bits.vec_id <> 0 GROUP BY bits.vec_id
+      |)""".stripMargin
+
+  /** Adds the asymmetric-estimator CTEs to [[bqHamCtes]]: `qc` = the
+    * centered query components, `est` = per-vector Σ qc·(2b−1), rounded to
+    * 4 dp (the engine rounds the same way before the candidate cut).
+    */
+  val bqEstCtes: String = bqHamCtes +
+    """,
+      |qc AS (SELECT i, x - m AS v FROM comp JOIN cent USING (i) WHERE vec_id = 0),
+      |est AS (
+      |  SELECT bits.vec_id,
+      |         round(sum(CASE WHEN bits.b THEN qc.v ELSE -qc.v END), 4) AS est
+      |  FROM bits JOIN qc USING (i) WHERE bits.vec_id <> 0 GROUP BY bits.vec_id
+      |)""".stripMargin
+
   /** Shared tail: (found, total, recall) from `exact` and `approx` pair CTEs. */
   val recallTail: String =
     """fnd AS (SELECT count(*) AS f FROM exact JOIN approx USING (id_a, id_b)),

@@ -2059,6 +2059,29 @@ object SparkEntry {
       // ranking (no rescore) — both sides deterministic, full SQL oracle
       Quantize.recall(s.read.parquet(s"$d/embeddings.parquet"),
         "vec_id", "embedding", queryId = 0L, k = 10, recallFloor = 0.8)),
+    "ann_bq_topk" -> ((s, d) =>
+      // 1-bit binary-quantized ranking (ref lucene102
+      // Lucene102BinaryQuantizedVectorsFormat): sign bits of
+      // midrange-centered components packed into ONE long (32x smaller
+      // than float32), ranked by popcount(xor) Hamming distance — a pure
+      // function the oracle replicates from the raw floats
+      Quantize.bqTopK(s.read.parquet(s"$d/embeddings.parquet"),
+        "vec_id", "embedding", queryId = 0L, k = 10)),
+    "ann_bq_rescore" -> ((s, d) =>
+      // two-stage 1-bit search: top-200 candidates by the ASYMMETRIC
+      // estimator (full-precision centered query · sign vector, the
+      // reference's asymmetric-comparison shape), exact float rescore of
+      // only those 200 — the oracle replicates the full pipeline (rounded
+      // estimator cut with the same (est, id) tie-break, then exact cosine)
+      Quantize.bqTopKRescored(s.read.parquet(s"$d/embeddings.parquet"),
+        "vec_id", "embedding", queryId = 0L, k = 10, c = 200)),
+    "ann_bq_recall" -> ((s, d) =>
+      // (found, total, recall): exact top-10 recovered by the rescored
+      // 1-bit ranking at pool c=200 (measured 0.9-1.0 across SFs) —
+      // official quality row, floor asserted in-entry
+      Quantize.bqRecall(s.read.parquet(s"$d/embeddings.parquet"),
+        "vec_id", "embedding", queryId = 0L, k = 10, c = 200,
+        recallFloor = 0.85)),
     "ann_lsh_topk" -> ((s, d) => // no SQL oracle: LSH bucketing approximation
       Similarity.lshTopK(s.read.parquet(s"$d/embeddings.parquet"),
         "vec_id", "embedding", dim = 64, k = 5)
@@ -4435,6 +4458,44 @@ object SparkEntry {
         |SELECT f::BIGINT AS found, t::BIGINT AS total,
         |       round(CASE WHEN t = 0 THEN 1.0 ELSE f::DOUBLE / t END, 4) AS recall
         |FROM fnd, tot""".stripMargin,
+    "ann_bq_topk" ->
+      (bqHamCtes +
+        """
+          |SELECT vec_id, hamming FROM ham
+          |ORDER BY hamming ASC, vec_id ASC LIMIT 10""".stripMargin),
+    "ann_bq_rescore" ->
+      (bqEstCtes +
+        """,
+          |cand AS (SELECT vec_id FROM est ORDER BY est DESC, vec_id ASC LIMIT 200)
+          |SELECT b.vec_id,
+          |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+          |FROM embeddings a
+          |JOIN embeddings b ON b.vec_id IN (SELECT vec_id FROM cand)
+          |WHERE a.vec_id = 0
+          |ORDER BY sim DESC, b.vec_id ASC LIMIT 10""".stripMargin),
+    "ann_bq_recall" ->
+      (bqEstCtes +
+        """,
+          |cand AS (SELECT vec_id FROM est ORDER BY est DESC, vec_id ASC LIMIT 200),
+          |approx AS (
+          |  SELECT b.vec_id AS id_a, 0 AS id_b
+          |  FROM embeddings a
+          |  JOIN embeddings b ON b.vec_id IN (SELECT vec_id FROM cand)
+          |  WHERE a.vec_id = 0
+          |  ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) DESC,
+          |           b.vec_id ASC LIMIT 10
+          |), exact AS (
+          |  SELECT b.vec_id AS id_a, 0 AS id_b
+          |  FROM embeddings a JOIN embeddings b ON b.vec_id <> 0
+          |  WHERE a.vec_id = 0
+          |  ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) DESC,
+          |           b.vec_id ASC LIMIT 10
+          |),
+          |fnd AS (SELECT count(*) AS f FROM exact JOIN approx USING (id_a, id_b)),
+          |tot AS (SELECT count(*) AS t FROM exact)
+          |SELECT f::BIGINT AS found, t::BIGINT AS total,
+          |       round(CASE WHEN t = 0 THEN 1.0 ELSE f::DOUBLE / t END, 4) AS recall
+          |FROM fnd, tot""".stripMargin),
     "ann_ivf_exact" ->
       """SELECT b.vec_id,
         |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim

@@ -969,6 +969,45 @@ class PipelineSpec extends SparkTestBase {
       "https://a.com/p/4" -> "new"))
   }
 
+  test("binary quantization: packed code == per-component signs; hamming == brute force") {
+    import spark.implicits._
+    import graft.pipeline.Quantize
+    val raw = Seq(
+      0L -> Array(0.9f, -0.5f, 0.1f, -0.1f),
+      1L -> Array(0.8f, 0.5f, -0.3f, -0.2f),
+      2L -> Array(-0.9f, -0.6f, 0.4f, 0.3f),
+      3L -> Array(0.7f, -0.4f, 0.2f, -0.3f),
+      4L -> Array(-0.8f, 0.6f, -0.4f, 0.2f))
+    val vecs = raw.toDF("vec_id", "embedding")
+    val cent = Quantize.bqCentroid(vecs, "embedding")
+    raw.head._2.indices.foreach { i =>
+      val xs = raw.map(_._2(i).toDouble)
+      assert(cent(i) == (xs.min + xs.max) / 2.0, s"midrange at $i")
+    }
+    def bits(v: Array[Float]): Array[Boolean] =
+      v.zip(cent).map { case (x, m) => x.toDouble >= m }
+    val codes = vecs
+      .select($"vec_id", Quantize.bqCode($"embedding", cent).as("code"))
+      .as[(Long, Long)].collect().toMap
+    for ((id, v) <- raw; (b, i) <- bits(v).zipWithIndex)
+      assert(((codes(id) >> i) & 1L) == (if (b) 1L else 0L), s"bit $i of $id")
+    // hamming ranking == per-component disagreement brute force
+    val got = Quantize.bqTopK(vecs, "vec_id", "embedding", 0L, 4)
+      .as[(Long, Int)].collect().toSeq
+    val q = bits(raw.head._2)
+    val bf = raw.tail
+      .map { case (id, v) => (id, bits(v).zip(q).count(p => p._1 != p._2)) }
+      .sortBy { case (id, h) => (h, id) }
+    assert(got == bf)
+    // rescored top-k at full pool == exact cosine top-k
+    val rescored = Quantize.bqTopKRescored(vecs, "vec_id", "embedding", 0L, 3, 4)
+      .select($"vec_id").as[Long].collect().toSeq
+    val exact = graft.pipeline.Similarity
+      .bruteForceTopK(vecs, "vec_id", "embedding", raw.head._2, 3, excludeId = Some(0L))
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(rescored == exact)
+  }
+
   test("intervalJoinPairs: stream-stream interval join == batch truth") {
     import spark.implicits._
     val dir = tmpDir("ivjoin")
