@@ -2067,21 +2067,27 @@ object SparkEntry {
       // function the oracle replicates from the raw floats
       Quantize.bqTopK(s.read.parquet(s"$d/embeddings.parquet"),
         "vec_id", "embedding", queryId = 0L, k = 10)),
-    "ann_bq_rescore" -> ((s, d) =>
-      // two-stage 1-bit search: top-200 candidates by the ASYMMETRIC
+    "ann_bq_rescore" -> ((s, d) => {
+      // two-stage 1-bit search: top-c candidates by the ASYMMETRIC
       // estimator (full-precision centered query · sign vector, the
       // reference's asymmetric-comparison shape), exact float rescore of
-      // only those 200 — the oracle replicates the full pipeline (rounded
-      // estimator cut with the same (est, id) tie-break, then exact cosine)
-      Quantize.bqTopKRescored(s.read.parquet(s"$d/embeddings.parquet"),
-        "vec_id", "embedding", queryId = 0L, k = 10, c = 200)),
-    "ann_bq_recall" -> ((s, d) =>
+      // only those c. The pool is CORPUS-PROPORTIONAL, c = max(200, n/25):
+      // a fixed pool dilutes as the corpus grows (measured 0.9 -> 0.6
+      // recall from 5k to 20k vectors at c=200; 4% restores 0.9). The
+      // oracle replicates the full pipeline, same dynamic cut.
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      Quantize.bqTopKRescored(emb, "vec_id", "embedding", queryId = 0L,
+        k = 10, c = math.max(200L, emb.count() / 25).toInt)
+    }),
+    "ann_bq_recall" -> ((s, d) => {
       // (found, total, recall): exact top-10 recovered by the rescored
-      // 1-bit ranking at pool c=200 (measured 0.9-1.0 across SFs) —
+      // 1-bit ranking at pool max(200, n/25) (measured 0.9-1.0 from 500
+      // to 20k vectors — the worst case, near-random uniform components) —
       // official quality row, floor asserted in-entry
-      Quantize.bqRecall(s.read.parquet(s"$d/embeddings.parquet"),
-        "vec_id", "embedding", queryId = 0L, k = 10, c = 200,
-        recallFloor = 0.85)),
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      Quantize.bqRecall(emb, "vec_id", "embedding", queryId = 0L, k = 10,
+        c = math.max(200L, emb.count() / 25).toInt, recallFloor = 0.85)
+    }),
     "ann_lsh_topk" -> ((s, d) => // no SQL oracle: LSH bucketing approximation
       Similarity.lshTopK(s.read.parquet(s"$d/embeddings.parquet"),
         "vec_id", "embedding", dim = 64, k = 5)
@@ -4466,7 +4472,8 @@ object SparkEntry {
     "ann_bq_rescore" ->
       (bqEstCtes +
         """,
-          |cand AS (SELECT vec_id FROM est ORDER BY est DESC, vec_id ASC LIMIT 200)
+          |cand AS (SELECT vec_id FROM est ORDER BY est DESC, vec_id ASC
+          |         LIMIT (SELECT greatest(200, count(*) // 25) FROM embeddings))
           |SELECT b.vec_id,
           |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
           |FROM embeddings a
@@ -4476,7 +4483,8 @@ object SparkEntry {
     "ann_bq_recall" ->
       (bqEstCtes +
         """,
-          |cand AS (SELECT vec_id FROM est ORDER BY est DESC, vec_id ASC LIMIT 200),
+          |cand AS (SELECT vec_id FROM est ORDER BY est DESC, vec_id ASC
+          |         LIMIT (SELECT greatest(200, count(*) // 25) FROM embeddings)),
           |approx AS (
           |  SELECT b.vec_id AS id_a, 0 AS id_b
           |  FROM embeddings a
