@@ -173,6 +173,44 @@ object Plans {
           fmt(graft.pipeline.WebGraph.pageRank(docs, "doc_id",
             edges, "src", "dst", iters = 1, checkpointEvery = 2))
         }),
+      ("Redirect-chain folding (pointer doubling, log-bounded self-joins)",
+        "A 4-hop budget resolves in log2(4) = 2 doubling passes — each pass " +
+          "ONE left self-join composing the map with itself (f := f∘f), " +
+          "never a per-hop loop; cycles saturate at maxHops instead of " +
+          "looping the driver. Shown without the per-round localCheckpoint " +
+          "so both passes appear in one explain (production keeps the " +
+          "checkpoint, the PageRank superstep discipline).",
+        fmt {
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+            .select($"doc_id")
+          val edges = docs.where($"doc_id" % 5 === 1 || $"doc_id" % 5 === 2)
+            .select($"doc_id".as("src"), ($"doc_id" + 1).as("dst"))
+          graft.pipeline.UrlOps.resolveRedirects(edges, "src", "dst",
+            maxHops = 4, checkpoint = false)
+        }),
+      ("Robots.txt longest-match decisions (broadcast rule group)",
+        "The crawl-config-sized rule group arrives at every path partition " +
+          "via BroadcastExchange; the regexp_like theta-join and the " +
+          "longest-pattern max_by aggregate are the only operators — one " +
+          "broadcast + one hash agg, linear in paths, nothing shuffles " +
+          "the path table except the final agg on its own id.",
+        fmt {
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+            .select($"doc_id", concat(lit("/p/"),
+              ($"doc_id" % 40).cast("string")).as("path"))
+          graft.pipeline.UrlOps.robotsDecisions(docs, "doc_id", "path",
+            Seq(("/p/", false), ("/p/1", true)))
+        }),
+      ("Binary-quantized rescore (1-bit estimator cut, bounded exact pass)",
+        "Stage 1 scans only (id, 64-bit code) — the asymmetric estimator is " +
+          "pure bit arithmetic inside codegen feeding TakeOrderedAndProject " +
+          "(per-partition heaps, never a global sort); stage 2's exact " +
+          "cosine touches only the c candidate ids via a join back to the " +
+          "float vectors. At 100 TB the scan is 8 bytes/vector (64x under " +
+          "float32) and the exact pass is corpus-independent.",
+        fmt(graft.pipeline.Quantize.bqTopKRescored(
+          spark.read.parquet(s"$sfDir/embeddings.parquet"),
+          "vec_id", "embedding", queryId = 0L, k = 10, c = 50))),
       ("Codegen'd vector dot product (vec_dot)",
         "The `*(n)` prefix marks whole-stage codegen: the native expression stays " +
           "inside the generated stage (interpreted higher-order functions would not).",

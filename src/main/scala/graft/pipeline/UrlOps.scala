@@ -260,9 +260,12 @@ object UrlOps {
     * after exactly `min(chainLength, maxHops)` steps; `resolved` is false
     * iff that node still redirects (cycle or truncated chain). `maxHops`
     * must be a power of two so the doubled span lands exactly on the budget.
+    * `checkpoint = false` skips the per-round localCheckpoint so the doubling
+    * joins stay visible in one explain (plan-audit use only — production
+    * callers keep the default, same knob as pageRank's `checkpointEvery`).
     */
   def resolveRedirects(redirects: DataFrame, srcCol: String, dstCol: String,
-                       maxHops: Int = 16): DataFrame = {
+                       maxHops: Int = 16, checkpoint: Boolean = true): DataFrame = {
     require(maxHops >= 1 && (maxHops & (maxHops - 1)) == 0,
       s"maxHops must be a power of two, got $maxHops")
     var d = redirects
@@ -275,7 +278,7 @@ object UrlOps {
         .select(col("src"),
           coalesce(col("j_cur"), col("cur")).as("cur"),
           (col("hops") + coalesce(col("j_hops"), lit(0L))).as("hops"))
-        .localCheckpoint()
+      if (checkpoint) d = d.localCheckpoint()
       span *= 2
     }
     val srcs = redirects.select(col(srcCol).as("cur")).distinct()
