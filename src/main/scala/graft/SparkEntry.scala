@@ -1953,6 +1953,15 @@ object SparkEntry {
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select($"doc_id", $"source").orderBy($"doc_id")
     }),
+    "pipe_dsir" -> ((s, d) => {
+      // DSIR importance resampling (Xie et al. NeurIPS'23): hashed
+      // unigram+bigram models over the en slice (target) vs the rest
+      // (raw pool); keep the top 25% of raw docs by log-likelihood ratio
+      import s.implicits._
+      graft.pipeline.Sampling.dsirSelect(docsDf(s, d), "doc_id", "text",
+        isTarget = $"lang" === "en", buckets = 1024, keepFrac = 0.25)
+        .orderBy($"doc_id")
+    }),
     "dedup_minhash_lsh" -> ((s, d) => // no SQL oracle: seeded-hash approximation
       Dedup.minHashLshPairs(docsDf(s, d), "doc_id", "text", w = 2,
         bands = 8, rowsPerBand = 4, minSigSim = 0.5)
@@ -4293,6 +4302,31 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
         |        < round(f * 1000000)
         |ORDER BY d.doc_id""".stripMargin,
+    "pipe_dsir" ->
+      """WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+        |                  string_split(text, ' ') AS ts FROM documents),
+        |grams AS (
+        |  SELECT doc_id, tgt,
+        |         unnest(ts || list_transform(range(2, len(ts) + 1),
+        |                                     i -> ts[i-1] || '_' || ts[i])) AS g
+        |  FROM t),
+        |bk AS (SELECT doc_id, tgt,
+        |              ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b
+        |       FROM grams),
+        |model AS (SELECT b,
+        |                 sum(CASE WHEN tgt THEN 1 ELSE 0 END)::DOUBLE AS tc,
+        |                 sum(CASE WHEN tgt THEN 0 ELSE 1 END)::DOUBLE AS rc
+        |          FROM bk GROUP BY b),
+        |tot AS (SELECT sum(tc) AS tt, sum(rc) AS tr FROM model),
+        |lr AS (SELECT b,
+        |              ln((tc + 1.0) / ((SELECT tt FROM tot) + 1024.0))
+        |            - ln((rc + 1.0) / ((SELECT tr FROM tot) + 1024.0)) AS lr
+        |       FROM model),
+        |w AS (SELECT doc_id, round(sum(lr), 4) AS logw
+        |      FROM bk JOIN lr USING (b) WHERE NOT tgt GROUP BY doc_id),
+        |k AS (SELECT ceil(0.25 * count(*))::BIGINT AS k FROM w)
+        |SELECT doc_id, logw FROM w
+        |ORDER BY logw DESC, doc_id LIMIT (SELECT k FROM k)""".stripMargin,
     "pipe_pack" ->
       """WITH t AS (
         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS ntok,

@@ -254,4 +254,57 @@ object Sampling {
     }
     df.where(keepExpr)
   }
+
+  /** DSIR-style data selection via importance resampling (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): fit hashed-n-gram (unigram + bigram) bag models over a
+    * TARGET slice and over the RAW pool, weight each raw document by the
+    * log-likelihood ratio of its grams under the two models (add-`alpha`
+    * smoothed), and keep the top `ceil(keepFrac * |raw|)` raw documents by
+    * weight (ties broken by id — deterministic, no Gumbel noise, so a SQL
+    * oracle reproduces the kept set exactly).
+    *
+    * 100 TB shape: the gram explode is narrow; the model is ONE partial-agg
+    * shuffle collapsing to ≤ `buckets` rows (map-side combine bounds the
+    * shuffle at buckets × partitions regardless of corpus size) and joins
+    * back as a broadcast; the per-doc weight is one keyed agg; the cut is a
+    * TakeOrderedAndProject (per-partition top-k + driver merge of k heads),
+    * never a global sort materialization. Per-doc weights round to 4 dp
+    * before the cut so cross-engine double-summation order can't flip a
+    * rank (same guard as the xent/classify entries).
+    */
+  def dsirSelect(
+      df: DataFrame, idCol: String, textCol: String, isTarget: Column,
+      buckets: Int = 1024, keepFrac: Double = 0.25, alpha: Double = 1.0
+  ): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1, s"bad keepFrac $keepFrac")
+    require(buckets > 0 && alpha > 0, s"bad buckets/alpha $buckets/$alpha")
+    val ts = split(col(textCol), " ")
+    // element_at is 1-based: bigram i joins tokens i-1 and i. sequence()
+    // with start > stop counts DOWN in Spark, so short docs need the guard.
+    val bigrams = when(size(ts) >= 2,
+      transform(sequence(lit(2), size(ts)),
+        i => concat(element_at(ts, i - 1), lit("_"), element_at(ts, i))))
+      .otherwise(array().cast("array<string>"))
+    val grams = df.select(col(idCol).as("id"), isTarget.as("__t"),
+      explode(concat(ts, bigrams)).as("g"))
+    val bucketed = grams.select(col("id"), col("__t"),
+      hashBucket(col("g"), buckets).as("b"))
+    val model = bucketed.groupBy(col("b")).agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).cast("double").as("tc"),
+      sum(when(col("__t"), 0L).otherwise(1L)).cast("double").as("rc"))
+    val totals = model.agg(sum(col("tc")).as("tt"), sum(col("rc")).as("tr"))
+    // every gram of every doc contributed to `model`, so the weight join
+    // below never misses a bucket — no densify pass needed
+    val lr = model.crossJoin(broadcast(totals)).select(col("b"),
+      (log((col("tc") + alpha) / (col("tt") + alpha * buckets)) -
+        log((col("rc") + alpha) / (col("tr") + alpha * buckets))).as("lr"))
+    val raw = bucketed.where(!col("__t"))
+    val weights = raw.join(broadcast(lr), "b")
+      .groupBy(col("id")).agg(round(sum(col("lr")), 4).as("logw"))
+    val nRaw = df.where(!isTarget).count()
+    val k = math.ceil(keepFrac * nRaw).toInt
+    weights.orderBy(col("logw").desc, col("id").asc).limit(k)
+      .select(col("id").as(idCol), col("logw"))
+  }
 }

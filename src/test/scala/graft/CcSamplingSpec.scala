@@ -244,6 +244,39 @@ class CcSamplingSpec extends SparkTestBase {
     assert(partial == Set("a"), "unlisted sources must drop")
   }
 
+  test("dsirSelect: target-like raw docs outrank noise; cut size + stability") {
+    import spark.implicits._
+    // target: docs over a "clean" vocabulary. raw pool: half clean-like,
+    // half noise over a disjoint vocabulary — DSIR must keep the clean-like
+    // half (their hashed grams score high under the target model).
+    val clean = Array("data", "table", "query", "scan", "merge", "sort")
+    val noise = Array("zz1", "zz2", "zz3", "zz4", "zz5", "zz6")
+    def text(words: Array[String], salt: Long) =
+      (0 until 12).map(i => words(((salt + i * 7) % words.length).toInt)).mkString(" ")
+    val rows =
+      (0L until 100L).map(i => (i, text(clean, i), true)) ++      // target
+      (100L until 150L).map(i => (i, text(clean, i), false)) ++   // raw, clean-like
+      (150L until 200L).map(i => (i, text(noise, i), false))      // raw, noise
+    val df = rows.toDF("id", "text", "tgt")
+    val kept = Sampling.dsirSelect(df, "id", "text", col("tgt"),
+      buckets = 256, keepFrac = 0.5)
+    val ids = kept.collect().map(_.getLong(0)).toSet
+    assert(ids.size == 50, s"keepFrac 0.5 of 100 raw docs must keep 50, got ${ids.size}")
+    assert(ids.forall(i => i >= 100L && i < 150L),
+      s"every kept doc must come from the clean-like raw slice, got ${ids.filter(_ >= 150L)}")
+    // partition-independence: the kept set is a pure function of the data
+    val again = Sampling.dsirSelect(df.repartition(13), "id", "text", col("tgt"),
+      buckets = 256, keepFrac = 0.5).collect().map(_.getLong(0)).toSet
+    assert(again == ids)
+    // weights are the smoothed log-likelihood ratio: a noise doc scores
+    // negative under the target model even at keepFrac = 1
+    val all = Sampling.dsirSelect(df, "id", "text", col("tgt"),
+      buckets = 256, keepFrac = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(all.filterKeys(_ >= 150L).values.forall(_ < 0.0))
+    assert(all.filterKeys(k => k >= 100L && k < 150L).values.forall(_ > 0.0))
+  }
+
   test("sampleByStratum keeps a stable deterministic subset") {
     import spark.implicits._
     val df = (0L until 2000L).toDF("id")
