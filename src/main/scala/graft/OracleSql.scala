@@ -321,4 +321,61 @@ object OracleSql {
     s"2*6371008.7714*asin(sqrt($sLat*$sLat + " +
       s"cos(radians($qLat))*cos(radians(lat))*$sLon*$sLon))"
   }
+
+  /** Independent replica of [[graft.pipeline.Dedup.semanticDedup]]: unrolled
+    * k-medians Lloyd iterations as chained CTEs (init = k lowest ids,
+    * assignment = 9-dp-rounded left-fold squared distance with lowest-index
+    * tie-break, update = 6-dp-rounded per-dimension median with empty
+    * clusters holding their previous centroid), then the within-cluster
+    * keep-lowest-id cosine prune. Distances fold left-to-right via
+    * `list_sum(list_transform(..))` — the same sequential order the Spark
+    * side's `aggregate(zip_with(..))` folds in, so the 9-dp round compares
+    * the same double on both engines.
+    */
+  def semanticDedupSql(k: Int, iters: Int, tau: Double, dim: Int): String = {
+    val d1 = dim + 1
+    def dist(centL: String, out: String) =
+      s"""$out AS (
+         |  SELECT p.id, i.c,
+         |         round(list_sum(list_transform(range(1, $d1),
+         |           j -> (p.v[j] - i.cl[j]) * (p.v[j] - i.cl[j]))), 9) AS d
+         |  FROM pts p CROSS JOIN $centL i)""".stripMargin
+    def argmin(distT: String, out: String) =
+      s"""$out AS (
+         |  SELECT id, c FROM (
+         |    SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY d, c) AS rn
+         |    FROM $distT) WHERE rn = 1)""".stripMargin
+    def update(assignT: String, prevCentL: String, out: String) =
+      s"""${out}_m AS (
+         |  SELECT a.c, t.j, round(median(p.v[t.j]), 6) AS m
+         |  FROM $assignT a JOIN pts p USING (id)
+         |  CROSS JOIN range(1, $d1) t(j) GROUP BY a.c, t.j),
+         |$out AS (
+         |  SELECT i.c, coalesce(n.cl, i.cl) AS cl
+         |  FROM $prevCentL i LEFT JOIN (
+         |    SELECT c, list(m ORDER BY j) AS cl FROM ${out}_m GROUP BY c) n
+         |  USING (c))""".stripMargin
+    val steps = (1 to iters).map { t =>
+      val prev = if (t == 1) "cent0" else s"cent${t - 1}"
+      s"${dist(prev, s"d$t")},\n${argmin(s"d$t", s"a$t")},\n" +
+        update(s"a$t", prev, s"cent$t")
+    }.mkString(",\n")
+    s"""WITH pts AS (
+       |  SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |cent0 AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS c, v AS cl
+       |  FROM (SELECT id, v FROM pts ORDER BY id LIMIT $k)),
+       |$steps,
+       |${dist(s"cent$iters", "df")},
+       |${argmin("df", "af")},
+       |cv AS (SELECT a.id, a.c, p.v FROM af a JOIN pts p USING (id)),
+       |drops AS (
+       |  SELECT DISTINCT b.id FROM cv a JOIN cv b
+       |    ON a.c = b.c AND a.id < b.id
+       |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= $tau)
+       |SELECT id AS vec_id, c AS cluster FROM cv
+       |WHERE id NOT IN (SELECT id FROM drops)
+       |ORDER BY vec_id""".stripMargin
+  }
 }

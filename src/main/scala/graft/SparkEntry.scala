@@ -1970,6 +1970,11 @@ object SparkEntry {
       // hamming<=3 near-dup pairs via pigeonhole band bucketing (4x16-bit)
       Dedup.simHashPairs(docsDf(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
+    "dedup_semantic" -> ((s, d) =>
+      // SemDeDup: deterministic k-medians clustering + within-cluster
+      // keep-lowest-id cosine prune; full unrolled-Lloyd DuckDB oracle
+      Dedup.semanticDedup(s.read.parquet(s"$d/embeddings.parquet"),
+        "vec_id", "embedding", k = 8, iters = 3, tau = 0.4)),
     "dedup_embed" -> ((s, d) => // no SQL oracle: LSH recall < 1 by design
       // the scale path: SRP-bucketed candidates + exact cosine verify
       Dedup.embeddingPairsLsh(
@@ -4302,6 +4307,8 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
         |        < round(f * 1000000)
         |ORDER BY d.doc_id""".stripMargin,
+    "dedup_semantic" ->
+      OracleSql.semanticDedupSql(k = 8, iters = 3, tau = 0.4, dim = 64),
     "pipe_dsir" ->
       """WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
         |                  string_split(text, ' ') AS ts FROM documents),

@@ -691,4 +691,92 @@ object Dedup {
       .select(col(idCol))
     train.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al., arXiv 2303.09540):
+    * cluster embeddings, then inside each cluster drop every vector that has
+    * a LOWER-id cluster-mate with cosine ≥ `tau` (keep-lowest-id, the same
+    * canonical-keeper rule the exact families use). Returns the KEPT rows as
+    * (id, cluster), ordered by id.
+    *
+    * Clustering is k-medians Lloyd iteration made deterministic end-to-end
+    * so an external SQL engine replicates the exact kept set:
+    *
+    *  - init: the vectors of the `k` smallest ids (no RNG);
+    *  - assignment: squared distance folded left-to-right over dimensions
+    *    (`zip_with` + `aggregate` — the same sequential order a SQL
+    *    `list_sum(list_transform(..))` folds in), rounded to 9 dp before the
+    *    argmin so a last-ULP accumulation difference cannot flip a cluster;
+    *    ties break toward the lowest centroid index;
+    *  - update: per-dimension MEDIAN, rounded to 6 dp — medians are order
+    *    exact selections (or the mean of two, one addition), unlike a
+    *    running float mean whose value depends on partition order (the same
+    *    reasoning that made binary quantization center on the midrange).
+    *
+    * 100 TB shape: per iteration, assignment is a pure projection against
+    * k×dim centroid LITERALS (no join, codegen'd), the update is one
+    * (cluster, dim)-keyed shuffle collapsing to k×dim rows, and the driver
+    * holds only the k×dim centroid table. The prune joins pairs WITHIN a
+    * cluster only — with k grown ∝ corpus size (SemDeDup runs k ≈ n/10⁴),
+    * cluster occupancy stays bounded and the pair join never approaches
+    * all-pairs. `maxPairsPerCluster` fails fast if a degenerate clustering
+    * would quadratically blow a cluster.
+    */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 3, tau: Double = 0.7,
+      maxPairsPerCluster: Long = 100000000L
+  ): DataFrame = {
+    require(k >= 1 && iters >= 1, s"bad k/iters $k/$iters")
+    val spark = df.sparkSession
+    val v = df.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    // deterministic init: the k lowest ids' vectors
+    var centroids: Array[Array[Double]] = v.orderBy(col("id")).limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(centroids.length == k, s"need ≥ $k vectors, got ${centroids.length}")
+
+    def assigned: DataFrame = {
+      // argmin over squared distances to centroid literals: left-to-right
+      // dimension fold, 9-dp round, lowest index on ties
+      val best = centroids.zipWithIndex.map { case (c, j) =>
+        val carr = array(c.map(lit(_)): _*)
+        val d = round(aggregate(
+          zip_with(col("v"), carr, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x), 9)
+        struct(d.as("d"), lit(j).as("j"))
+      }.reduce((a, b) => when(b("d") < a("d"), b).otherwise(a))
+      v.select(col("id"), col("v"), best("j").as("cluster"))
+    }
+
+    for (_ <- 1 to iters) {
+      val cent = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(round(percentile(col("x"), lit(0.5)), 6).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val byCluster = cent.groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3).toArray).toMap
+      // a cluster can empty out mid-iteration: its centroid stays put
+      centroids = centroids.indices
+        .map(j => byCluster.getOrElse(j, centroids(j))).toArray
+    }
+
+    val cl = assigned.localCheckpoint()
+    val sizes = cl.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(1))
+    val worst = sizes.map(n => n * (n - 1) / 2).maxOption.getOrElse(0L)
+    require(worst <= maxPairsPerCluster,
+      s"degenerate clustering: $worst candidate pairs in one cluster " +
+        s"(max $maxPairsPerCluster) — raise k")
+    val a = cl.as("a"); val b = cl.as("b")
+    val dropped = a.join(b,
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .where(round(Similarity.cosine(col("a.v"), col("b.v")), 4) >= tau)
+      .select(col("b.id").as("id")).distinct()
+    cl.join(dropped, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cluster"))
+      .orderBy(col(idCol))
+  }
 }

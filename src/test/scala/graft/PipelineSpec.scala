@@ -168,6 +168,55 @@ class PipelineSpec extends SparkTestBase {
     assert(recall >= 0.9, s"LSH recall on planted near-dups too low: $recall")
   }
 
+  test("semanticDedup: planted dups pruned keep-lowest-id inside found clusters") {
+    import spark.implicits._
+    // fixture: 4 well-separated direction archetypes x 20 members (small
+    // jitter) — k-medians must co-cluster members; each archetype carries
+    // 5 planted near-exact dups that the cosine prune must collapse
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val arch = Array.fill(4) {
+      val a = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(a.map(x => x * x).sum); a.map(x => x / n * 4.0)
+    }
+    val rows = (0 until 80).map { i =>
+      val base = arch(i % 4)
+      val jitter = if (i < 20) 0.001 else 0.3 // first 5 per archetype ~exact
+      (i.toLong, base.map(x => (x + jitter * rnd.nextGaussian()).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(df, "vec_id", "embedding",
+      k = 4, iters = 4, tau = 0.995)
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    // clusters align with archetypes: members of one archetype share a label
+    val byArch = kept.groupBy(_._1 % 4).view.mapValues(_.map(_._2).toSet).toMap
+    byArch.foreach { case (a, cs) =>
+      assert(cs.size == 1, s"archetype $a split across clusters $cs")
+    }
+    assert(byArch.values.flatten.toSet.size == 4, "archetypes must not merge")
+    // the ~exact dups (ids 0..19, 5 per archetype at jitter 0.001) collapse
+    // to ONE survivor each — the lowest id of the archetype
+    val keptIds = kept.map(_._1).toSet
+    (0 until 4).foreach { a =>
+      val nearExact = (0 until 20).filter(_ % 4 == a).map(_.toLong)
+      assert((keptIds & nearExact.toSet) == Set(nearExact.min),
+        s"archetype $a: want only ${nearExact.min} of $nearExact kept")
+    }
+    // loose members (jitter 0.3 → cos well under 0.995) all survive
+    assert((20 until 80).forall(i => keptIds.contains(i.toLong)))
+    // partition-independence
+    val again = Dedup.semanticDedup(df.repartition(7), "vec_id", "embedding",
+      k = 4, iters = 4, tau = 0.995)
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(again.sortBy(_._1).toSeq == kept.sortBy(_._1).toSeq)
+    // degenerate-clustering guard fails fast
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(df, "vec_id", "embedding", k = 1, iters = 1,
+        tau = 0.9, maxPairsPerCluster = 10)
+    }
+    assert(e.getMessage.contains("degenerate"))
+  }
+
   test("embeddingPairs scale guard refuses corpora above maxRows") {
     import spark.implicits._
     val df = (0L until 20L).map(i => (i, Array.fill(4)(i.toFloat + 1f))).toDF("vec_id", "embedding")
