@@ -1568,6 +1568,19 @@ object SparkEntry {
         .orderBy($"score".desc, $"doc_id".asc)
         .limit(10)
     }),
+    "ft_multirange" -> ((s, d) => {
+      // DocValuesMultiRangeQuery (ref sandbox/search): term match AND the
+      // numeric doc value in ANY of the requested ranges — overlapping /
+      // adjacent ranges coalesce before the scan probes them. The oracle
+      // ORs the ORIGINAL ranges: identical results prove the coalescing
+      // preserves semantics on real data (the spec proves the fold itself).
+      import s.implicits._
+      val pred = graft.index.DocValues.multiRangePredicate($"n_chars",
+        Seq((120L, 180L), (181L, 240L), (150L, 260L), (400L, 520L)))
+      ftMatch(s, d, Query.parse("data"))
+        .join(docsDf(s, d).select($"doc_id", $"n_chars"), "doc_id")
+        .where(pred).select($"doc_id", $"n_chars").orderBy($"doc_id")
+    }),
     "ft_dv_stats" -> ((s, d) => {
       // doc-values stats over query matches (ref lucene/misc
       // misc/search/DocValuesStats.java LongDocValuesStats: count/missing/
@@ -3769,6 +3782,13 @@ object SparkEntry {
           |         row_number() OVER (PARTITION BY d.source ORDER BY r.score DESC, r.doc_id ASC) AS krank
           |  FROM ranked r JOIN documents d USING (doc_id)
           |) WHERE krank <= 2 ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin),
+    "ft_multirange" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |m AS (SELECT DISTINCT doc_id FROM documents WHERE ${hasTerm("data")})
+         |SELECT d.doc_id, d.n_chars FROM m JOIN documents d USING (doc_id)
+         |WHERE (n_chars BETWEEN 120 AND 180) OR (n_chars BETWEEN 181 AND 240)
+         |   OR (n_chars BETWEEN 150 AND 260) OR (n_chars BETWEEN 400 AND 520)
+         |ORDER BY doc_id""".stripMargin,
     "ft_dv_stats" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
          |m AS (SELECT DISTINCT doc_id FROM documents WHERE ${hasTerm("data")}),

@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** In-place numeric doc-values updates — the re-expression of the
@@ -85,4 +85,33 @@ object DocValues {
     */
   def readDocs(spark: SparkSession, segDir: String): DataFrame =
     overlay(spark, spark.read.parquet(s"$segDir/docs"), segDir)
+
+  /** Coalesce inclusive long ranges: sort by lower bound, merge any pair
+    * that overlaps or is ADJACENT (hi + 1 >= next lo) — the reference's
+    * SortedNumericDocValuesMultiRangeQuery folds its requested ranges the
+    * same way before matching (ref
+    * sandbox/search/DocValuesMultiRangeQuery.java, MultiRangeQuery.java
+    * mergeOverlappingRanges), so `[10,20] OR [21,30] OR [15,25]` probes one
+    * range `[10,30]`.
+    */
+  def coalesceRanges(ranges: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val valid = ranges.filter { case (lo, hi) => lo <= hi }.sortBy(_._1)
+    valid.foldLeft(List.empty[(Long, Long)]) {
+      case ((plo, phi) :: rest, (lo, hi)) if phi == Long.MaxValue || lo <= phi + 1 =>
+        (plo, math.max(phi, hi)) :: rest
+      case (acc, r) => r :: acc
+    }.reverse
+  }
+
+  /** OR-of-ranges predicate over a numeric doc-values column, coalesced
+    * first so the scan probes disjoint intervals only. The predicate is a
+    * pure Spark expression — it pushes down to the Parquet scan's min/max
+    * pruning (Q17's design: BKD replaced by native range predicates).
+    */
+  def multiRangePredicate(c: Column, ranges: Seq[(Long, Long)]): Column = {
+    val merged = coalesceRanges(ranges)
+    require(merged.nonEmpty, "multiRangePredicate needs >= 1 non-empty range")
+    merged.map { case (lo, hi) => c >= lo && c <= hi }
+      .reduce(_ || _)
+  }
 }

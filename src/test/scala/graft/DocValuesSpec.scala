@@ -74,4 +74,28 @@ class DocValuesSpec extends SparkTestBase {
       .select($"url", $"length".cast("long")).as[(String, Long)].collect().toMap
     assert(raw("a1") == 50L)
   }
+
+  test("coalesceRanges merges overlap + adjacency; multiRange predicate equivalence") {
+    import graft.index.DocValues.{coalesceRanges, multiRangePredicate}
+    // overlap, adjacency (hi+1 == lo), containment, gaps, empty ranges
+    assert(coalesceRanges(Seq((10L, 20L), (21L, 30L), (15L, 25L))) == Seq((10L, 30L)))
+    assert(coalesceRanges(Seq((40L, 50L), (10L, 20L), (22L, 30L))) ==
+      Seq((10L, 20L), (22L, 30L), (40L, 50L)))
+    assert(coalesceRanges(Seq((10L, 100L), (20L, 30L))) == Seq((10L, 100L)))
+    assert(coalesceRanges(Seq((5L, 3L), (1L, 2L))) == Seq((1L, 2L)))
+    assert(coalesceRanges(Seq((0L, Long.MaxValue), (7L, 9L))) ==
+      Seq((0L, Long.MaxValue))) // no hi+1 overflow
+    // predicate over data == brute-force OR of the original ranges
+    import spark.implicits._
+    val df = (0L until 500L).toDF("v")
+    val ranges = Seq((10L, 40L), (41L, 60L), (55L, 80L), (200L, 210L), (9L, 2L))
+    val got = df.where(multiRangePredicate($"v", ranges))
+      .collect().map(_.getLong(0)).toSet
+    val want = (0L until 500L).filter(v =>
+      ranges.exists { case (lo, hi) => v >= lo && v <= hi }).toSet
+    assert(got == want)
+    assertThrows[IllegalArgumentException] {
+      multiRangePredicate($"v", Seq((9L, 2L)))
+    }
+  }
 }
