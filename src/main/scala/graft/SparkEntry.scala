@@ -1162,6 +1162,27 @@ object SparkEntry {
         .orderBy($"score".desc, $"doc_id".asc)
         .limit(10)
     }),
+    "ft_automaton_topk" -> ((s, d) => {
+      // TermAutomatonQuery (ref sandbox/search/TermAutomatonQuery.java):
+      // NFA accepting the token paths "data stream" and "data ANY stream",
+      // compiled onto the intervals algebra (paths → contiguous phrases,
+      // ANY → position gap, union Or-minimized) and scored as an
+      // IntervalQuery
+      val se = searcherFor(s, d)
+      import s.implicits._
+      val ta = new graft.search.TermAutomaton
+      val s1 = ta.createState(); val s2 = ta.createState(); val s3 = ta.createState()
+      ta.addTransition(0, s1, "data")
+      ta.addTransition(s1, s3, "stream")
+      ta.addAnyTransition(s1, s2)
+      ta.addTransition(s2, s3, "stream")
+      ta.setAccept(s3)
+      val q = IntervalQuery(ta.toIntervals())
+      se.fetchDocs(topKVerified(se, q, 10))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc)
+        .limit(10)
+    }),
     "ft_near_topk" -> ((s, d) => {
       // interval query: unordered near(data, query) within a width-8 window
       // (ref queries/intervals/Intervals.java), ranked by best proximity —
@@ -3483,6 +3504,22 @@ object SparkEntry {
         |fil AS (SELECT * FROM mini WHERE e - s + 1 <= 8),
         |fr AS (SELECT doc_id, sum(1.0 / greatest(e - s, 1)) AS f
         |       FROM fil GROUP BY doc_id)
+        |SELECT doc_id, round(f / (f + 1), 6) AS score FROM fr
+        |ORDER BY round(f / (f + 1), 6) DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "ft_automaton_topk" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |             generate_subscripts(string_split(text, ' '), 1) AS pos
+        |      FROM documents),
+        |a AS (SELECT doc_id, pos FROM t WHERE term = 'data'),
+        |b AS (SELECT doc_id, pos FROM t WHERE term = 'stream'),
+        |iv AS (SELECT DISTINCT a.doc_id, a.pos AS s, b.pos AS e
+        |       FROM a JOIN b ON b.doc_id = a.doc_id
+        |        AND (b.pos = a.pos + 1 OR b.pos = a.pos + 2)),
+        |mini AS (SELECT i.doc_id, i.s, i.e FROM iv i WHERE NOT EXISTS (
+        |          SELECT 1 FROM iv j WHERE j.doc_id = i.doc_id
+        |            AND j.s >= i.s AND j.e <= i.e AND (j.s <> i.s OR j.e <> i.e))),
+        |fr AS (SELECT doc_id, sum(1.0 / greatest(e - s, 1)) AS f
+        |       FROM mini GROUP BY doc_id)
         |SELECT doc_id, round(f / (f + 1), 6) AS score FROM fr
         |ORDER BY round(f / (f + 1), 6) DESC, doc_id ASC LIMIT 10""".stripMargin,
     "ft_near_topk" ->
