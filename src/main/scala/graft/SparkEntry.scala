@@ -1008,6 +1008,31 @@ object SparkEntry {
         .select(docIdOf($"url"), round($"score", 6).as("score"))
         .orderBy($"score".desc, $"doc_id".asc).limit(10)
     }),
+    "ft_hybrid_rrf" -> ((s, d) => {
+      // hybrid lexical+vector search: BM25 top-50 for "data stream" fused
+      // with the exact-cosine top-50 around the vec_id-0 embedding by
+      // reciprocal-rank fusion (1/(60+rank) per leg). Rank windows run on
+      // the 50-row legs only; the premise is the testdata's shared id space
+      // (embeddings are keyed by document id).
+      val se = searcherFor(s, d)
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val lexHits = topKVerified(se, Query.parse("data stream"), 50)
+      val lex = se.fetchDocs(lexHits)
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .withColumn("r", row_number().over(
+          Window.orderBy($"score".desc, $"doc_id".asc)))
+        .where($"r" <= 50) // topKVerified returns k + tie slack
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val qv = emb.where($"vec_id" === 0).select($"embedding")
+        .as[Array[Float]].head()
+      val vec = Similarity
+        .bruteForceTopK(emb, "vec_id", "embedding", qv, 50, excludeId = Some(0L))
+        .select($"vec_id".as("doc_id"), $"sim")
+        .withColumn("r", row_number().over(
+          Window.orderBy($"sim".desc, $"doc_id".asc)))
+      Similarity.rrfFuse(Seq(lex, vec), "doc_id", "r", kConst = 60, k = 10)
+    }),
     "ft_not_match" -> ((s, d) =>
       ftMatch(s, d, Query.parse("data NOT stream"))),
     "ft_prefix_match" -> ((s, d) => {
@@ -3245,6 +3270,27 @@ object SparkEntry {
         |SELECT doc_id, round(score, 6) AS score FROM scored
         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin
         .replace("__B4__", OracleSql.byte4Values.map(v => s"($v)").mkString(",")),
+    "ft_hybrid_rrf" ->
+      (OracleSql.bm25Scored(Seq("data", "stream"), "TRUE") +
+        """, lex AS (
+          |  SELECT doc_id, r FROM (
+          |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+          |    FROM ranked) WHERE r <= 50),
+          |emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          |        FROM embeddings),
+          |sims AS (SELECT e.vec_id, round(list_cosine_similarity(e.v,
+          |           (SELECT v FROM emb WHERE vec_id = 0)), 4) AS sim
+          |         FROM emb e WHERE e.vec_id <> 0),
+          |vec AS (
+          |  SELECT doc_id, r FROM (
+          |    SELECT vec_id AS doc_id,
+          |           row_number() OVER (ORDER BY sim DESC, vec_id) AS r
+          |    FROM sims) WHERE r <= 50),
+          |u AS (SELECT doc_id, 1.0 / (60 + r) AS c FROM lex
+          |      UNION ALL SELECT doc_id, 1.0 / (60 + r) FROM vec),
+          |f AS (SELECT doc_id, round(sum(c), 6) AS rrf FROM u GROUP BY doc_id)
+          |SELECT doc_id, rrf FROM f
+          |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin),
     "ft_rescore" ->
       (bm25Ctes(Seq("data", "query", "stream", "table")) +
         """, s1 AS (

@@ -132,4 +132,29 @@ object Similarity {
     val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("nbr").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009) — the
+    * standard hybrid-search combiner for a lexical BM25 leg and a vector
+    * leg: each leg contributes 1/(kConst + rank) per document, summed.
+    * Inputs carry (id, 1-based rank) and are top-N bounded by construction
+    * (each leg is already a top-N), so the union, the keyed agg, and the
+    * final cut all operate on ≤ Σ N rows — nothing here scales with the
+    * corpus. Rank positions (not scores) fuse, so the legs' incomparable
+    * score scales never meet; the fused score rounds to 6 dp (a sum of at
+    * most `legs.size` exact reciprocals — commutative, engine-portable).
+    */
+  def rrfFuse(
+      legs: Seq[DataFrame], idCol: String, rankCol: String,
+      kConst: Int = 60, k: Int = 10
+  ): DataFrame = {
+    require(legs.nonEmpty && kConst > 0 && k > 0,
+      s"bad rrf params: ${legs.size} legs, kConst=$kConst, k=$k")
+    val contrib = legs
+      .map(_.select(col(idCol),
+        (lit(1.0) / (lit(kConst.toDouble) + col(rankCol))).as("__c")))
+      .reduce(_ unionByName _)
+    contrib.groupBy(col(idCol))
+      .agg(round(sum(col("__c")), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol).asc).limit(k)
+  }
 }

@@ -217,6 +217,29 @@ class PipelineSpec extends SparkTestBase {
     assert(e.getMessage.contains("degenerate"))
   }
 
+  test("rrfFuse: hand-computed fusion, both-legs dominance, tie-break by id") {
+    import spark.implicits._
+    // lex ranks: A=1 B=2 C=3 ; vec ranks: B=1 D=2 A=3
+    val lex = Seq(("A", 1), ("B", 2), ("C", 3)).toDF("id", "r")
+    val vec = Seq(("B", 1), ("D", 2), ("A", 3)).toDF("id", "r")
+    val fused = Similarity.rrfFuse(Seq(lex, vec), "id", "r", kConst = 60, k = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    def rr(rs: Int*) = BigDecimal(rs.map(r => 1.0 / (60 + r)).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Map("A" -> rr(1, 3), "B" -> rr(2, 1), "C" -> rr(3), "D" -> rr(2))
+    assert(fused.toMap == want)
+    // both-legs docs outrank single-leg docs of comparable rank
+    val order = fused.map(_._1).toList
+    assert(order.take(2).toSet == Set("A", "B"))
+    assert(order.indexOf("C") > order.indexOf("D"), "vec rank 2 beats lex rank 3")
+    // equal contributions tie-break by id ascending
+    val l2 = Seq(("X", 1), ("Y", 2)).toDF("id", "r")
+    val v2 = Seq(("Y", 1), ("X", 2)).toDF("id", "r")
+    val t = Similarity.rrfFuse(Seq(l2, v2), "id", "r", k = 2)
+      .collect().map(_.getString(0)).toList
+    assert(t == List("X", "Y"))
+  }
+
   test("embeddingPairs scale guard refuses corpora above maxRows") {
     import spark.implicits._
     val df = (0L until 20L).map(i => (i, Array.fill(4)(i.toFloat + 1f))).toDF("vec_id", "embedding")
