@@ -2264,6 +2264,11 @@ object SparkEntry {
       TextOps.piiStats(docsDf(s, d).select(id, injected.as("text")),
         "doc_id", "text").orderBy(col("doc_id"))
     }),
+    "text_gopher" -> ((s, d) =>
+      // Gopher/MassiveText composite quality rules: word-count band, mean
+      // word length, alphabetic fraction, distinct-required-stopword count
+      TextOps.gopherRules(docsDf(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     "text_unigram_xent" -> ((s, d) =>
       // CCNet-style unigram LM quality score: model fit + per-doc
       // cross-entropy, vocabulary-sized broadcast join back
@@ -4869,6 +4874,24 @@ object SparkEntry {
         |  md5(regexp_replace(t2, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'))
         |    AS scrubbed_md5
         |FROM s2 ORDER BY doc_id""".stripMargin,
+    "text_gopher" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |m AS (SELECT doc_id, len(ts)::BIGINT AS n_words,
+        |        round(list_sum(list_transform(ts, w -> length(w)))::DOUBLE
+        |              / len(ts), 4) AS mean_word_len,
+        |        round(len(list_filter(ts, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE
+        |              / len(ts), 4) AS alpha_frac,
+        |        len(list_intersect(ts,
+        |          ['the','be','to','of','and','that','have','with']))::BIGINT AS stop_hits
+        |      FROM t)
+        |SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+        |  (n_words BETWEEN 50 AND 100000) AS words_ok,
+        |  (mean_word_len BETWEEN 3.0 AND 10.0) AS len_ok,
+        |  (alpha_frac >= 0.8) AS alpha_ok,
+        |  (stop_hits >= 2) AS stops_ok,
+        |  ((n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |   AND alpha_frac >= 0.8 AND stop_hits >= 2) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
     "text_unigram_xent" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

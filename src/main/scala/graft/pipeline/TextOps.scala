@@ -302,4 +302,44 @@ object TextOps {
     df.select(col(idCol), explode(shinglesCol(col(textCol), n)).as("shingle"))
       .groupBy(col("shingle"))
       .agg(count(lit(1)).as("n"))
+
+  /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models",
+    * §A1.1 MassiveText filtering) — the composite document filter a
+    * pretraining pipeline runs before dedup: word-count band, mean-word-
+    * length band, minimum alphabetic-word fraction, and a minimum count of
+    * DISTINCT required stopwords (the "stop word" rule: a real sentence
+    * contains at least two of the/be/to/of/and/that/have/with). Emits every
+    * rule's measured value plus its boolean and the conjunction, so
+    * downstream can tighten one band without recomputing the scan. One
+    * codegen'd projection — no shuffle, no UDF; the line-shape rules
+    * (bullet/ellipsis ratios) need multi-line docs and live upstream in the
+    * HTML extractor, not here.
+    */
+  def gopherRules(
+      df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopHits: Int = 2
+  ): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    val n = size(toks).cast("double")
+    val meanLen = round(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n, 4)
+    val alphaFrac = round(
+      size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") / n, 4)
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = size(array_intersect(toks, array(gopherStops.map(lit): _*)))
+    val nWords = size(toks).cast("long")
+    val wordsOk = nWords >= minWords && nWords <= maxWords
+    val lenOk = meanLen >= minMeanLen && meanLen <= maxMeanLen
+    val alphaOk = alphaFrac >= minAlphaFrac
+    val stopsOk = stopHits >= minStopHits
+    df.select(
+      col(idCol),
+      nWords.as("n_words"), meanLen.as("mean_word_len"),
+      alphaFrac.as("alpha_frac"), stopHits.cast("long").as("stop_hits"),
+      wordsOk.as("words_ok"), lenOk.as("len_ok"),
+      alphaOk.as("alpha_ok"), stopsOk.as("stops_ok"),
+      (wordsOk && lenOk && alphaOk && stopsOk).as("pass"))
+  }
 }

@@ -217,6 +217,32 @@ class PipelineSpec extends SparkTestBase {
     assert(e.getMessage.contains("degenerate"))
   }
 
+  test("gopherRules: each rule fails on its own counterexample; clean doc passes") {
+    import spark.implicits._
+    val goodBody = ("the quick brown fox jumps over lazy dogs with " * 8).trim
+    val fixtures = Seq(
+      (1L, goodBody),                                  // all rules pass
+      (2L, "the of and with just a few words here"),   // too short
+      (3L, ("supercalifragilistic " * 60).trim),       // mean word len > 10
+      (4L, (("12345 9876 " * 30).trim)),               // alpha frac 0 + no stops
+      (5L, ("aa bb cc dd " * 15).trim)                 // no required stopwords
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherRules(fixtures, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+          r.getBoolean(9))).toMap
+    assert(got(1L) == ((true, true, true, true, true)))
+    assert(got(2L)._1 == false && got(2L)._5 == false)        // words_ok fails
+    assert(got(3L)._2 == false && got(3L)._5 == false)        // len_ok fails
+    assert(got(4L)._3 == false && got(4L)._4 == false)        // alpha + stops fail
+    assert(got(5L)._4 == false && got(5L)._5 == false)        // stops_ok fails
+    // measured values: distinct-stopword count, not total occurrences
+    val vals = TextOps.gopherRules(fixtures, "doc_id", "text")
+      .where($"doc_id" === 1L).head()
+    assert(vals.getLong(4) == 2L, "the + with → distinct gopher stops = 2")
+    assert(vals.getLong(1) == 72L)
+  }
+
   test("rrfFuse: hand-computed fusion, both-legs dominance, tie-break by id") {
     import spark.implicits._
     // lex ranks: A=1 B=2 C=3 ; vec ranks: B=1 D=2 A=3
