@@ -327,6 +327,15 @@ object Demo {
         import org.apache.spark.sql.functions.{col => c}
         spark.read.parquet(s"$dir/seg0/terms")
           .where(c("term").isin(q.terms.toSeq: _*)).explain("formatted")
+      case "profile" :: dir :: rest if rest.nonEmpty =>
+        val searcher = IndexSearcher.open(spark, dir)
+        val q = searcher.parse(rest.mkString(" "))
+        val prof = searcher.profile(q, 10)
+        val total = prof.map(_.seconds).sum
+        println("=== query profile (stage / wall / detail) ===")
+        prof.foreach(r =>
+          println(f"[profile] ${r.stage}%-14s ${r.seconds}%8.3f s  ${r.detail}"))
+        println(f"[profile] ${"total"}%-14s $total%8.3f s")
       case _ =>
         System.err.println(
           "usage: Demo index <dir> <nDocs> [--positions] [--fields] " +
@@ -336,7 +345,7 @@ object Demo {
             "| ingest <dir> <batches> <perBatch> " +
             "| forcemerge <dir> [maxSegments] | split <dir> <nParts> | snapshot <dir> " +
             "| rollback <dir> <gen> | backup <dir> <dest> | replicate <dir> <dest> | stats <dir> " +
-            "| check <dir> | explain <dir> <query...>")
+            "| check <dir> | explain <dir> <query...> | profile <dir> <query...>")
         sys.exit(2)
     }
     spark.stop()

@@ -211,6 +211,26 @@ object Plans {
         fmt(graft.pipeline.Quantize.bqTopKRescored(
           spark.read.parquet(s"$sfDir/embeddings.parquet"),
           "vec_id", "embedding", queryId = 0L, k = 10, c = 50))),
+      ("Multi-range doc-values predicate (coalesced OR-of-bands pushdown)",
+        "Four requested ranges coalesce to two disjoint bands before the " +
+          "scan; the Or(And(GreaterThanOrEqual, LessThanOrEqual), ...) " +
+          "predicate reaches PushedFilters, so Parquet row-group min/max " +
+          "pruning skips stripes outside every band — the BKD-less Q17 " +
+          "design extended to range DISJUNCTIONS.",
+        fmt(spark.read.parquet(s"$sfDir/documents.parquet")
+          .where(graft.index.DocValues.multiRangePredicate($"n_chars",
+            Seq((120L, 180L), (181L, 240L), (150L, 260L), (400L, 520L))))
+          .select($"doc_id", $"n_chars"))),
+      ("DSIR weight join (bucket-bounded model broadcasts)",
+        "The hashed n-gram model collapses to <= `buckets` rows behind a " +
+          "partial agg, then re-attaches to the gram stream as a " +
+          "BroadcastHashJoin — the corpus-sized side never shuffles on the " +
+          "model key; the only wide stages are the model's bounded agg and " +
+          "the per-doc weight agg.",
+        fmt(graft.pipeline.Sampling.dsirSelect(
+          spark.read.parquet(s"$sfDir/documents.parquet"),
+          "doc_id", "text", isTarget = $"lang" === "en",
+          buckets = 1024, keepFrac = 0.25))),
       ("Codegen'd vector dot product (vec_dot)",
         "The `*(n)` prefix marks whole-stage codegen: the native expression stays " +
           "inside the generated stage (interpreted higher-order functions would not).",

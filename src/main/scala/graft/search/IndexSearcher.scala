@@ -177,6 +177,9 @@ object Similarity {
 
 final case class ScoredDoc(docId: Long, score: Double)
 
+/** One row of [[IndexSearcher.profile]]'s per-stage breakdown. */
+final case class ProfileRow(stage: String, seconds: Double, detail: String)
+
 /** One term-dictionary row tagged with its segment ordinal (driver-side
   * aggregation input; carries the singleton-doc inline posting).
   */
@@ -2115,6 +2118,51 @@ final class IndexSearcher(
       .groupBy($"term").agg(sum($"docFreq").as("doc_freq"))
       .orderBy($"doc_freq".desc, $"term".asc)
       .limit(n)
+  }
+
+  /** Query profiler — the re-expression of the reference's
+    * `QueryProfilerIndexSearcher` breakdown (ref sandbox
+    * `sandbox/search/QueryProfilerWeight.java`, `QueryProfilerTimer.java`,
+    * `QueryProfilerTimingType.java`): where does one query's wall time go?
+    * The reference wraps Weight/Scorer call sites with timers
+    * (`create_weight` / `build_scorer` / `next_doc` / `score`); in the
+    * Spark execution model those lifecycles live at JOB granularity, so the
+    * profile times the same stages as whole jobs — rewrite (driver-only),
+    * dictionary stats (the pruned terms scan ≈ create_weight), scorer
+    * construction (SimScorer weights), block planning (candidate
+    * enumeration ≈ build_scorer: how many posting blocks the scorers will
+    * see), and the scoring job (next_doc + score + top-k merge, the
+    * [[topK]] action itself). Counts ride along so timings stay
+    * interpretable. Diagnostic path only — [[topK]] itself is untouched.
+    */
+  def profile(query0: Query, k: Int = 10, pruning: Boolean = true): Seq[ProfileRow] = {
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (query, tRewrite) = timed(Query.rewrite(query0))
+    val qTerms = query.terms.toSeq.sorted
+    val (rows, tStats) = timed(segTermRows(qTerms))
+    val ts = aggStats(rows)
+    val (_, tScorers) = timed(scorerMap(query, ts))
+    val ((nBlocks, nBuckets), tPlan) = timed {
+      val b = queryBlocks(qTerms, rows, IndexSearcher.hasPhrase(query),
+        IndexSearcher.dictSpecs(query))
+        .select($"seg", $"bucket").groupBy($"seg", $"bucket").count()
+        .agg(org.apache.spark.sql.functions.count(lit(1)), sum($"count")).head()
+      (b.getLong(1), b.getLong(0))
+    }
+    val (hits, tScore) = timed(topK(query, k, pruning).collect())
+    Seq(
+      ProfileRow("rewrite", tRewrite, s"$query0 -> $query"),
+      ProfileRow("term_stats", tStats,
+        s"${qTerms.size} terms, ${rows.size} dictionary rows, " +
+          s"docFreq sum ${ts.values.map(_.docFreq).sum}"),
+      ProfileRow("scorer_setup", tScorers, s"${ts.size} SimScorer weights"),
+      ProfileRow("block_plan", tPlan,
+        s"$nBlocks candidate posting blocks in $nBuckets (seg, bucket) groups"),
+      ProfileRow("score_collect", tScore,
+        s"topK(k=$k, pruning=$pruning) job end-to-end (re-plans internally): " +
+          s"${hits.length} hits, best=${hits.headOption.map(_.score).getOrElse(0.0)}"))
   }
 
   /** Score breakdown for one (query, doc) — the re-expression of the

@@ -45,6 +45,23 @@ class IndexSearchSpec extends SparkTestBase {
     "the OR of"                   // two head terms — heavy postings
   )
 
+  test("profile: stage breakdown is complete, consistent with topK") {
+    val q = searcher.parse("court AND law")
+    val prof = searcher.profile(q, 10)
+    assert(prof.map(_.stage) == Seq("rewrite", "term_stats", "scorer_setup",
+      "block_plan", "score_collect"))
+    assert(prof.forall(_.seconds >= 0.0))
+    // the plan stage's block count covers both terms' postings
+    val planDetail = prof.find(_.stage == "block_plan").get.detail
+    assert(planDetail.matches("\\d+ candidate posting blocks in \\d+ .*") &&
+      !planDetail.startsWith("0 "), planDetail)
+    // score_collect reports the same hits topK returns
+    val hits = searcher.topK(q, 10).collect()
+    val scoreDetail = prof.find(_.stage == "score_collect").get.detail
+    assert(scoreDetail.contains(s"${hits.length} hits"))
+    assert(scoreDetail.contains(s"best=${hits.head.score}"))
+  }
+
   test("stats match oracle") {
     val m = Manifest.read(segDir).get
     assert(m.docCount == oracle.docCount)
