@@ -2264,6 +2264,17 @@ object SparkEntry {
       TextOps.piiStats(docsDf(s, d).select(id, injected.as("text")),
         "doc_id", "text").orderBy(col("doc_id"))
     }),
+    "text_langid_ngram" -> ((s, d) => {
+      // Cavnar–Trenkle rank-profile language ID over char bigrams:
+      // profiles fit on the 90% train slice, out-of-place distance
+      // classifies the held-out 10% (same split as ft_nb_classify)
+      import s.implicits._
+      val docs = docsDf(s, d)
+      TextOps.langIdNgram(
+        docs.where($"doc_id" % 10 =!= 0), docs.where($"doc_id" % 10 === 0),
+        "doc_id", "text", "lang", k = 40)
+        .orderBy($"doc_id")
+    }),
     "text_gopher" -> ((s, d) =>
       // Gopher/MassiveText composite quality rules: word-count band, mean
       // word length, alphabetic fraction, distinct-required-stopword count
@@ -4874,6 +4885,33 @@ object SparkEntry {
         |  md5(regexp_replace(t2, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'))
         |    AS scrubbed_md5
         |FROM s2 ORDER BY doc_id""".stripMargin,
+    "text_langid_ngram" ->
+      """WITH bg AS (
+        |  SELECT doc_id, lang,
+        |         unnest(flatten(list_transform(string_split(text, ' '), w ->
+        |           list_transform(range(1, length('_' || w || '_')),
+        |             i -> substr('_' || w || '_', i::INT, 2))))) AS bg
+        |  FROM documents),
+        |lp AS (SELECT lang, bg, rl FROM (
+        |    SELECT lang, bg, row_number() OVER (PARTITION BY lang
+        |             ORDER BY count(*) DESC, bg ASC) AS rl
+        |    FROM bg WHERE doc_id % 10 <> 0 GROUP BY lang, bg)
+        |  WHERE rl <= 40),
+        |dp AS (SELECT doc_id, bg, rd FROM (
+        |    SELECT doc_id, bg, row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY count(*) DESC, bg ASC) AS rd
+        |    FROM bg WHERE doc_id % 10 = 0 GROUP BY doc_id, bg)
+        |  WHERE rd <= 40),
+        |langs AS (SELECT DISTINCT lang FROM lp),
+        |d AS (SELECT dp.doc_id, l.lang,
+        |             sum(coalesce(abs(dp.rd - lp.rl), 40)) AS dist
+        |      FROM dp CROSS JOIN langs l
+        |      LEFT JOIN lp ON lp.lang = l.lang AND lp.bg = dp.bg
+        |      GROUP BY dp.doc_id, l.lang),
+        |r AS (SELECT doc_id, lang, dist, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY dist ASC, lang ASC) AS rn FROM d)
+        |SELECT doc_id, lang AS pred, dist FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "text_gopher" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |m AS (SELECT doc_id, len(ts)::BIGINT AS n_words,

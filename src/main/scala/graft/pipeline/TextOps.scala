@@ -303,6 +303,62 @@ object TextOps {
       .groupBy(col("shingle"))
       .agg(count(lit(1)).as("n"))
 
+  /** Cavnar–Trenkle n-gram language identification ("N-Gram-Based Text
+    * Categorization", SDAIR 1994): per-language rank profiles of the top-K
+    * character bigrams; a document classifies to the language minimizing
+    * the OUT-OF-PLACE distance (sum over the doc's top-K bigrams of
+    * |doc rank − language rank|, with K as the missing-bigram penalty).
+    * All-integer arithmetic end-to-end, so a SQL oracle replays the exact
+    * prediction (ties in counts break by bigram, ties in distance by
+    * language code).
+    *
+    * 100 TB shape: language profiles are L×K rows (broadcast); document
+    * profiles need only a window PARTITIONED BY the document over its own
+    * bigram counts (bounded by doc length, never corpus-wide); the distance
+    * join is doc-profile × L against the broadcast profile table.
+    */
+  def langIdNgram(
+      train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, langCol: String, k: Int = 40
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"bad k $k")
+    def bigrams(df: DataFrame, keyCols: Seq[Column]): DataFrame =
+      df.select(keyCols :+ explode(charBigrams(col(textCol))).as("bg"): _*)
+    val langProf = bigrams(train, Seq(col(langCol).as("lang")))
+      .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("n"))
+      .withColumn("rl", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bg").asc)))
+      .where(col("rl") <= k).select(col("lang"), col("bg"), col("rl"))
+    val docProf = bigrams(test, Seq(col(idCol)))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("n"))
+      .withColumn("rd", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("n").desc, col("bg").asc)))
+      .where(col("rd") <= k).select(col(idCol), col("bg"), col("rd"))
+    val langs = langProf.select(col("lang")).distinct()
+    val dist = docProf.crossJoin(broadcast(langs))
+      .join(broadcast(langProf), Seq("lang", "bg"), "left")
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(coalesce(abs(col("rd") - col("rl")), lit(k.toLong))).as("dist"))
+    dist.withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("dist").asc, col("lang").asc)))
+      .where(col("rn") === 1)
+      .select(col(idCol), col("lang").as("pred"), col("dist"))
+  }
+
+  /** See [[langIdNgram]]: boundary-padded word character bigrams. */
+  def charBigrams(text: Column): Column = {
+    val padded = transform(tokensCol(text), w => concat(lit("_"), w, lit("_")))
+    flatten(transform(padded, pw =>
+      transform(sequence(lit(1), length(pw) - 1), i => substring_(pw, i))))
+  }
+
+  /** substring(pw, i, 2) with a Column start (the literal-start `substring`
+    * function can't take one).
+    */
+  private def substring_(s: Column, i: Column): Column =
+    s.substr(i, lit(2))
+
   /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models",
     * §A1.1 MassiveText filtering) — the composite document filter a
     * pretraining pipeline runs before dedup: word-count band, mean-word-

@@ -217,6 +217,41 @@ class PipelineSpec extends SparkTestBase {
     assert(e.getMessage.contains("degenerate"))
   }
 
+  test("langIdNgram: rank profiles separate real character distributions") {
+    import spark.implicits._
+    // three synthetic "languages" with disjoint-ish character inventories —
+    // the regime char-bigram rank profiles are built for
+    val vocab = Map(
+      "aa" -> Array("the", "and", "with", "that", "have", "there", "what"),
+      "bb" -> Array("über", "größe", "straße", "müde", "schön", "für", "zäh"),
+      "cc" -> Array("niño", "mañana", "señor", "años", "así", "también", "aquí"))
+    def text(lang: String, salt: Long) =
+      (0 until 30).map(i => vocab(lang)(((salt + i * 13) % 7).toInt)).mkString(" ")
+    val rows = (0L until 90L).map { i =>
+      val lang = Seq("aa", "bb", "cc")((i % 3).toInt)
+      (i, text(lang, i), lang)
+    }
+    val df = rows.toDF("doc_id", "text", "lang")
+    val train = df.where($"doc_id" % 10 =!= 0)
+    val test0 = df.where($"doc_id" % 10 === 0)
+    val pred = TextOps.langIdNgram(train, test0, "doc_id", "text", "lang", k = 30)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val truth = rows.filter(_._1 % 10 == 0).map(r => r._1 -> r._3).toMap
+    assert(pred.keySet == truth.keySet)
+    assert(pred == truth, s"misclassified: ${pred.filter(kv => truth(kv._1) != kv._2)}")
+    // partition-independence (window ranks + integer distances are pure)
+    val again = TextOps.langIdNgram(train.repartition(7), test0.repartition(3),
+      "doc_id", "text", "lang", k = 30)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == pred)
+    // a doc whose bigrams miss every profile entry still classifies
+    // deterministically (all-distance ties -> lowest language code)
+    val odd = Seq((1000L, "qq qq qq", "zz")).toDF("doc_id", "text", "lang")
+    val p = TextOps.langIdNgram(train, odd, "doc_id", "text", "lang", k = 30)
+      .head()
+    assert(p.getString(1) == "aa" && p.getLong(2) == 3L * 30L)
+  }
+
   test("gopherRules: each rule fails on its own counterexample; clean doc passes") {
     import spark.implicits._
     val goodBody = ("the quick brown fox jumps over lazy dogs with " * 8).trim
