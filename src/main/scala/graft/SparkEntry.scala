@@ -87,6 +87,7 @@ object SparkEntry {
     tvSearchers.remove(sfDir)
     fieldSearchers.remove(sfDir)
     webAnchorSearchers.remove(sfDir)
+    bloomSearchers.remove(sfDir)
     classicSearchers.remove(sfDir)
     stemSearchers.remove(sfDir)
     cjkSearchers.remove(sfDir)
@@ -238,6 +239,37 @@ object SparkEntry {
       .orderBy($"score".desc, $"doc_id".asc)
       .limit(k)
   }
+
+  private val bloomSearchers = TrieMap[String, IndexSearcher]()
+
+  /** Three bloom-enabled segments over `documents` split into contiguous
+    * doc_id thirds — the NRT-tail shape the reference aims its bloom
+    * postings layer at (`codecs/bloom/BloomFilteringPostingsFormat.java`):
+    * every term-stats/postings probe consults each segment's bloom sidecar
+    * and skips segments that definitely lack the term. docIDs stay the
+    * global url rank (contiguous url ranges + cumulative bases) and
+    * collection stats sum across segments, so scores are identical to the
+    * single-segment searcher's — the oracle is the plain BM25 SQL.
+    */
+  private def bloomSearcherFor(spark: SparkSession, sfDir: String): IndexSearcher =
+    bloomSearchers.getOrElseUpdate(sfDir, {
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createDirectories(indexDirFor(sfDir)).toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val n = docs.count()
+      val cfg = IndexConfig(bucketShift = 8, numPostingPartitions = 8,
+        numDocPartitions = 4, bloomTerms = true)
+      val manifests = Seq((0L, n / 3, "segbl0"), (n / 3, 2 * n / 3, "segbl1"),
+        (2 * n / 3, n, "segbl2")).map { case (lo, hi, name) =>
+        val pages = docs.where($"doc_id" >= lo && $"doc_id" < hi)
+          .select(format_string("doc%012d", $"doc_id").as("url"), $"text")
+          .as[(String, String)]
+        IndexBuilder.buildSegment(pages, s"$dir/$name", cfg)
+      }
+      new IndexSearcher(spark, manifests, precision = Precision.DoubleOracle,
+        k1 = K1, b = B)
+    })
 
   private val classicSearchers = TrieMap[String, IndexSearcher]()
 
@@ -641,6 +673,17 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- fulltext: the engine path (W1-W11 build + Q1-Q12 search)
     "ft_term_topk" -> ((s, d) => ftTopK(s, d, "spark", 10)),
+    "ft_bloom_topk" -> ((s, d) => {
+      // 3-segment bloom-enabled searcher: results must equal the plain BM25
+      // oracle (bloom has no false negatives, segments sum to one corpus)
+      val se = bloomSearcherFor(s, d)
+      import s.implicits._
+      val q = se.parse("filter OR query")
+      se.fetchDocs(topKVerified(se, q, 10))
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc)
+        .limit(10)
+    }),
     "ft_and_topk" -> ((s, d) => ftTopK(s, d, "data AND query", 10)),
     "ft_or_topk" -> ((s, d) => ftTopK(s, d, "data OR query OR stream", 10)),
     "ft_nested_topk" -> ((s, d) => ftTopK(s, d, "(data OR query) AND table", 10)),
@@ -2698,6 +2741,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "ft_term_topk" -> bm25TopK(Seq("spark"), "TRUE", 10),
+    "ft_bloom_topk" -> bm25TopK(Seq("filter", "query"), "TRUE", 10),
     "ft_and_topk" -> bm25TopK(Seq("data", "query"), "nmatch = 2", 10),
     "ft_or_topk" -> bm25TopK(Seq("data", "query", "stream"), "TRUE", 10),
     "ft_nested_topk" -> bm25TopK(Seq("data", "query", "table"),

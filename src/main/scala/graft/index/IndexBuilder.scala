@@ -76,7 +76,13 @@ final case class IndexConfig(
     // pass — as a docId-sorted side table, so per-doc term-frequency
     // access (MoreLikeThis, highlight weighting) is an isin point lookup
     // instead of a stored-text re-analysis.
-    storeTermVectors: Boolean = false
+    storeTermVectors: Boolean = false,
+    // per-segment Bloom filter over the term dictionary (ref
+    // codecs/bloom/BloomFilteringPostingsFormat.java): term-stats probes
+    // skip segments that definitely lack the term before launching any
+    // scan. Opt-in like the reference's — pays off on many-small-segments
+    // (NRT tails), vocabulary-proportional driver memory when loaded.
+    bloomTerms: Boolean = false
 ) {
   def analyzer: StandardAnalyzer =
     new StandardAnalyzer(stopwords, maxTokenLength,
@@ -825,6 +831,7 @@ object IndexBuilder {
             .sortWithinPartitions($"term")
             .write.mode(SaveMode.Overwrite).parquet(s"$dir/terms")
           writeReversedTerms(spark, dir, cfg.numPostingPartitions / 4)
+          if (cfg.bloomTerms) TermBloom.write(spark, dir)
 
           // ONE pass over the cached docTokens yields the per-partition
           // lineage + metrics (north rule: resumable builds with lineage)

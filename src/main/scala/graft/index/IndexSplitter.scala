@@ -95,6 +95,10 @@ object IndexSplitter {
           .write.mode(SaveMode.Overwrite).parquet(s"$out/terms")
         IndexBuilder.writeReversedTerms(spark, out,
           math.max(1, cfg.numPostingPartitions / 4))
+        // parts of a bloom-enabled segment keep the option on (each part's
+        // filter rebuilds from its OWN term set — a copy of the source's
+        // would be correct but oversized)
+        if (TermBloom.exists(segDir)) TermBloom.write(spark, out)
 
         // carry the part's tombstones, rebased
         val partDead = dead.filter(d => d >= lo && d < hi).map(d => d - lo)

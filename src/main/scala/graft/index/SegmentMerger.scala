@@ -138,6 +138,10 @@ object SegmentMerger {
           .sortWithinPartitions($"term")
           .write.mode(SaveMode.Overwrite).parquet(s"$outDir/terms")
         IndexBuilder.writeReversedTerms(spark, outDir, cfg.numPostingPartitions / 4)
+        // bloom sidecar survives merging only if every input carried one
+        // (mixed inputs mean the option was off for part of the corpus —
+        // a filter missing real terms would create false negatives)
+        if (segDirs.forall(TermBloom.exists)) TermBloom.write(spark, outDir)
 
         // stats recomputed from what was actually written — exact again
         // after a purge (the reference's post-merge behavior)

@@ -416,13 +416,42 @@ final class IndexSearcher(
 
   // ------------------------------------------------------------- stats
 
+  /** Per-segment term-dictionary Bloom filters (ref
+    * `codecs/bloom/BloomFilteringPostingsFormat.java`): loaded lazily once
+    * per searcher for segments built with `IndexConfig.bloomTerms`; `None`
+    * slots fall back to the plain pruned lookup. No false negatives, so
+    * skipping a "definitely absent" segment never changes results.
+    */
+  private lazy val blooms: Array[Option[graft.index.TermBloom]] =
+    segments.map(s =>
+      if (graft.index.TermBloom.exists(s.dir))
+        graft.index.TermBloom.read(spark, s.dir)
+      else None).toArray
+
+  /** Segments skipped by the bloom pre-test (observability for specs and
+    * the bench skip-accounting row).
+    */
+  val bloomSkips = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** One pruned union-scan of the per-segment term dictionaries: rows keep
     * their segment ordinal (needed by the singleton-doc fast path) and are
-    * aggregated on the driver (≤ |terms| × |segments| rows).
+    * aggregated on the driver (≤ |terms| × |segments| rows). Segments whose
+    * bloom filter rejects EVERY queried term are skipped before any scan —
+    * the reference's bloom-postings fast path: on an NRT tail of many small
+    * segments a primary-key-style probe launches one job for the segment
+    * that has the term instead of one per segment.
     */
-  private def segTermRows(terms: Seq[String]): Seq[SegTermRow] =
-    if (terms.isEmpty) Seq.empty
-    else segments.zipWithIndex.map { case (s, i) =>
+  private def segTermRows(terms: Seq[String]): Seq[SegTermRow] = {
+    val perSeg = segments.zipWithIndex.map { case (s, i) =>
+      val maybe = blooms(i) match {
+        case Some(bf) => terms.filter(bf.mayContain)
+        case None     => terms
+      }
+      if (maybe.isEmpty && terms.nonEmpty) bloomSkips.incrementAndGet()
+      (s, i, maybe)
+    }.filter(_._3.nonEmpty)
+    if (terms.isEmpty || perSeg.isEmpty) Seq.empty
+    else perSeg.map { case (s, i, segTerms) =>
       val raw = spark.read.parquet(s"${s.dir}/terms")
       // schema evolution: pre-singleton segments read with the fast path off
       val compat = Seq("singletonDocId" -> lit(-1L),
@@ -431,10 +460,11 @@ final class IndexSearcher(
           if (d.columns.contains(c)) d else d.withColumn(c, dflt)
         }
       compat
-        .where($"term".isin(terms: _*))
+        .where($"term".isin(segTerms: _*))
         .select(lit(i).as("seg"), $"term", $"docFreq", $"totalTermFreq",
           $"singletonDocId", $"singletonFreq", $"singletonNorm")
     }.reduce(_ unionByName _).as[SegTermRow].collect().toSeq
+  }
 
   private def aggStats(rows: Seq[SegTermRow]): Map[String, TermStat] =
     rows.groupBy(_.term).map { case (t, rs) =>
@@ -986,18 +1016,28 @@ final class IndexSearcher(
 
   /** Load posting blocks for `terms` across all segments, tagged with the
     * segment ordinal. Filter pushdown on the sorted `term` column prunes row
-    * groups.
+    * groups; segments whose bloom filter rejects every term contribute no
+    * scan at all (same no-false-negative argument as [[segTermRows]]).
     */
   def blocksFor(terms: Seq[String]): Dataset[QBlock] = {
     require(terms.nonEmpty, "no terms")
-    segments.zipWithIndex
-      .map { case (s, i) =>
+    val perSeg = segments.zipWithIndex.flatMap { case (s, i) =>
+      val segTerms = blooms(i) match {
+        case Some(bf) => terms.filter(bf.mayContain)
+        case None     => terms
+      }
+      if (segTerms.isEmpty) { bloomSkips.incrementAndGet(); None }
+      else Some((s, i, segTerms))
+    }
+    if (perSeg.isEmpty) return spark.emptyDataset[QBlock]
+    perSeg
+      .map { case (s, i, segTerms) =>
         val raw = spark.read.parquet(s"${s.dir}/postings")
         val compat = // pre-positions segments read with a null column
           if (raw.columns.contains("posPacked")) raw
           else raw.withColumn("posPacked", lit(null).cast("binary"))
         compat
-          .where($"term".isin(terms: _*))
+          .where($"term".isin(segTerms: _*))
           .select(
             $"term", lit(i).as("seg"), $"bucket", $"firstDocId", $"lastDocId",
             $"numDocs", $"docsPacked", $"freqsPacked", $"normsPacked", $"impacts",
