@@ -378,4 +378,76 @@ object OracleSql {
        |WHERE id NOT IN (SELECT id FROM drops)
        |ORDER BY vec_id""".stripMargin
   }
+
+  /** BPE training unrolled (Sennrich ACL'16, mirrors `pipeline/Bpe.train`):
+    * one CTE band per merge — adjacent pairs via lead(), 1-row argmax with
+    * the (count desc, left, right) tie-break, then the left-to-right
+    * non-overlapping merge via the same run arithmetic as the engine
+    * (islands of consecutive occurrences merge at odd in-island positions).
+    */
+  private def bpeSymCtes(numMerges: Int): String = {
+    // MATERIALIZED throughout: each band references its predecessors
+    // several times; DuckDB CTEs inline by default, which would re-evaluate
+    // the whole unrolled chain exponentially (~3^k) — materialization makes
+    // the oracle linear in the merge count like the engine
+    def band(i: Int): String = {
+      val prev = if (i == 1) "sym0" else s"sym${i - 1}"
+      s"""p$i AS MATERIALIZED (
+         |  SELECT w, cnt, pos, sym,
+         |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+         |  FROM $prev),
+         |b$i AS MATERIALIZED (
+         |  SELECT sym AS a, nxt AS b2, sum(cnt) AS c FROM p$i
+         |  WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |  ORDER BY c DESC, a ASC, b2 ASC LIMIT 1),
+         |m$i AS (
+         |  SELECT *, coalesce(
+         |    sym = (SELECT a FROM b$i) AND nxt = (SELECT b2 FROM b$i), FALSE) AS mark
+         |  FROM p$i),
+         |r$i AS (
+         |  SELECT *, row_number() OVER (PARTITION BY w, mark ORDER BY pos) AS mrn
+         |  FROM m$i),
+         |o$i AS (
+         |  SELECT *, CASE WHEN mark THEN
+         |    row_number() OVER (PARTITION BY w, mark, pos - mrn ORDER BY pos)
+         |  END AS off FROM r$i),
+         |s$i AS (SELECT *, mark AND off % 2 = 1 AS mstart FROM o$i),
+         |t$i AS (
+         |  SELECT *, coalesce(lag(mstart) OVER (PARTITION BY w ORDER BY pos), FALSE) AS consumed
+         |  FROM s$i),
+         |sym$i AS MATERIALIZED (
+         |  SELECT w, cnt, row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+         |    CASE WHEN mstart THEN sym || nxt ELSE sym END AS sym
+         |  FROM t$i WHERE NOT consumed)""".stripMargin
+    }
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+       |), words AS (
+       |  SELECT w, count(*) AS cnt FROM tok WHERE w <> '' GROUP BY w
+       |), sym0 AS MATERIALIZED (
+       |  SELECT w, cnt, pos, substring(w, pos::INT, 1) AS sym
+       |  FROM (SELECT w, cnt, unnest(range(1, length(w) + 1)) AS pos FROM words)
+       |),
+       |${(1 to numMerges).map(band).mkString(",\n")}""".stripMargin
+  }
+
+  /** The learned merge table: (rank, pair_left, pair_right, pair_count). */
+  def bpeMerges(numMerges: Int): String =
+    s"""${bpeSymCtes(numMerges)}
+       |${(1 to numMerges).map(i =>
+          s"SELECT $i AS merge_rank, a AS pair_left, b2 AS pair_right, c AS pair_count FROM b$i")
+         .mkString("\nUNION ALL\n")}
+       |ORDER BY merge_rank""".stripMargin
+
+  /** Per-doc BPE token counts after `numMerges` merges: the final symbol
+    * table's per-word segment counts joined back to the doc-word explode.
+    */
+  def bpeEncode(numMerges: Int): String =
+    s"""${bpeSymCtes(numMerges)},
+       |wlen AS (SELECT w, count(*) AS ns FROM sym$numMerges GROUP BY w),
+       |docw AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+       |)
+       |SELECT doc_id, sum(ns) AS n_bpe FROM docw JOIN wlen USING (w)
+       |WHERE w <> '' GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

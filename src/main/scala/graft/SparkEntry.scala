@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.index.{IndexBuilder, IndexConfig, Manifest}
-import graft.pipeline.{Dedup, Multimodal, Quantize, Similarity, TextOps}
+import graft.pipeline.{Bpe, Dedup, Multimodal, Quantize, Similarity, TextOps}
 import graft.search._
 import graft.streaming.Streaming
 
@@ -649,6 +649,14 @@ object SparkEntry {
 
   private def docsDf(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
+
+  private val bpeModels = TrieMap[String, Bpe.BpeModel]()
+
+  /** One 8-merge BPE model per sfDir (training is deterministic, so the
+    * merges and encode entries share it).
+    */
+  private def bpeModelFor(spark: SparkSession, sfDir: String): Bpe.BpeModel =
+    bpeModels.getOrElseUpdate(sfDir, Bpe.train(docsDf(spark, sfDir), "text", 8))
 
   /** Stored text keyed by the searcher's docIds (url ↔ doc_id bridge). */
   private def textByDocId(
@@ -2322,6 +2330,14 @@ object SparkEntry {
       // Gopher/MassiveText composite quality rules: word-count band, mean
       // word length, alphabetic fraction, distinct-required-stopword count
       TextOps.gopherRules(docsDf(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    "text_bpe_merges" -> ((s, d) =>
+      // BPE training (Sennrich ACL'16): 8 most frequent adjacent-pair
+      // merges over the distinct-word histogram, deterministic tie-break
+      bpeModelFor(s, d).merges.orderBy(col("merge_rank"))),
+    "text_bpe_encode" -> ((s, d) =>
+      // per-doc BPE token counts: final symbol table joined to doc words
+      Bpe.encode(docsDf(s, d), "doc_id", "text", bpeModelFor(s, d))
         .orderBy(col("doc_id"))),
     "text_unigram_xent" -> ((s, d) =>
       // CCNet-style unigram LM quality score: model fit + per-doc
@@ -4956,6 +4972,8 @@ object SparkEntry {
         |        PARTITION BY doc_id ORDER BY dist ASC, lang ASC) AS rn FROM d)
         |SELECT doc_id, lang AS pred, dist FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+    "text_bpe_merges" -> bpeMerges(8),
+    "text_bpe_encode" -> bpeEncode(8),
     "text_gopher" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |m AS (SELECT doc_id, len(ts)::BIGINT AS n_words,
