@@ -59,6 +59,7 @@ object Bench {
       "ft_msm_topk", "ft_boost_topk", "ft_dismax_topk",
       "ft_facet_range", "ft_highlight_best", "ft_fuzzy_match", "ft_spell",
       "ft_suggest_infix", "ft_stem_topk", "ft_nb_classify", "text_shingles",
+      "ft_spell_jaro",
       "ft_classic_parse", "ft_multiphrase_topk", "ft_interval_topk",
       "ft_field_phrase", "text_repetition",
       "ft_dfr_topk", "ft_ib_topk", "ft_dfi_topk", "ft_axiomatic_topk", "ft_perfield_topk", "ft_multisim_topk",

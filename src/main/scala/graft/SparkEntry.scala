@@ -1030,6 +1030,12 @@ object SparkEntry {
       // (distance, docFreq desc, term)
       searcherFor(s, d).spellCorrect("parl", maxEdits = 2, n = 5)
     }),
+    "ft_spell_jaro" -> ((s, d) =>
+      // Jaro-Winkler-ranked corrections (ref suggest/spell/
+      // JaroWinklerDistance as the SpellChecker's StringDistance);
+      // accuracy 0.55 so the ranking + boost + tie-break paths all engage
+      // on this corpus's vocabulary
+      searcherFor(s, d).spellCorrectJaro("qurey", n = 5, accuracy = 0.55)),
     "ft_msm_topk" -> ((s, d) => {
       // minimumShouldMatch=2 of three SHOULD clauses (ref BooleanQuery msm)
       val se = searcherFor(s, d)
@@ -3315,6 +3321,31 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
         |SELECT DISTINCT doc_id FROM tok WHERE damerau_levenshtein(term, 'quer') <= 2
         |ORDER BY doc_id""".stripMargin,
+    // Jaro-Winkler reconstructed with the reference's quirks from DuckDB's
+    // raw jaro_similarity: boost only at j >= 0.7, scale min(0.1, 1/maxLen)
+    // (not fixed 0.1), UNCAPPED common prefix computed positionally
+    "ft_spell_jaro" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY term),
+        |pos AS (SELECT term,
+        |          unnest(range(1, least(length(term), length('qurey')) + 1)) AS i
+        |        FROM df),
+        |mism AS (SELECT term, min(i) AS fd FROM pos
+        |         WHERE substring(term, i::INT, 1) <> substring('qurey', i::INT, 1)
+        |         GROUP BY term),
+        |pref AS (SELECT d.term,
+        |           coalesce(m.fd - 1, least(length(d.term), length('qurey'))) AS prefix
+        |         FROM df d LEFT JOIN mism m USING (term)),
+        |jw AS (SELECT d.term, d.doc_freq,
+        |         CASE WHEN jaro_similarity(d.term, 'qurey') < 0.7
+        |              THEN jaro_similarity(d.term, 'qurey')
+        |              ELSE jaro_similarity(d.term, 'qurey')
+        |                + least(0.1, 1.0 / greatest(length(d.term), length('qurey')))
+        |                  * p.prefix * (1 - jaro_similarity(d.term, 'qurey')) END AS sim
+        |       FROM df d JOIN pref p USING (term))
+        |SELECT term, round(sim, 6) AS similarity, doc_freq FROM jw
+        |WHERE round(sim, 6) >= 0.55 AND term <> 'qurey'
+        |ORDER BY round(sim, 6) DESC, doc_freq DESC, term ASC LIMIT 5""".stripMargin,
     "ft_fuzzy_like" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),

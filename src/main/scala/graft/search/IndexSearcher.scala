@@ -1279,6 +1279,32 @@ final class IndexSearcher(
       .limit(n)
   }
 
+  /** Spell candidates ranked by Jaro–Winkler similarity — the reference
+    * spell checker's pluggable alternative `StringDistance` (ref
+    * `suggest/spell/JaroWinklerDistance.java`, plugged into
+    * `suggest/spell/SpellChecker.java#setStringDistance`; `accuracy` is
+    * the checker's `setAccuracy` floor, default 0.7). Candidates rank
+    * (similarity desc, docFreq desc, term asc); similarity rounds to 6 dp
+    * BEFORE the floor so engine and oracle agree on boundary candidates.
+    *
+    * No length band: unlike edit distance, JW ≥ 0.7 does not bound
+    * |len Δ| (e.g. jw("ab", "abcdefgh") = 0.81), so the scan is the full
+    * vocabulary-sized dictionary — the reference's n-gram candidate
+    * pre-selection is the optimization path at huge vocabularies.
+    */
+  def spellCorrectJaro(term: String, n: Int = 5,
+      accuracy: Double = 0.7): DataFrame = {
+    val sim = graft.functions.JaroWinkler.jaroWinkler(lit(term), $"term")
+    termsDictWithLen
+      .select($"term", $"docFreq", round(sim, 6).as("similarity"))
+      .where($"similarity" >= accuracy && $"term" =!= term)
+      .groupBy($"term")
+      .agg(sum($"docFreq").as("doc_freq"), max($"similarity").as("similarity"))
+      .select($"term", $"similarity", $"doc_freq")
+      .orderBy($"similarity".desc, $"doc_freq".desc, $"term".asc)
+      .limit(n)
+  }
+
   /** Word-break suggestions — the re-expression of
     * `lucene/suggest/src/java/org/apache/lucene/search/suggest/spell/WordBreakSpellChecker.java`
     * `suggestWordBreaks`: segment a run-together term into dictionary
