@@ -1650,6 +1650,26 @@ object SparkEntry {
         .select($"source", $"rank", $"doc_id", $"score")
         .orderBy($"source", $"rank")
     }),
+    "ft_group_distinct" -> ((s, d) => {
+      // distinct-values grouping (ref grouping/DistinctValuesCollector.java
+      // two-pass shape): first pass picks the top groups by best hit score,
+      // second counts DISTINCT values of another field over each group's
+      // match set — both passes are one agg each, no per-group state
+      import s.implicits._
+      val se = searcherFor(s, d)
+      val scored = se.scoreMatches(se.parse("data OR query"))
+        .join(se.docsTable.select($"docId", $"url"), "docId")
+        .select(docIdOf($"url"), round($"score", 6).as("score"))
+        .join(docsDf(s, d).select($"doc_id", $"source", $"lang"), "doc_id")
+      val top = scored.groupBy($"source")
+        .agg(max($"score").as("best"))
+        .orderBy($"best".desc, $"source".asc).limit(3)
+      scored.join(broadcast(top), "source")
+        .groupBy($"source", $"best")
+        .agg(countDistinct($"lang").as("n_langs"), count(lit(1)).as("n_hits"))
+        .select($"source", $"best", $"n_langs", $"n_hits")
+        .orderBy($"source")
+    }),
     "ft_diversified_topk" -> ((s, d) => {
       // diversified top-k (ref lucene/misc DiversifiedTopDocsCollector.java:
       // global top-k with at most maxHitsPerKey hits per key): declaratively,
@@ -3964,6 +3984,18 @@ object SparkEntry {
           |         row_number() OVER (PARTITION BY d.source ORDER BY r.score DESC, r.doc_id ASC) AS rank
           |  FROM ranked r JOIN documents d USING (doc_id)
           |) WHERE rank <= 2 ORDER BY source, rank""".stripMargin),
+    "ft_group_distinct" ->
+      (bm25Scored(Seq("data", "query"), "TRUE") +
+        """
+          |, top AS (
+          |  SELECT d.source, max(r.score) AS best
+          |  FROM ranked r JOIN documents d USING (doc_id)
+          |  GROUP BY d.source ORDER BY best DESC, source ASC LIMIT 3)
+          |SELECT t.source, t.best, count(DISTINCT d.lang) AS n_langs,
+          |       count(*) AS n_hits
+          |FROM ranked r JOIN documents d USING (doc_id)
+          |JOIN top t ON d.source = t.source
+          |GROUP BY t.source, t.best ORDER BY t.source""".stripMargin),
     "ft_diversified_topk" ->
       (bm25Scored(Seq("data", "query", "stream"), "TRUE") +
         """
