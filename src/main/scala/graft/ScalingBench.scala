@@ -20,6 +20,7 @@ object ScalingBench {
       buildSec: Double,
       docsPerSec: Double,
       queryP50Ms: Double,
+      queriesPerSec: Double,
       mergeSec: Double
   )
 
@@ -84,7 +85,30 @@ object ScalingBench {
           sec * 1000
         }
       }.sorted
-      RunResult(cores, buildSec, m.docCount / buildSec, lat(lat.length / 2), mergeSec)
+
+      // concurrent query throughput (q/s) — the reference benchmark's
+      // ReadTask regime (`benchmark/byTask/tasks/ReadTask.java` driven by
+      // multiple task threads): 8 client threads submit the query set
+      // round-robin against ONE shared searcher; Spark's scheduler
+      // interleaves the jobs (FIFO pools), which is exactly how a search
+      // tier drives a shared cluster
+      val qps = {
+        val rounds = 6
+        val jobs = for (r <- 0 until rounds; q <- queries) yield q
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+        try {
+          val t0 = System.nanoTime()
+          val futs = jobs.map { q =>
+            pool.submit(new java.util.concurrent.Callable[Int] {
+              def call(): Int = searcher.topK(Query.parse(q), 10).collect().length
+            })
+          }
+          futs.foreach(_.get())
+          jobs.size / ((System.nanoTime() - t0) / 1e9)
+        } finally pool.shutdown()
+      }
+      RunResult(cores, buildSec, m.docCount / buildSec, lat(lat.length / 2),
+        qps, mergeSec)
     } finally spark.stop()
   }
 
@@ -134,6 +158,7 @@ object ScalingBench {
          || index build wall (s) | ${rLo.buildSec}%.1f | ${rHi.buildSec}%.1f | ${rSat.buildSec}%.1f |
          || index build throughput (docs/sec) | ${rLo.docsPerSec}%.0f | ${rHi.docsPerSec}%.0f | ${rSat.docsPerSec}%.0f |
          || BM25 top-10 p50 latency (ms) | ${rLo.queryP50Ms}%.0f | ${rHi.queryP50Ms}%.0f | ${rSat.queryP50Ms}%.0f |
+         || query throughput, 8 concurrent clients (q/s) | ${rLo.queriesPerSec}%.1f | ${rHi.queriesPerSec}%.1f | ${rSat.queriesPerSec}%.1f |
          || 2-segment merge wall (s) | ${rLo.mergeSec}%.1f | ${rHi.mergeSec}%.1f | ${rSat.mergeSec}%.1f |
          |
          |**Scaling efficiency ($nLo -> $nHi cores, the N->4N criterion)** =
@@ -146,7 +171,7 @@ object ScalingBench {
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.writeString(p, md)
     println(md)
-    val jsonLine = s"""{"scaling_efficiency":$eff,"docs_per_sec_$nLo":${rLo.docsPerSec},"docs_per_sec_$nHi":${rHi.docsPerSec},"docs_per_sec_32":${rSat.docsPerSec},"eff_${nHi}_32":$effSat,"n_docs":$nDocs}"""
+    val jsonLine = s"""{"scaling_efficiency":$eff,"docs_per_sec_$nLo":${rLo.docsPerSec},"docs_per_sec_$nHi":${rHi.docsPerSec},"docs_per_sec_32":${rSat.docsPerSec},"eff_${nHi}_32":$effSat,"qps_$nLo":${rLo.queriesPerSec},"qps_$nHi":${rHi.queriesPerSec},"qps_32":${rSat.queriesPerSec},"n_docs":$nDocs}"""
     println(jsonLine)
     // append-only run log so history survives reruns
     val logPath = java.nio.file.Paths.get("BENCH/scaling-runs.jsonl")

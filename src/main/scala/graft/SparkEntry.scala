@@ -2357,6 +2357,11 @@ object SparkEntry {
       // word length, alphabetic fraction, distinct-required-stopword count
       TextOps.gopherRules(docsDf(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "text_gopher_rep" -> ((s, d) =>
+      // Gopher repetition rules: top n-gram char fraction (n=2..4) +
+      // duplicate n-gram char coverage with overlap counted once (n=5..10)
+      TextOps.gopherRepetition(docsDf(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     "text_bpe_merges" -> ((s, d) =>
       // BPE training (Sennrich ACL'16): 8 most frequent adjacent-pair
       // merges over the distinct-word histogram, deterministic tie-break
@@ -5055,6 +5060,85 @@ object SparkEntry {
         |  ((n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
         |   AND alpha_frac >= 0.8 AND stop_hits >= 2) AS pass
         |FROM m ORDER BY doc_id""".stripMargin,
+    "text_gopher_rep" ->
+      """WITH w AS (
+        |  SELECT doc_id, generate_subscripts(ts, 1) - 1 AS pos, unnest(ts) AS w
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)),
+        |dc AS (SELECT doc_id, sum(length(w)) AS doc_chars FROM w GROUP BY 1),
+        |l AS (SELECT doc_id, pos, w,
+        |        lead(w,1) OVER win AS w1, lead(w,2) OVER win AS w2,
+        |        lead(w,3) OVER win AS w3, lead(w,4) OVER win AS w4,
+        |        lead(w,5) OVER win AS w5, lead(w,6) OVER win AS w6,
+        |        lead(w,7) OVER win AS w7, lead(w,8) OVER win AS w8,
+        |        lead(w,9) OVER win AS w9
+        |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |g AS (
+        |  SELECT doc_id, pos, 2 AS n, concat_ws(' ', w, w1) AS gram,
+        |         length(w)+length(w1) AS gchars FROM l WHERE w1 IS NOT NULL
+        |  UNION ALL SELECT doc_id, pos, 3, concat_ws(' ', w, w1, w2),
+        |         length(w)+length(w1)+length(w2) FROM l WHERE w2 IS NOT NULL
+        |  UNION ALL SELECT doc_id, pos, 4, concat_ws(' ', w, w1, w2, w3),
+        |         length(w)+length(w1)+length(w2)+length(w3) FROM l WHERE w3 IS NOT NULL
+        |  UNION ALL SELECT doc_id, pos, 5, concat_ws(' ', w, w1, w2, w3, w4),
+        |         length(w)+length(w1)+length(w2)+length(w3)+length(w4)
+        |         FROM l WHERE w4 IS NOT NULL
+        |  UNION ALL SELECT doc_id, pos, 6, concat_ws(' ', w, w1, w2, w3, w4, w5),
+        |         length(w)+length(w1)+length(w2)+length(w3)+length(w4)+length(w5)
+        |         FROM l WHERE w5 IS NOT NULL
+        |  UNION ALL SELECT doc_id, pos, 7, concat_ws(' ', w, w1, w2, w3, w4, w5, w6),
+        |         length(w)+length(w1)+length(w2)+length(w3)+length(w4)+length(w5)
+        |         +length(w6) FROM l WHERE w6 IS NOT NULL
+        |  UNION ALL SELECT doc_id, pos, 8, concat_ws(' ', w, w1, w2, w3, w4, w5, w6, w7),
+        |         length(w)+length(w1)+length(w2)+length(w3)+length(w4)+length(w5)
+        |         +length(w6)+length(w7) FROM l WHERE w7 IS NOT NULL
+        |  UNION ALL SELECT doc_id, pos, 9, concat_ws(' ', w, w1, w2, w3, w4, w5, w6, w7, w8),
+        |         length(w)+length(w1)+length(w2)+length(w3)+length(w4)+length(w5)
+        |         +length(w6)+length(w7)+length(w8) FROM l WHERE w8 IS NOT NULL
+        |  UNION ALL SELECT doc_id, pos, 10, concat_ws(' ', w, w1, w2, w3, w4, w5, w6, w7, w8, w9),
+        |         length(w)+length(w1)+length(w2)+length(w3)+length(w4)+length(w5)
+        |         +length(w6)+length(w7)+length(w8)+length(w9) FROM l WHERE w9 IS NOT NULL),
+        |o AS (SELECT *, count(*) OVER (PARTITION BY doc_id, n, gram) AS cnt FROM g),
+        |top AS (SELECT doc_id, n, cnt * gchars AS topchars FROM o WHERE n <= 4
+        |        QUALIFY row_number() OVER (
+        |          PARTITION BY doc_id, n ORDER BY cnt DESC, gram ASC) = 1),
+        |tops AS (SELECT doc_id,
+        |          max(CASE WHEN n=2 THEN topchars END) AS t2,
+        |          max(CASE WHEN n=3 THEN topchars END) AS t3,
+        |          max(CASE WHEN n=4 THEN topchars END) AS t4 FROM top GROUP BY 1),
+        |cov AS (SELECT DISTINCT doc_id, n, cpos FROM (
+        |          SELECT doc_id, n, pos + unnest(generate_series(0, n - 1)) AS cpos
+        |          FROM o WHERE n >= 5 AND cnt >= 2)),
+        |dup AS (SELECT cov.doc_id, cov.n, sum(length(w.w)) AS dupchars
+        |        FROM cov JOIN w ON w.doc_id = cov.doc_id AND w.pos = cov.cpos
+        |        GROUP BY 1, 2),
+        |dups AS (SELECT doc_id,
+        |          max(CASE WHEN n=5 THEN dupchars END) AS d5,
+        |          max(CASE WHEN n=6 THEN dupchars END) AS d6,
+        |          max(CASE WHEN n=7 THEN dupchars END) AS d7,
+        |          max(CASE WHEN n=8 THEN dupchars END) AS d8,
+        |          max(CASE WHEN n=9 THEN dupchars END) AS d9,
+        |          max(CASE WHEN n=10 THEN dupchars END) AS d10 FROM dup GROUP BY 1)
+        |SELECT dc.doc_id,
+        |  round(coalesce(t2, 0)::DOUBLE / doc_chars, 4) AS top2_frac,
+        |  round(coalesce(t3, 0)::DOUBLE / doc_chars, 4) AS top3_frac,
+        |  round(coalesce(t4, 0)::DOUBLE / doc_chars, 4) AS top4_frac,
+        |  round(coalesce(d5, 0)::DOUBLE / doc_chars, 4) AS dup5_frac,
+        |  round(coalesce(d6, 0)::DOUBLE / doc_chars, 4) AS dup6_frac,
+        |  round(coalesce(d7, 0)::DOUBLE / doc_chars, 4) AS dup7_frac,
+        |  round(coalesce(d8, 0)::DOUBLE / doc_chars, 4) AS dup8_frac,
+        |  round(coalesce(d9, 0)::DOUBLE / doc_chars, 4) AS dup9_frac,
+        |  round(coalesce(d10, 0)::DOUBLE / doc_chars, 4) AS dup10_frac,
+        |  (round(coalesce(t2, 0)::DOUBLE / doc_chars, 4) <= 0.20
+        |   AND round(coalesce(t3, 0)::DOUBLE / doc_chars, 4) <= 0.18
+        |   AND round(coalesce(t4, 0)::DOUBLE / doc_chars, 4) <= 0.16
+        |   AND round(coalesce(d5, 0)::DOUBLE / doc_chars, 4) <= 0.15
+        |   AND round(coalesce(d6, 0)::DOUBLE / doc_chars, 4) <= 0.14
+        |   AND round(coalesce(d7, 0)::DOUBLE / doc_chars, 4) <= 0.13
+        |   AND round(coalesce(d8, 0)::DOUBLE / doc_chars, 4) <= 0.12
+        |   AND round(coalesce(d9, 0)::DOUBLE / doc_chars, 4) <= 0.11
+        |   AND round(coalesce(d10, 0)::DOUBLE / doc_chars, 4) <= 0.10) AS pass
+        |FROM dc LEFT JOIN tops USING (doc_id) LEFT JOIN dups USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "text_unigram_xent" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

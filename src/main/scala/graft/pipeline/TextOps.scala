@@ -398,4 +398,109 @@ object TextOps {
       alphaOk.as("alpha_ok"), stopsOk.as("stops_ok"),
       (wordsOk && lenOk && alphaOk && stopsOk).as("pass"))
   }
+
+  /** Gopher repetition rules (Rae et al. 2021 §A1.1, Table A1) — the other
+    * half of [[gopherRules]]: a document is dropped when too much of it is
+    * the SAME text repeated. Two families, both measured in characters (the
+    * sum of word lengths — whitespace never counts):
+    *
+    *  - top n-gram fraction (n = 2, 3, 4): characters claimed by the single
+    *    most frequent n-gram = occurrences × gram word chars / doc chars;
+    *    thresholds 0.20 / 0.18 / 0.16. Ties break to the lexicographically
+    *    smallest gram (deterministic, rerun-stable — the paper doesn't
+    *    specify; with equal counts any choice gives the same charcount for
+    *    fixed n on a uniform-length vocabulary, but not in general).
+    *  - duplicate n-gram fraction (n = 5..10): characters inside the UNION
+    *    of word positions covered by any n-gram occurring ≥ 2 times —
+    *    overlapping duplicates count once, the paper's exact semantics
+    *    ("taking care not to count characters that occur in overlapping
+    *    n-grams more than once"); thresholds 0.15 / 0.14 / 0.13 / 0.12 /
+    *    0.11 / 0.10.
+    *
+    * 100 TB shape: one posexplode scan; ONE per-doc position window whose
+    * lead chain materializes every n = 2..10 gram in a single pass; one
+    * count window keyed (doc, n, gram); the dup family unions coverage by
+    * a distinct on (doc, n, pos) and joins word lengths back on (doc, pos).
+    * Every shuffle is keyed by doc-bounded groups (a window partition is one
+    * document — never corpus-wide), no UDF, no driver state. Line/paragraph
+    * dup rules need multi-line docs and live upstream in the HTML extractor
+    * (same machinery at n = line).
+    */
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topThr = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+    val dupThr = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+    val words = df.select(col(idCol),
+      posexplode(tokensCol(col(textCol))).as(Seq("pos", "w")))
+    val docChars = words.groupBy(col(idCol))
+      .agg(sum(length(col("w"))).as("doc_chars"))
+
+    val posWin = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val leadCols = (1 to 9).map(k => lead(col("w"), k).over(posWin).as(s"w$k"))
+    val withLeads = words.select(
+      Seq(col(idCol), col("pos"), col("w")) ++ leadCols: _*)
+    // all n = 2..10 grams from one window pass: each row carries an array of
+    // (n, gram, gramchars) structs; rows whose doc tail is shorter than n
+    // drop at the ok filter
+    val gramStructs = array((2 to 10).map { n =>
+      val parts = col("w") +: (1 until n).map(k => col(s"w$k"))
+      struct(
+        lit(n).as("n"),
+        concat_ws(" ", parts: _*).as("gram"),
+        parts.map(length).reduce(_ + _).as("gchars"),
+        col(s"w${n - 1}").isNotNull.as("ok"))
+    }: _*)
+    val grams = withLeads
+      .select(col(idCol), col("pos"), explode(gramStructs).as("g"))
+      .where(col("g.ok"))
+      .select(col(idCol), col("pos"), col("g.n").as("n"),
+        col("g.gram").as("gram"), col("g.gchars").as("gchars"))
+    val occ = grams.withColumn("cnt",
+      count(lit(1)).over(Window.partitionBy(col(idCol), col("n"), col("gram"))))
+
+    // top family: max count per (doc, n), tie to the smallest gram; struct
+    // min orders by gram first so it carries that gram's charcount along
+    val top = occ.where(col("n") <= 4)
+      .withColumn("mx", max(col("cnt")).over(
+        Window.partitionBy(col(idCol), col("n"))))
+      .where(col("cnt") === col("mx"))
+      .groupBy(col(idCol), col("n"))
+      .agg(min(struct(col("gram"), col("gchars"), col("cnt"))).as("t"))
+      .select(col(idCol), col("n"),
+        (col("t.cnt") * col("t.gchars")).as("topchars"))
+    val topAggs = topThr.map { case (n, _) =>
+      max(when(col("n") === n, col("topchars"))).as(s"t$n")
+    }
+    val tops = top.groupBy(col(idCol)).agg(topAggs.head, topAggs.tail: _*)
+
+    // dup family: union of covered positions (overlap counted once), then
+    // word lengths joined back by position
+    val dup = occ.where(col("n") >= 5 && col("cnt") >= 2)
+      .select(col(idCol), col("n"),
+        explode(sequence(col("pos"), col("pos") + col("n") - 1)).as("cpos"))
+      .distinct()
+      .join(words.withColumnRenamed("pos", "cpos"), Seq(idCol, "cpos"))
+      .groupBy(col(idCol), col("n"))
+      .agg(sum(length(col("w"))).as("dupchars"))
+    val dupAggs = dupThr.map { case (n, _) =>
+      max(when(col("n") === n, col("dupchars"))).as(s"d$n")
+    }
+    val dups = dup.groupBy(col(idCol)).agg(dupAggs.head, dupAggs.tail: _*)
+
+    def frac(c: Column): Column =
+      round(coalesce(c, lit(0L)).cast("double") / col("doc_chars"), 4)
+    val fracCols =
+      topThr.map { case (n, _) => frac(col(s"t$n")).as(s"top${n}_frac") } ++
+      dupThr.map { case (n, _) => frac(col(s"d$n")).as(s"dup${n}_frac") }
+    val passCol = (
+      topThr.map { case (n, thr) => frac(col(s"t$n")) <= thr } ++
+      dupThr.map { case (n, thr) => frac(col(s"d$n")) <= thr }
+    ).reduce(_ && _).as("pass")
+
+    docChars
+      .join(tops, Seq(idCol), "left")
+      .join(dups, Seq(idCol), "left")
+      .select(col(idCol) +: (fracCols :+ passCol): _*)
+  }
 }

@@ -278,6 +278,47 @@ class PipelineSpec extends SparkTestBase {
     assert(vals.getLong(1) == 72L)
   }
 
+  test("gopherRepetition: hand-computed fractions, overlap counted once, clean doc passes") {
+    import spark.implicits._
+    val fixtures = Seq(
+      (1L, "a b a b a b"),              // top fractions from overlapping repeats
+      (2L, "a a a a a a"),              // duplicate 5-grams overlap -> union, not 2x
+      (3L, "v w x y z v w x y z"),      // disjoint repeated 5-gram covers everything
+      (4L, (0 until 60).map(i => f"w$i%02d").mkString(" ")) // all distinct: passes
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherRepetition(fixtures, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    // doc 1: "a b" x3 of 6 chars -> 1.0; 3-gram tie ("a b a"/"b a b" both x2)
+    // breaks to the smaller gram, same fraction; "a b a b" x2 overlapping ->
+    // occurrences x chars may exceed the doc (Gopher's own definition)
+    assert(got(1L).getDouble(1) == 1.0, "top2")
+    assert(got(1L).getDouble(2) == 1.0, "top3")
+    assert(got(1L).getDouble(3) == 1.3333, "top4 overlap-inflated")
+    assert((4 to 9).forall(i => got(1L).getDouble(i) == 0.0), "no dup 5..10-grams")
+    assert(!got(1L).getBoolean(10), "pass false")
+
+    // doc 2: both 5-gram occurrences overlap on positions 1..4 -> the union
+    // is the whole 6-word doc, 1.0 (a per-occurrence count would say 10/6)
+    assert(got(2L).getDouble(4) == 1.0, "dup5 union")
+    assert(got(2L).getDouble(5) == 0.0, "single 6-gram is no duplicate")
+
+    // doc 3: "v w x y z" at positions 0 and 5 -> full coverage; 6..10-grams
+    // all distinct; "v w" is the only repeated 2-gram
+    assert(got(3L).getDouble(4) == 1.0, "dup5 disjoint")
+    assert((5 to 9).forall(i => got(3L).getDouble(i) == 0.0))
+    assert(got(3L).getDouble(1) == 0.4, "top2 = 2 x 2 chars / 10")
+
+    // doc 4: 60 distinct 3-char words -> every fraction under its threshold
+    assert(got(4L).getDouble(1) == 0.0333 && got(4L).getDouble(4) == 0.0)
+    assert(got(4L).getBoolean(10), "clean doc passes")
+
+    // partition independence: windows are per-doc, counts are global
+    val again = TextOps.gopherRepetition(fixtures.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(again == got.map { case (k, r) => k -> r.toSeq })
+  }
+
   test("rrfFuse: hand-computed fusion, both-legs dominance, tie-break by id") {
     import spark.implicits._
     // lex ranks: A=1 B=2 C=3 ; vec ranks: B=1 D=2 A=3
