@@ -75,8 +75,8 @@ object Bench {
       "web_redirect_fold", "web_robots",
       "ft_diversified_topk", "ft_dv_stats", "ft_fuzzy_like", "ft_facet_dynrange",
       "ft_multirange", "ft_automaton_topk", "ft_hybrid_rrf", "ft_bloom_topk",
-      "pipe_dsir", "dedup_semantic", "text_gopher", "text_langid_ngram",
-      "text_bpe_merges",
+      "pipe_dsir", "dedup_semantic", "text_gopher", "text_gopher_rep",
+      "text_langid_ngram", "text_bpe_merges",
       "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_embed",
       "dedup_clusters", "dedup_lines", "dedup_substring", "pipe_split", "pipe_token_budget", "pipe_pack",
       "pipe_decontaminate", "pipe_mix", "pipe_url_dedup", "stream_dedup",
